@@ -1,0 +1,30 @@
+"""Test harness: run everything on a simulated 8-device CPU mesh.
+
+Multi-chip TPU hardware is unavailable in CI; sharding/pjit paths are
+validated on XLA's host-platform device simulation (SURVEY §4d)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tiny_dataset():
+    """Small combined dataset for fast end-to-end tests."""
+    from pinnfc_tpu.data import combine_and_normalize, synthesize_stack_data
+
+    normal, faults = synthesize_stack_data(n_normal=600, n_fault=80, seed=0)
+    return combine_and_normalize(normal, faults, training_rate=1.0, seed=42)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(1234)
