@@ -67,6 +67,7 @@ def mlp_forward(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     logvar: bool = True,
+    precision: str = "highest",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward pass → (mean, logvar), both (N, 1).
 
@@ -74,7 +75,16 @@ def mlp_forward(
     torch ``eval()`` path.  ``dropout_p`` is a traced-or-static scalar so the
     MC sampler can override the rate (reference 01:1448-1454) without
     rebuilding anything.
+
+    ``precision``: matmul precision request.  The backend's default truncates
+    f32 matmuls MXU-style (~1e-2 relative error), which breaks parity with
+    the f32 torch reference; 'highest' restores full f32 accumulation.  Pass
+    'default' for the throughput-first bf16 path.
     """
+
+    def mm(a, w):
+        return jnp.matmul(a, w, precision=precision)
+
     h = x
     n_hidden = len(params["hidden"])
     if train:
@@ -82,20 +92,20 @@ def mlp_forward(
             raise ValueError("train=True requires a dropout rng key")
         keys = jax.random.split(rng, n_hidden + 1)
     for i, layer in enumerate(params["hidden"]):
-        h = jnp.tanh(h @ layer["w"] + layer["b"])
+        h = jnp.tanh(mm(h, layer["w"]) + layer["b"])
         if train:
             h = _dropout(h, dropout_p, keys[i])
 
-    mean = h @ params["mean"]["w"] + params["mean"]["b"]
+    mean = mm(h, params["mean"]["w"]) + params["mean"]["b"]
 
     if not logvar:
         return mean, jnp.zeros_like(mean)
 
-    v = jnp.tanh(h @ params["var"][0]["w"] + params["var"][0]["b"])
+    v = jnp.tanh(mm(h, params["var"][0]["w"]) + params["var"][0]["b"])
     if train:
         v = _dropout(v, dropout_p, keys[n_hidden])
-    v = jnp.tanh(v @ params["var"][1]["w"] + params["var"][1]["b"])
-    v = v @ params["var"][2]["w"] + params["var"][2]["b"]
+    v = jnp.tanh(mm(v, params["var"][1]["w"]) + params["var"][1]["b"])
+    v = mm(v, params["var"][2]["w"]) + params["var"][2]["b"]
     log_var = jnp.log(jax.nn.softplus(v) + 1e-6)
     return mean, log_var
 
