@@ -1,0 +1,119 @@
+"""Headline benchmark: staged-PINN training throughput (steps/sec).
+
+Measures the stage-1 hot loop (full-batch dropout-MLP forward+backward+Adam,
+reference 01:948-955) at the reference's scale (6000 train rows, layers
+[8,256,256,256,1]) as a single jitted scan, and compares against an
+equivalent torch-CPU implementation of the same step (the reference's
+training style).  Prints ONE JSON line:
+
+    {"metric": "pinn_train_steps_per_sec", "value": ..., "unit": "steps/s",
+     "vs_baseline": ...}
+
+``vs_baseline`` = JAX-on-accelerator steps/s ÷ torch-CPU steps/s (the
+BASELINE.json north star asks ≥50×).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N_TRAIN = 6000
+LAYERS = (8, 256, 256, 256, 1)
+JAX_STEPS = 4001  # one full stage-1 schedule unit (01:2143)
+TORCH_STEPS = 30
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from pinnfc_tpu.models.mlp import init_mlp
+    from pinnfc_tpu.training.stages import train_dnn_stage
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (N_TRAIN, 8)), jnp.float32)
+    y = jnp.asarray(rng.uniform(-1, 1, (N_TRAIN, 1)), jnp.float32)
+    params = init_mlp(jax.random.PRNGKey(0), LAYERS)
+    key = jax.random.PRNGKey(1)
+
+    # warmup/compile
+    res = train_dnn_stage(params, x, y, key, n_iter=2)
+    jax.block_until_ready(res.params)
+
+    t0 = time.perf_counter()
+    res = train_dnn_stage(params, x, y, key, n_iter=JAX_STEPS)
+    jax.block_until_ready(res.params)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(float(res.losses[-1]))
+    return JAX_STEPS / dt
+
+
+def bench_torch_cpu() -> float:
+    """Torch-CPU equivalent of the reference's stage-1 step (01:929-955):
+    same architecture, heteroscedastic NLL, full-batch Adam."""
+    import torch
+
+    torch.manual_seed(0)
+    torch.set_num_threads(max(torch.get_num_threads(), 1))
+
+    hidden = []
+    sizes = LAYERS
+    for i in range(len(sizes) - 2):
+        hidden += [torch.nn.Linear(sizes[i], sizes[i + 1]), torch.nn.Tanh(),
+                   torch.nn.Dropout(0.2)]
+    trunk = torch.nn.Sequential(*hidden)
+    mean_head = torch.nn.Linear(sizes[-2], sizes[-1])
+    var_head = torch.nn.Sequential(
+        torch.nn.Linear(sizes[-2], sizes[-2] // 2), torch.nn.Tanh(),
+        torch.nn.Dropout(0.2),
+        torch.nn.Linear(sizes[-2] // 2, sizes[-2] // 4), torch.nn.Tanh(),
+        torch.nn.Linear(sizes[-2] // 4, 1),
+    )
+    params = (list(trunk.parameters()) + list(mean_head.parameters())
+              + list(var_head.parameters()))
+    opt = torch.optim.Adam(params, lr=0.01)
+
+    rng = np.random.RandomState(0)
+    x = torch.tensor(rng.uniform(-1, 1, (N_TRAIN, 8)), dtype=torch.float32)
+    y = torch.tensor(rng.uniform(-1, 1, (N_TRAIN, 1)), dtype=torch.float32)
+
+    def step():
+        h = trunk(x)
+        pred = mean_head(h)
+        log_var = torch.log(torch.nn.functional.softplus(var_head(h)) + 1e-6)
+        loss = torch.mean(
+            0.5 * torch.exp(-log_var) * (y - pred) ** 2 + 0.5 * log_var
+        ) + 0.01 * torch.mean(torch.abs(log_var))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    for _ in range(3):  # warmup
+        step()
+    t0 = time.perf_counter()
+    for _ in range(TORCH_STEPS):
+        step()
+    dt = time.perf_counter() - t0
+    return TORCH_STEPS / dt
+
+
+def main():
+    torch_sps = bench_torch_cpu()
+    jax_sps = bench_jax()
+    print(
+        json.dumps(
+            {
+                "metric": "pinn_train_steps_per_sec",
+                "value": round(jax_sps, 2),
+                "unit": "steps/s",
+                "vs_baseline": round(jax_sps / torch_sps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,231 @@
+"""Command-line interface for the whole pipeline.
+
+The reference has no CLI beyond script 02's argparse (02:446-453); every
+stage here is a subcommand over the shared ``F01_output.mat`` contract:
+
+    python -m pinnfc_tpu.cli train    --mat-out F01_output.mat [--small]
+    python -m pinnfc_tpu.cli auc      --mat F01_output.mat
+    python -m pinnfc_tpu.cli gmm      --mat F01_output.mat
+    python -m pinnfc_tpu.cli risk     --mat F01_output.mat
+    python -m pinnfc_tpu.cli compare  --mat F01_output.mat
+    python -m pinnfc_tpu.cli run-all  --out-dir /tmp/out [--small]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Optional
+
+from pinnfc_tpu.config import StageConfig, TrainConfig
+
+
+def _small_schedule():
+    """Reduced schedule for quick verification runs (same stage order)."""
+    return (
+        StageConfig("dnn", 300, lr=0.01),
+        StageConfig("lambda_v", 150, lr=1e-3, dnn_para=False),
+        StageConfig("lambda_v", 150, lr=1e-3, dnn_para=True),
+        StageConfig("dnn", 300, lr=0.01),
+        StageConfig("thermal", 500, lr=1.0),
+        StageConfig("hydrogen", 300, lr=0.1, lr_gamma=0.9),
+        StageConfig("oxygen", 300, lr=0.01, lr_gamma=0.9),
+    )
+
+
+def _train_config(args) -> TrainConfig:
+    if args.small:
+        return TrainConfig(
+            schedule=_small_schedule(), mc_times=200, seed=args.seed
+        )
+    return TrainConfig(seed=args.seed)
+
+
+def cmd_train(args) -> int:
+    from pinnfc_tpu.pipeline import run_training_pipeline
+    from pinnfc_tpu.utils import save_checkpoint
+
+    cfg = _train_config(args)
+    n_normal = 1500 if args.small else 6000
+    n_fault = 200 if args.small else 800
+    res = run_training_pipeline(
+        cfg,
+        mat_path=args.mat_out,
+        n_normal=n_normal,
+        n_fault=n_fault,
+        verbose=True,
+    )
+    print(json.dumps({"metrics": res.metrics, "timings": res.timings}, indent=2))
+    if args.ckpt:
+        save_checkpoint(
+            args.ckpt, res.params, res.dataset.scaler_x, res.dataset.scaler_y
+        )
+        print(f"checkpoint → {args.ckpt}")
+    if args.mat_out:
+        print(f"comprehensive_results → {args.mat_out}")
+    return 0
+
+
+def cmd_auc(args) -> int:
+    from pinnfc_tpu.data import load_comprehensive_results
+    from pinnfc_tpu.diagnosis import run_auc_pipeline
+
+    results = load_comprehensive_results(args.mat)
+    out = run_auc_pipeline(results)
+    for g in out.groups:
+        print(f"group {g.group_id} [{g.features}]  AUC={g.auc:.4f}  acc={g.accuracy:.4f}")
+    print(f"unsupervised IsolationForest AUC={out.iso_auc:.4f}")
+    if args.plot_dir:
+        from pinnfc_tpu.viz import plot_roc_curves
+
+        os.makedirs(args.plot_dir, exist_ok=True)
+        print("figure →", plot_roc_curves(out, os.path.join(args.plot_dir, "roc.png")))
+    return 0
+
+
+def cmd_gmm(args) -> int:
+    from pinnfc_tpu.data import load_comprehensive_results
+    from pinnfc_tpu.diagnosis import run_gmm_pipeline
+
+    results = load_comprehensive_results(args.mat)
+    out = run_gmm_pipeline(results)
+    print(f"GMM 4-class accuracy: {out.accuracy:.4f}")
+    print("confusion:\n", out.confusion)
+    if args.plot_dir:
+        from pinnfc_tpu.viz import plot_confusion_matrix, plot_fault_probabilities
+
+        os.makedirs(args.plot_dir, exist_ok=True)
+        plot_confusion_matrix(
+            out.confusion, out.class_names,
+            os.path.join(args.plot_dir, "gmm_confusion.png"), title="GMM",
+        )
+        for k in range(len(out.class_names)):
+            plot_fault_probabilities(
+                out, k, os.path.join(args.plot_dir, f"gmm_probs_fault{k}.png")
+            )
+        print("figures →", args.plot_dir)
+    return 0
+
+
+def cmd_risk(args) -> int:
+    from pinnfc_tpu.config import RiskConfig
+    from pinnfc_tpu.data import load_comprehensive_results
+    from pinnfc_tpu.risk import run_risk_pipeline
+
+    results = load_comprehensive_results(args.mat)
+    advances = run_risk_pipeline(results)
+    print(f"{'current':>8} {'fault':>8} {'V alarm':>8} {'RF alarm':>9} {'advance':>8}")
+    for a in advances:
+        print(
+            f"{a.current_target:8.0f} {a.fault_name:>8} "
+            f"{str(a.idx_v_alarm):>8} {str(a.idx_rf_alarm):>9} {str(a.advance):>8}"
+        )
+    if args.plot_dir:
+        from pinnfc_tpu.viz import plot_rf_condition
+
+        cfg = RiskConfig()
+        os.makedirs(args.plot_dir, exist_ok=True)
+        for a in advances:
+            plot_rf_condition(
+                a, cfg.warn_threshold, cfg.danger_threshold,
+                os.path.join(
+                    args.plot_dir, f"rf_{a.current_target:.0f}A_{a.fault_name}.png"
+                ),
+            )
+        print("figures →", args.plot_dir)
+    return 0
+
+
+def cmd_compare(args) -> int:
+    from pinnfc_tpu.data import load_comprehensive_results
+    from pinnfc_tpu.diagnosis import run_compare_pipeline
+
+    results = load_comprehensive_results(args.mat)
+    methods = args.methods.split(",") if args.methods else None
+    out = run_compare_pipeline(results, methods=methods)
+    for m in out.methods:
+        print(f"{m.name:>15}: " + "  ".join(f"{k}={v:.4f}" for k, v in m.metrics.items()))
+    if args.plot_dir:
+        from pinnfc_tpu.viz import plot_confusion_matrix, plot_metrics_bars
+
+        os.makedirs(args.plot_dir, exist_ok=True)
+        for m in out.methods:
+            plot_confusion_matrix(
+                m.confusion, out.class_names,
+                os.path.join(args.plot_dir, f"confusion_{m.name}.png"), title=m.name,
+            )
+        plot_metrics_bars(
+            out.summary_table(), os.path.join(args.plot_dir, "method_metrics.png")
+        )
+        print("figures →", args.plot_dir)
+    return 0
+
+
+def cmd_run_all(args) -> int:
+    os.makedirs(args.out_dir, exist_ok=True)
+    mat_path = os.path.join(args.out_dir, "F01_output.mat")
+
+    ns = argparse.Namespace(
+        small=args.small, seed=args.seed, mat_out=mat_path,
+        ckpt=os.path.join(args.out_dir, "pinn_ckpt"),
+    )
+    cmd_train(ns)
+
+    plot_dir = os.path.join(args.out_dir, "figures")
+    for fn in (cmd_auc, cmd_gmm, cmd_risk, cmd_compare):
+        fn(argparse.Namespace(mat=mat_path, plot_dir=plot_dir, methods=None))
+    print(f"run-all complete → {args.out_dir}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv: Optional[list] = None) -> int:
+    p = argparse.ArgumentParser(prog="pinnfc_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="staged PINN training + MC export (stage 01)")
+    t.add_argument("--mat-out", default="F01_output.mat")
+    t.add_argument("--ckpt", default=None)
+    t.add_argument("--small", action="store_true", help="reduced schedule/data")
+    t.add_argument("--seed", type=int, default=42)
+    t.set_defaults(fn=cmd_train)
+
+    for name, fn, extra in (
+        ("auc", cmd_auc, {}),
+        ("gmm", cmd_gmm, {}),
+        ("risk", cmd_risk, {}),
+        ("compare", cmd_compare, {"methods": True}),
+    ):
+        s = sub.add_parser(name, help=f"stage {name} over F01_output.mat")
+        s.add_argument("--mat", default="F01_output.mat")
+        s.add_argument("--plot-dir", default=None)
+        if extra.get("methods"):
+            s.add_argument(
+                "--methods", default=None,
+                help="comma list: gmm,logreg,svm,kmeans,agglomerative,spectral",
+            )
+        s.set_defaults(fn=fn)
+
+    r = sub.add_parser("run-all", help="full pipeline 01→02/03/04/05")
+    r.add_argument("--out-dir", required=True)
+    r.add_argument("--small", action="store_true")
+    r.add_argument("--seed", type=int, default=42)
+    r.set_defaults(fn=cmd_run_all)
+
+    b = sub.add_parser("bench", help="headline benchmark (one JSON line)")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -39,27 +39,35 @@ class AffineScaler:
     @classmethod
     def fit(cls, data, feature_range=(-1.0, 1.0)) -> "AffineScaler":
         """Fit on ``data`` (N, D).  Mirrors sklearn MinMaxScaler.fit, including
-        the zero-range guard (sklearn's ``_handle_zeros_in_scale``)."""
-        data = jnp.asarray(data, dtype=jnp.float32)
+        the zero-range guard (sklearn's ``_handle_zeros_in_scale``).
+
+        The statistics are computed in numpy (cheap, one-off, avoids device
+        dispatch in the data layer) and stored as jnp constants so they fuse
+        into jitted compute downstream."""
+        data = np.asarray(data, dtype=np.float32)
         lo, hi = feature_range
-        data_min = jnp.min(data, axis=0)
-        data_max = jnp.max(data, axis=0)
+        data_min = np.min(data, axis=0)
+        data_max = np.max(data, axis=0)
         rng = data_max - data_min
-        safe_rng = jnp.where(rng == 0.0, 1.0, rng)
+        safe_rng = np.where(rng == 0.0, 1.0, rng)
         scale = (hi - lo) / safe_rng
         min_ = lo - data_min * scale
         return cls(
-            scale=scale,
-            min=min_,
-            data_min=data_min,
-            data_max=data_max,
+            scale=jnp.asarray(scale),
+            min=jnp.asarray(min_),
+            data_min=jnp.asarray(data_min),
+            data_max=jnp.asarray(data_max),
             feature_range=(float(lo), float(hi)),
         )
 
     def transform(self, x):
+        if isinstance(x, np.ndarray):  # numpy in → numpy out, no device round trip
+            return x * np.asarray(self.scale) + np.asarray(self.min)
         return jnp.asarray(x) * self.scale + self.min
 
     def inverse(self, x_norm):
+        if isinstance(x_norm, np.ndarray):
+            return (x_norm - np.asarray(self.min)) / np.asarray(self.scale)
         return (jnp.asarray(x_norm) - self.min) / self.scale
 
     # --- affine constants used by the lambda_v stage loss (01:1016-1032) ---

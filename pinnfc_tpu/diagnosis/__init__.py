@@ -1,0 +1,79 @@
+from pinnfc_tpu.diagnosis.features import (
+    build_label_mapper,
+    extract_X_y,
+    list_available_features,
+    normalize_feature_spec,
+    parse_features,
+    parse_group_spec,
+)
+from pinnfc_tpu.diagnosis.metrics import (
+    accuracy_score,
+    auc,
+    classification_report_dict,
+    compute_macro_metrics,
+    confusion_matrix,
+    precision_recall_f1,
+    roc_auc_score,
+    roc_curve,
+)
+from pinnfc_tpu.diagnosis.posterior import (
+    calibrate_components,
+    hard_responsibilities,
+    posterior_probabilities,
+)
+from pinnfc_tpu.diagnosis.gmm import GMMParams, gmm_fit, gmm_predict_proba, gmm_score_samples
+from pinnfc_tpu.diagnosis.kmeans import KMeansResult, kmeans_fit, kmeans_predict
+from pinnfc_tpu.diagnosis.logreg import (
+    LogRegModel,
+    explain_coefficients,
+    logreg_fit,
+    logreg_predict,
+    logreg_predict_proba,
+)
+from pinnfc_tpu.diagnosis.svm import SVMModel, svm_fit, svm_predict
+from pinnfc_tpu.diagnosis.auc import AucPipelineResult, GroupAucResult, run_auc_pipeline
+from pinnfc_tpu.diagnosis.gmm_pipeline import GmmDiagnosisResult, run_gmm_pipeline
+from pinnfc_tpu.diagnosis.compare import CompareResult, MethodResult, run_compare_pipeline
+
+__all__ = [
+    "build_label_mapper",
+    "extract_X_y",
+    "list_available_features",
+    "normalize_feature_spec",
+    "parse_features",
+    "parse_group_spec",
+    "accuracy_score",
+    "auc",
+    "classification_report_dict",
+    "compute_macro_metrics",
+    "confusion_matrix",
+    "precision_recall_f1",
+    "roc_auc_score",
+    "roc_curve",
+    "calibrate_components",
+    "hard_responsibilities",
+    "posterior_probabilities",
+    "GMMParams",
+    "gmm_fit",
+    "gmm_predict_proba",
+    "gmm_score_samples",
+    "KMeansResult",
+    "kmeans_fit",
+    "kmeans_predict",
+    "LogRegModel",
+    "explain_coefficients",
+    "logreg_fit",
+    "logreg_predict",
+    "logreg_predict_proba",
+    "SVMModel",
+    "svm_fit",
+    "svm_predict",
+    "AucPipelineResult",
+    "GroupAucResult",
+    "run_auc_pipeline",
+    "GmmDiagnosisResult",
+    "run_gmm_pipeline",
+    "CompareResult",
+    "MethodResult",
+    "run_compare_pipeline",
+]

@@ -1,0 +1,128 @@
+"""Gaussian-mixture EM on device (TPU-native GaussianMixture).
+
+The reference fits ``sklearn.GaussianMixture(n_components=20,
+covariance_type='full')`` on the four physics residuals (03:384-389).  Here
+EM runs entirely in jnp under ``jit``: Cholesky-based log-densities, one
+``lax.scan`` over EM iterations with sklearn's convergence rule (change in
+mean per-sample log-likelihood < tol) implemented as an update-freeze, and
+k-means initialization (sklearn's default ``init_params='kmeans'``).
+
+Shapes: X (N, D), means (C, D), covariances (C, D, D).  The E-step is a
+batched matmul/triangular-solve — MXU work; no Python loops anywhere.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from pinnfc_tpu.diagnosis.kmeans import kmeans_fit
+
+
+class GMMParams(NamedTuple):
+    weights: jnp.ndarray  # (C,)
+    means: jnp.ndarray  # (C, D)
+    covariances: jnp.ndarray  # (C, D, D)
+    converged: jnp.ndarray  # () bool
+    n_iter: jnp.ndarray  # () int
+    lower_bound: jnp.ndarray  # () mean per-sample log-likelihood
+
+
+def _log_gaussian_prob(x: jnp.ndarray, means: jnp.ndarray, covs: jnp.ndarray, reg: float):
+    """log N(x | μ_c, Σ_c) for all samples × components via Cholesky."""
+    d = x.shape[1]
+    covs = covs + reg * jnp.eye(d)[None, :, :]
+    chol = jnp.linalg.cholesky(covs)  # (C, D, D)
+    diff = x[None, :, :] - means[:, None, :]  # (C, N, D)
+    # solve L z = diffᵀ  → z = L⁻¹ diffᵀ, per component
+    z = jax.lax.linalg.triangular_solve(
+        chol, jnp.swapaxes(diff, 1, 2), left_side=True, lower=True
+    )  # (C, D, N)
+    maha = jnp.sum(z**2, axis=1)  # (C, N)
+    log_det = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=1, axis2=2)), axis=1)  # (C,)
+    return (-0.5 * (d * jnp.log(2.0 * jnp.pi) + maha + log_det[:, None])).T  # (N, C)
+
+
+def _e_step(x, params, reg):
+    weights, means, covs = params
+    log_prob = _log_gaussian_prob(x, means, covs, reg) + jnp.log(weights)[None, :]
+    log_norm = jax.scipy.special.logsumexp(log_prob, axis=1, keepdims=True)
+    log_resp = log_prob - log_norm
+    return jnp.mean(log_norm), log_resp
+
+
+def _m_step(x, log_resp, reg):
+    n = x.shape[0]
+    resp = jnp.exp(log_resp)  # (N, C)
+    nk = jnp.sum(resp, axis=0) + 10.0 * jnp.finfo(resp.dtype).eps  # (C,)
+    means = (resp.T @ x) / nk[:, None]  # (C, D)
+    diff = x[None, :, :] - means[:, None, :]  # (C, N, D)
+    wdiff = diff * resp.T[:, :, None]
+    covs = jnp.einsum("cnd,cne->cde", wdiff, diff) / nk[:, None, None]
+    covs = covs + reg * jnp.eye(x.shape[1])[None, :, :]
+    return nk / n, means, covs
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_components", "max_iter", "tol", "reg_covar", "kmeans_iters"),
+)
+def gmm_fit(
+    x: jnp.ndarray,
+    key: jax.Array,
+    n_components: int,
+    max_iter: int = 100,
+    tol: float = 1e-3,
+    reg_covar: float = 1e-6,
+    kmeans_iters: int = 50,
+) -> GMMParams:
+    """Fit by EM.  Matches sklearn's loop structure: converged when the mean
+    per-sample log-likelihood improves by < tol between iterations; after
+    convergence further updates freeze (numerically identical to early exit)."""
+    x = jnp.asarray(x, jnp.float32)
+    n, d = x.shape
+
+    # kmeans init → one-hot responsibilities → initial M-step (sklearn default)
+    km = kmeans_fit(x, key, n_components, max_iter=kmeans_iters)
+    resp0 = jax.nn.one_hot(km.assignments, n_components, dtype=x.dtype)
+    params0 = _m_step(x, jnp.log(resp0 + 1e-37), reg_covar)
+
+    def em_iter(carry, _):
+        params, prev_lb, converged, n_iter = carry
+        lb, log_resp = _e_step(x, params, reg_covar)
+        new_params = _m_step(x, log_resp, reg_covar)
+        just_converged = jnp.abs(lb - prev_lb) < tol
+        keep = converged  # freeze once converged
+        params = jax.tree_util.tree_map(
+            lambda old, new: jnp.where(keep, old, new), params, new_params
+        )
+        lb_out = jnp.where(keep, prev_lb, lb)
+        n_iter = jnp.where(keep, n_iter, n_iter + 1)
+        return (params, lb_out, converged | just_converged, n_iter), None
+
+    init = (params0, jnp.asarray(-jnp.inf, x.dtype), jnp.asarray(False), jnp.asarray(0))
+    (params, lb, converged, n_iter), _ = jax.lax.scan(
+        em_iter, init, None, length=max_iter
+    )
+    weights, means, covs = params
+    return GMMParams(weights, means, covs, converged, n_iter, lb)
+
+
+@partial(jax.jit, static_argnames=("reg_covar",))
+def gmm_predict_proba(
+    model: GMMParams, x: jnp.ndarray, reg_covar: float = 1e-6
+) -> jnp.ndarray:
+    """Responsibilities P(component | x) (sklearn predict_proba)."""
+    x = jnp.asarray(x, jnp.float32)
+    _, log_resp = _e_step(x, (model.weights, model.means, model.covariances), reg_covar)
+    return jnp.exp(log_resp)
+
+
+def gmm_score_samples(model: GMMParams, x: jnp.ndarray, reg_covar: float = 1e-6):
+    """Per-sample log-likelihood under the mixture."""
+    x = jnp.asarray(x, jnp.float32)
+    log_prob = _log_gaussian_prob(x, model.means, model.covariances, reg_covar)
+    return jax.scipy.special.logsumexp(log_prob + jnp.log(model.weights)[None, :], axis=1)

@@ -1,0 +1,39 @@
+from pinnfc_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    pad_to_multiple,
+    replicate,
+    replicated,
+    shard_batch,
+)
+from pinnfc_tpu.parallel.data_parallel import (
+    DPTrainState,
+    full_train_step,
+    init_dp_state,
+    make_dp_optimizers,
+    make_jitted_dp_step,
+)
+from pinnfc_tpu.parallel.ensemble import (
+    ensemble_predict,
+    init_ensemble,
+    mc_dropout_sharded,
+    train_dnn_ensemble,
+)
+
+__all__ = [
+    "batch_sharding",
+    "make_mesh",
+    "pad_to_multiple",
+    "replicate",
+    "replicated",
+    "shard_batch",
+    "DPTrainState",
+    "full_train_step",
+    "init_dp_state",
+    "make_dp_optimizers",
+    "make_jitted_dp_step",
+    "ensemble_predict",
+    "init_ensemble",
+    "mc_dropout_sharded",
+    "train_dnn_ensemble",
+]

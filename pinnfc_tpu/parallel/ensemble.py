@@ -1,0 +1,108 @@
+"""Many-seed PINN ensembles and sharded MC-dropout sweeps.
+
+TPU-native additions (SURVEY §2.6): the reference trains one seed and loops
+MC samples serially (01:1443-1464).  Here:
+
+- ``init_ensemble`` / ``train_dnn_ensemble`` — E independent models live as
+  one stacked pytree (leading ensemble axis) and train simultaneously via
+  ``vmap`` over the whole stage scan; sharding the ensemble axis over the
+  mesh gives embarrassingly-parallel multi-chip scaling with zero
+  communication.
+- ``mc_dropout_sharded`` — MC-dropout where the *data* axis is sharded over
+  the mesh: each chip runs all samples for its rows; the per-row statistics
+  need no cross-chip reduction at all.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pinnfc_tpu.models.mlp import init_mlp
+from pinnfc_tpu.models.pinn import init_pinn
+from pinnfc_tpu.training.stages import train_dnn_stage
+from pinnfc_tpu.uq.mc_dropout import MCSamples, mc_dropout_samples
+from pinnfc_tpu.parallel.mesh import batch_sharding
+
+
+def init_ensemble(key: jax.Array, n_models: int, layers=(8, 256, 256, 256, 1)):
+    """Stacked PINN params with a leading ensemble axis on every leaf."""
+    keys = jax.random.split(key, n_models)
+    return jax.vmap(lambda k: init_pinn(k, layers))(keys)
+
+
+def train_dnn_ensemble(
+    ensemble_params,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    rng: jax.Array,
+    n_iter: int,
+    mesh=None,
+    lr: float = 0.01,
+    dropout_p: float = 0.2,
+):
+    """Train every ensemble member's MLP simultaneously.
+
+    With a mesh, the ensemble axis is sharded over 'data' (one chip per
+    member group) — pure SPMD, no collectives."""
+    n_models = jax.tree_util.tree_leaves(ensemble_params["mlp"])[0].shape[0]
+    keys = jax.random.split(rng, n_models)
+
+    def train_one(mlp_params, key):
+        res = train_dnn_stage(
+            mlp_params, x, y, key, n_iter=n_iter, lr=lr, dropout_p=dropout_p
+        )
+        return res.params, res.losses
+
+    if mesh is not None:
+        model_sh = NamedSharding(mesh, P("data"))
+        ensemble_params = {
+            **ensemble_params,
+            "mlp": jax.tree_util.tree_map(
+                lambda a: jax.device_put(
+                    a, NamedSharding(mesh, P(*(("data",) + (None,) * (a.ndim - 1))))
+                ),
+                ensemble_params["mlp"],
+            ),
+        }
+        keys = jax.device_put(keys, model_sh)
+
+    mlps, losses = jax.vmap(train_one)(ensemble_params["mlp"], keys)
+    return {**ensemble_params, "mlp": mlps}, losses
+
+
+def ensemble_predict(ensemble_params, x: jnp.ndarray):
+    """(E, N, 1) stacked eval-mode predictions."""
+    from pinnfc_tpu.models.mlp import mlp_forward
+
+    def one(mlp):
+        return mlp_forward(mlp, x, train=False)[0]
+
+    return jax.vmap(one)(ensemble_params["mlp"])
+
+
+def mc_dropout_sharded(
+    mlp_params,
+    x: jnp.ndarray,
+    rng: jax.Array,
+    mesh,
+    mc_times: int = 2000,
+    dropout: float = 0.4,
+    chunk: int = 100,
+) -> MCSamples:
+    """MC-dropout with rows sharded over the mesh 'data' axis.
+
+    Each device computes full MC statistics for its row shard — the
+    per-row outputs (mean/ale/epi) keep the same sharding, so the only
+    communication is the final host gather."""
+    x = jax.device_put(x, batch_sharding(mesh))
+    params = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P())), mlp_params
+    )
+    return mc_dropout_samples(
+        params, x, rng, mc_times=mc_times, dropout=dropout, chunk=chunk
+    )

@@ -1,0 +1,13 @@
+from pinnfc_tpu.pipeline.export import build_comprehensive_results
+from pinnfc_tpu.pipeline.train_pipeline import (
+    PipelineResult,
+    evaluate_voltage_metrics,
+    run_training_pipeline,
+)
+
+__all__ = [
+    "build_comprehensive_results",
+    "PipelineResult",
+    "evaluate_voltage_metrics",
+    "run_training_pipeline",
+]

@@ -1,0 +1,131 @@
+"""End-to-end stage-01 pipeline: data → staged training → UQ → export.
+
+The TPU-native equivalent of the reference's ``__main__`` (01:2055-2228):
+load (or synthesize) the dataset, run the staged schedule, MC-dropout, build
+``comprehensive_results``, optionally checkpoint parameters and save the
+``.mat`` artifact that feeds pipeline stages 02-05.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pinnfc_tpu.config import TrainConfig
+from pinnfc_tpu.data.combine import FuelCellDataset, combine_and_normalize
+from pinnfc_tpu.data.contract import ComprehensiveResults, save_comprehensive_results
+from pinnfc_tpu.data.synthetic import synthesize_stack_data
+from pinnfc_tpu.models.mlp import mlp_forward
+from pinnfc_tpu.models.pinn import PinnParams, init_pinn
+from pinnfc_tpu.physics.residuals import all_residuals
+from pinnfc_tpu.pipeline.export import build_comprehensive_results
+from pinnfc_tpu.training.stages import TrainLog, run_schedule
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    params: PinnParams
+    dataset: FuelCellDataset
+    results: ComprehensiveResults
+    log: TrainLog
+    metrics: Dict[str, float]
+    timings: Dict[str, float]
+
+
+def evaluate_voltage_metrics(
+    params: PinnParams, dataset: FuelCellDataset
+) -> Dict[str, float]:
+    """MAE / RMSE / R² / max-abs-err of the de-normalized voltage prediction
+    plus physics-residual MAEs (reference metric block, 01:1765-1818)."""
+    pred_norm, _ = mlp_forward(params["mlp"], dataset.x_test, train=False)
+    y_real = np.asarray(dataset.scaler_y.inverse(dataset.y_test))[:, 0]
+    p_real = np.asarray(dataset.scaler_y.inverse(pred_norm))[:, 0]
+    err = y_real - p_real
+    ss_res = float(np.sum(err**2))
+    ss_tot = float(np.sum((y_real - y_real.mean()) ** 2))
+
+    bundle = all_residuals(
+        params, dataset.x_test, pred_norm, dataset.scaler_x, dataset.scaler_y
+    )
+    return {
+        "voltage_mae": float(np.mean(np.abs(err))),
+        "voltage_rmse": float(np.sqrt(np.mean(err**2))),
+        "voltage_r2": 1.0 - ss_res / ss_tot if ss_tot > 0 else float("nan"),
+        "voltage_max_abs_err": float(np.max(np.abs(err))),
+        "physics_v_mae": float(jnp.mean(jnp.abs(bundle.f_v))),
+        "temp_mae": float(jnp.mean(jnp.abs(bundle.f_t))),
+        "hydrogen_mae": float(jnp.mean(jnp.abs(bundle.f_h))),
+        "oxygen_mae": float(jnp.mean(jnp.abs(bundle.f_o))),
+    }
+
+
+def run_training_pipeline(
+    config: TrainConfig = TrainConfig(),
+    dataset: Optional[FuelCellDataset] = None,
+    mat_path: Optional[str] = None,
+    n_normal: int = 6000,
+    n_fault: int = 800,
+    verbose: bool = False,
+) -> PipelineResult:
+    """Execute the full stage-01 pipeline."""
+    timings: Dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    if dataset is None:
+        normal, faults = synthesize_stack_data(
+            n_normal=n_normal, n_fault=n_fault, seed=config.seed
+        )
+        dataset = combine_and_normalize(
+            normal, faults, training_rate=config.training_rate, seed=config.seed
+        )
+    timings["data_s"] = time.perf_counter() - t0
+
+    rng = jax.random.PRNGKey(config.seed)
+    rng, init_key, train_key, mc_key = jax.random.split(rng, 4)
+    params = init_pinn(init_key, config.model.layers)
+
+    t0 = time.perf_counter()
+    params, log = run_schedule(
+        params,
+        dataset.x_train,
+        dataset.y_train,
+        dataset.scaler_x,
+        dataset.scaler_y,
+        schedule=config.schedule,
+        rng=train_key,
+        dropout_p=config.model.dropout_p,
+        verbose=verbose,
+    )
+    jax.block_until_ready(params)
+    timings["train_s"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    results = build_comprehensive_results(
+        params,
+        dataset,
+        rng=mc_key,
+        mc_times=config.mc_times,
+        dropout=config.mc_dropout,
+        smooth_window=config.smooth_window,
+    )
+    timings["export_s"] = time.perf_counter() - t0
+
+    metrics = evaluate_voltage_metrics(params, dataset)
+    metrics.update({f"final_loss/{k}": v for k, v in log.final_losses().items()})
+
+    if mat_path is not None:
+        save_comprehensive_results(results, mat_path)
+
+    return PipelineResult(
+        params=params,
+        dataset=dataset,
+        results=results,
+        log=log,
+        metrics=metrics,
+        timings=timings,
+    )

@@ -1,0 +1,222 @@
+"""RF(t) risk function & early-warning index (reference script 04).
+
+Pipeline (04:201-285):  z-score the 5 residual channels against
+normal-operation statistics → |z| → truncate below the safe band →
+per-layer weighted p-norms → weighted layer sum S_tot → leaky integral
+``C[t] = λ·C[t-1] + S_tot[t]`` (with C[0] = 0, loop starts at t=1) →
+rescaled logistic map → EMA smoothing.  The two sequential recurrences run
+as associative scans (pinnfc_tpu.ops.recurrences); everything else is
+vectorized jnp, so a whole (current, fault) condition evaluates in one
+device pass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pinnfc_tpu.config import DEFAULT_RF_CONDITIONS, FAULT_RANGE_MAP, RiskConfig
+from pinnfc_tpu.data.contract import INDEX, ComprehensiveResults
+from pinnfc_tpu.ops.recurrences import ema, leaky_integral
+
+
+def estimate_mu_sigma_normal(
+    results: np.ndarray,
+    res_keys: Sequence[str] = RiskConfig.res_keys,
+    normal_labels: Sequence[int] = (0,),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """μ/σ (ddof=1, zero→1e-6 floor) of the residual channels over
+    normal-labelled rows (04:181-197)."""
+    results = np.asarray(results)
+    labels = results[:, INDEX["label"]].astype(int)
+    mask = np.isin(labels, list(normal_labels))
+    if not mask.any():
+        raise ValueError(f"no rows with normal labels {tuple(normal_labels)}")
+    r = np.stack([results[mask, INDEX[k]].astype(float) for k in res_keys], axis=1)
+    mu = np.nanmean(r, axis=0)
+    sigma = np.nanstd(r, axis=0, ddof=1)
+    sigma[sigma == 0] = 1e-6
+    return mu, sigma
+
+
+def compute_rf_time_series(
+    residuals: jnp.ndarray,
+    mu: jnp.ndarray,
+    sigma: jnp.ndarray,
+    config: RiskConfig = RiskConfig(),
+) -> Dict[str, jnp.ndarray]:
+    """RF over a residual matrix (N, D) with channel order = config.res_keys.
+
+    Returns {'rf_inst', 'rf_smooth', 'c', 's_tot', 's_layers'} (04:281-285).
+    """
+    r = jnp.asarray(residuals, jnp.float32)
+    mu = jnp.asarray(mu, jnp.float32)
+    sigma = jnp.asarray(sigma, jnp.float32)
+    n, d_ = r.shape
+
+    w_feat = jnp.asarray(config.feature_weights, jnp.float32)
+    key_to_idx = {k: i for i, k in enumerate(config.res_keys)}
+    layer_w = dict(config.layer_weights)
+
+    # 1-2) |z|-score, safe-band truncation (04:234-238)
+    a = jnp.abs((r - mu[None, :]) / sigma[None, :])
+    a_trunc = jnp.maximum(0.0, a - config.z_safe)
+
+    # 3-4) per-layer weighted p-norm, weighted layer sum (04:244-259)
+    s_layers: Dict[str, jnp.ndarray] = {}
+    s_tot = jnp.zeros((n,), jnp.float32)
+    for layer_name, keys in config.layer_config:
+        idxs = [key_to_idx[k] for k in keys if k in key_to_idx]
+        if not idxs:
+            s_layers[layer_name] = jnp.zeros((n,), jnp.float32)
+            continue
+        a_l = a_trunc[:, jnp.asarray(idxs)]
+        w_l = w_feat[jnp.asarray(idxs)][None, :]
+        s_l = jnp.power(
+            jnp.sum(w_l * jnp.power(a_l, config.p_layer), axis=1), 1.0 / config.p_layer
+        )
+        s_layers[layer_name] = s_l
+        s_tot = s_tot + layer_w.get(layer_name, 1.0) * s_l
+
+    # 5) leaky integral with C[0] = 0 (loop starts at t=1, 04:262-264)
+    s_shift = s_tot.at[0].set(0.0)
+    c = leaky_integral(s_shift, config.lambda_decay)
+
+    # 6) rescaled logistic map (04:267-273)
+    c_clip = jnp.clip(c, 0.0, config.c_max)
+    k, c0 = config.k_logistic, config.c0_logistic
+    l_0 = 1.0 / (1.0 + math.exp(-k * (0.0 - c0)))
+    l_max = 1.0 / (1.0 + math.exp(-k * (config.c_max - c0)))
+    denom = (l_max - l_0) if (l_max - l_0) != 0 else 1e-6
+    rf_inst = (1.0 / (1.0 + jnp.exp(-k * (c_clip - c0))) - l_0) / denom
+    rf_inst = jnp.clip(rf_inst, 0.0, 1.0)
+
+    # 7) EMA smoothing seeded with rf_inst[0] (04:276-279)
+    rf_smooth = ema(rf_inst, config.alpha_smooth)
+
+    return {
+        "rf_inst": rf_inst,
+        "rf_smooth": rf_smooth,
+        "c": c,
+        "s_tot": s_tot,
+        "s_layers": s_layers,
+    }
+
+
+def find_first_alarm_index(
+    series: np.ndarray, threshold: float, mode: str = "above"
+) -> Optional[int]:
+    """First index where series ≥ (or ≤) threshold, else None (04:289-300)."""
+    series = np.asarray(series)
+    if mode == "above":
+        idxs = np.where(series >= threshold)[0]
+    elif mode == "below":
+        idxs = np.where(series <= threshold)[0]
+    else:
+        raise ValueError("mode must be 'above' or 'below'")
+    return int(idxs[0]) if len(idxs) else None
+
+
+@dataclasses.dataclass
+class ConditionAdvance:
+    """Per-(current, fault) early-warning summary (04:395-408)."""
+
+    fault_name: str
+    current_target: float
+    n_samples: int
+    v_threshold: float
+    idx_v_alarm: Optional[int]
+    idx_rf_alarm: Optional[int]
+    advance: Optional[int]  # idx_v - idx_rf; positive → RF warned earlier
+    rf_inst: np.ndarray
+    rf_smooth: np.ndarray
+    voltage: np.ndarray
+    row_indices: np.ndarray
+
+
+def compute_rf_advance_for_condition(
+    results,
+    mu: np.ndarray,
+    sigma: np.ndarray,
+    fault_name: str,
+    current_target: float,
+    config: RiskConfig = RiskConfig(),
+    index_range: Optional[Tuple[int, Optional[int]]] = None,
+) -> Optional[ConditionAdvance]:
+    """Mask rows by fault class ∧ |I − target| ≤ tol, evaluate RF on the
+    sub-sequence, compare against the dynamic voltage threshold
+    V(0) − voltage_drop (04:304-408)."""
+    arr = results.array if isinstance(results, ComprehensiveResults) else np.asarray(results)
+    labels = arr[:, INDEX["label"]].astype(int)
+    current = arr[:, INDEX["x0"]].astype(float)
+    voltage = arr[:, INDEX["y_true"]].astype(float)
+
+    if fault_name not in FAULT_RANGE_MAP:
+        raise ValueError(f"unknown fault '{fault_name}'")
+    fault_range = FAULT_RANGE_MAP[fault_name]
+    mask = np.isin(labels, list(fault_range)) & (
+        np.abs(current - current_target) <= config.current_tol
+    )
+    if not mask.any():
+        return None
+
+    idx_all = np.sort(np.where(mask)[0])
+    total = len(idx_all)
+    if index_range is not None:
+        start, end = index_range
+        start = max(start, 0)
+        end = total if end is None or end > total else end
+        if start >= end:
+            return None
+        idx_all = idx_all[start:end]
+
+    sub = arr[idx_all]
+    v_sub = voltage[idx_all]
+    res_matrix = np.stack(
+        [sub[:, INDEX[k]].astype(float) for k in config.res_keys], axis=1
+    )
+    rf = compute_rf_time_series(res_matrix, mu, sigma, config)
+    rf_smooth = np.asarray(rf["rf_smooth"])
+
+    v_threshold = float(v_sub[0]) - config.voltage_drop
+    idx_v = find_first_alarm_index(v_sub, v_threshold, mode="below")
+    idx_rf = find_first_alarm_index(rf_smooth, config.warn_threshold, mode="above")
+    advance = idx_v - idx_rf if (idx_v is not None and idx_rf is not None) else None
+
+    return ConditionAdvance(
+        fault_name=fault_name,
+        current_target=current_target,
+        n_samples=len(idx_all),
+        v_threshold=v_threshold,
+        idx_v_alarm=idx_v,
+        idx_rf_alarm=idx_rf,
+        advance=advance,
+        rf_inst=np.asarray(rf["rf_inst"]),
+        rf_smooth=rf_smooth,
+        voltage=v_sub,
+        row_indices=idx_all,
+    )
+
+
+def run_risk_pipeline(
+    results,
+    config: RiskConfig = RiskConfig(),
+    conditions=DEFAULT_RF_CONDITIONS,
+) -> List[ConditionAdvance]:
+    """Script-04 main: normal stats → all conditions → advance table
+    (04:479-528)."""
+    arr = results.array if isinstance(results, ComprehensiveResults) else np.asarray(results)
+    mu, sigma = estimate_mu_sigma_normal(arr, config.res_keys, config.normal_labels)
+    out: List[ConditionAdvance] = []
+    for current_target, fault_name, index_range in conditions:
+        adv = compute_rf_advance_for_condition(
+            arr, mu, sigma, fault_name, current_target, config, index_range
+        )
+        if adv is not None:
+            out.append(adv)
+    return out

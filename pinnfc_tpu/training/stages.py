@@ -1,0 +1,271 @@
+"""Staged freeze/unfreeze PINN training as jitted scan loops.
+
+The reference trains in five stages driven from ``__main__`` (01:2143-2153):
+
+    train_dnn(4001) → train_lambda(4001, False) → train_lambda(4001, True)
+    → train_dnn(8001) → train_thermal(10001) → train_hydrogen(8001)
+    → train_oxygen(8001)
+
+Each reference stage is a full-batch Python loop: forward → backward → Adam →
+clamp → StepLR (01:929-1399) — 42,007 separate graph launches.  Here every
+stage is ONE ``jax.lax.scan`` under ``jit``: the entire stage compiles to a
+single device program, the data never leaves HBM, and the Adam/clamp/LR-decay
+math fuses into the step.
+
+Gradient-flow identities exploited (verified against the reference):
+
+- In ``train_lambda`` the data loss MSE(u, u_pred) has zero gradient w.r.t.
+  λ (the optimizer only holds λ1-4, 01:999-1001), and the DNN runs in eval
+  mode with frozen weights, so ``u_pred`` is a stage constant — it is
+  precomputed once instead of re-evaluated 4001 times (01:1009).  The λ
+  update trajectory is numerically identical.
+- ``train_thermal/hydrogen/oxygen`` losses never touch the DNN (01:1109,
+  01:1357, 01:1207), so those stages optimize only their (k,) λ vector.
+- The DNN stages never touch λ (01:934-937), so they optimize only the MLP
+  pytree, with dropout active (``dnn.train()``, 01:946) — one fresh PRNG
+  key per step.
+
+Optimizer parity: torch ``Adam(lr, betas=(0.9,0.999), eps=1e-8)`` with
+``StepLR(1000, γ)`` stepped after each update equals
+``optax.adam`` + ``optax.exponential_decay(staircase=True)``.  The post-step
+hard clamps (01:1040-1047 etc.) are box projections applied inside the scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pinnfc_tpu.config import StageConfig, TrainConfig, default_schedule
+from pinnfc_tpu.data.scaling import AffineScaler
+from pinnfc_tpu.models.mlp import aleatoric_loss, mlp_forward
+from pinnfc_tpu.models.pinn import LAMBDA_BOUNDS, PinnParams, init_pinn
+from pinnfc_tpu.physics.hydrogen import hydrogen_residual
+from pinnfc_tpu.physics.oxygen import oxygen_residual
+from pinnfc_tpu.physics.thermal import thermal_residual_simple
+from pinnfc_tpu.physics.voltage import voltage_residual
+
+
+class StageResult(NamedTuple):
+    params: PinnParams
+    losses: jnp.ndarray  # per-step loss trace (n_iter,)
+
+
+def _adam(lr: float, step_size: int, gamma: float) -> optax.GradientTransformation:
+    schedule = optax.exponential_decay(
+        init_value=lr,
+        transition_steps=step_size,
+        decay_rate=gamma,
+        staircase=True,
+    )
+    return optax.adam(schedule)
+
+
+# ---------------------------------------------------------------------------
+# DNN stage (reference train_dnn, 01:929-964)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_iter", "lr", "lr_step", "lr_gamma", "dropout_p"))
+def train_dnn_stage(
+    mlp_params,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    rng: jax.Array,
+    n_iter: int,
+    lr: float = 0.01,
+    lr_step: int = 1000,
+    lr_gamma: float = 0.8,
+    dropout_p: float = 0.2,
+) -> StageResult:
+    """Full-batch Adam on the MLP with dropout active and λ frozen."""
+    opt = _adam(lr, lr_step, lr_gamma)
+    opt_state = opt.init(mlp_params)
+
+    def loss_fn(p, key):
+        pred, log_var = mlp_forward(p, x, dropout_p=dropout_p, train=True, rng=key)
+        return aleatoric_loss(y, pred, log_var)
+
+    def step(carry, key):
+        p, s = carry
+        loss, grads = jax.value_and_grad(loss_fn)(p, key)
+        updates, s = opt.update(grads, s, p)
+        p = optax.apply_updates(p, updates)
+        return (p, s), loss
+
+    keys = jax.random.split(rng, n_iter)
+    (mlp_params, _), losses = jax.lax.scan(step, (mlp_params, opt_state), keys)
+    return StageResult(mlp_params, losses)
+
+
+# ---------------------------------------------------------------------------
+# Generic λ-vector stage (voltage / thermal / hydrogen / oxygen)
+# ---------------------------------------------------------------------------
+
+def _fit_lambda(
+    loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    lam0: jnp.ndarray,
+    bounds: Tuple[jnp.ndarray, jnp.ndarray],
+    n_iter: int,
+    lr: float,
+    lr_step: int,
+    lr_gamma: float,
+) -> StageResult:
+    """Adam + post-step box clamp over one λ vector, as a single scan."""
+    opt = _adam(lr, lr_step, lr_gamma)
+    lo, hi = jnp.asarray(bounds[0]), jnp.asarray(bounds[1])
+
+    def step(carry, _):
+        lam, s = carry
+        loss, grads = jax.value_and_grad(loss_fn)(lam)
+        updates, s = opt.update(grads, s, lam)
+        lam = optax.apply_updates(lam, updates)
+        lam = jnp.clip(lam, lo, hi)
+        return (lam, s), loss
+
+    (lam, _), losses = jax.lax.scan(
+        step, (lam0, opt.init(lam0)), None, length=n_iter
+    )
+    return StageResult(lam, losses)
+
+
+@partial(jax.jit, static_argnames=("n_iter", "lr", "lr_step", "lr_gamma", "dnn_para"))
+def train_lambda_v_stage(
+    lam_v: jnp.ndarray,
+    x_norm: jnp.ndarray,
+    y_norm: jnp.ndarray,
+    u_pred_norm: jnp.ndarray,
+    scaler_x: AffineScaler,
+    scaler_y: AffineScaler,
+    n_iter: int,
+    lr: float = 1e-3,
+    lr_step: int = 1000,
+    lr_gamma: float = 0.8,
+    dnn_para: bool = False,
+) -> StageResult:
+    """Voltage-λ stage (reference train_lambda, 01:966-1058).
+
+    ``dnn_para=False`` → normalized-domain physics loss
+    MSE(y_norm, V_out_est·scale_y + min_y) (01:1025-1032);
+    ``dnn_para=True``  → residual loss mean(f²) (01:1029).
+    ``u_pred_norm`` is the eval-mode DNN prediction, a stage constant.
+    """
+    scale_y, min_y = scaler_y.loss_affine()
+
+    def loss_fn(lam):
+        v = voltage_residual(lam, x_norm, u_pred_norm, scaler_x, scaler_y)
+        if dnn_para:
+            return jnp.mean(v.f**2)
+        v_est_norm = v.v_out_est_stack * scale_y + min_y
+        return jnp.mean((y_norm - v_est_norm) ** 2)
+
+    return _fit_lambda(
+        loss_fn, lam_v, LAMBDA_BOUNDS["lam_v"], n_iter, lr, lr_step, lr_gamma
+    )
+
+
+@partial(jax.jit, static_argnames=("group", "n_iter", "lr", "lr_step", "lr_gamma"))
+def train_residual_stage(
+    lam: jnp.ndarray,
+    x_norm: jnp.ndarray,
+    scaler_x: AffineScaler,
+    group: str,
+    n_iter: int,
+    lr: float,
+    lr_step: int = 1000,
+    lr_gamma: float = 0.8,
+) -> StageResult:
+    """Thermal / hydrogen / oxygen stage: loss = mean(f²) over one λ group
+    (reference 01:1060-1399)."""
+    residual = {
+        "lam_t": thermal_residual_simple,
+        "lam_h": hydrogen_residual,
+        "lam_o": oxygen_residual,
+    }[group]
+
+    def loss_fn(l):
+        return jnp.mean(residual(l, x_norm, scaler_x).f ** 2)
+
+    return _fit_lambda(
+        loss_fn, lam, LAMBDA_BOUNDS[group], n_iter, lr, lr_step, lr_gamma
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schedule driver (reference __main__ staging, 01:2143-2153)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class TrainLog:
+    """Loss traces per executed stage, in order."""
+
+    stages: list = dataclasses.field(default_factory=list)  # (name, losses)
+
+    def add(self, name: str, losses) -> None:
+        self.stages.append((name, losses))
+
+    def final_losses(self) -> Dict[str, float]:
+        out: Dict[str, float] = {}
+        for name, losses in self.stages:
+            out[name] = float(losses[-1])
+        return out
+
+
+def run_schedule(
+    params: PinnParams,
+    x_train: jnp.ndarray,
+    y_train: jnp.ndarray,
+    scaler_x: AffineScaler,
+    scaler_y: AffineScaler,
+    schedule=None,
+    rng: Optional[jax.Array] = None,
+    dropout_p: float = 0.2,
+    verbose: bool = False,
+) -> Tuple[PinnParams, TrainLog]:
+    """Run the staged schedule, mutating the params pytree stage by stage."""
+    schedule = default_schedule() if schedule is None else schedule
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    log = TrainLog()
+
+    lr_gamma_defaults = {"thermal": 0.8, "hydrogen": 0.9, "oxygen": 0.9}
+    group_of = {"thermal": "lam_t", "hydrogen": "lam_h", "oxygen": "lam_o"}
+
+    for k, stage in enumerate(schedule):
+        if stage.name == "dnn":
+            rng, key = jax.random.split(rng)
+            res = train_dnn_stage(
+                params["mlp"], x_train, y_train, key,
+                n_iter=stage.n_iter, lr=stage.lr, lr_step=stage.lr_step,
+                lr_gamma=stage.lr_gamma, dropout_p=dropout_p,
+            )
+            params = {**params, "mlp": res.params}
+        elif stage.name == "lambda_v":
+            # eval-mode prediction is constant through this stage (01:967)
+            u_pred, _ = mlp_forward(params["mlp"], x_train, train=False)
+            res = train_lambda_v_stage(
+                params["lam_v"], x_train, y_train, u_pred, scaler_x, scaler_y,
+                n_iter=stage.n_iter, lr=stage.lr, lr_step=stage.lr_step,
+                lr_gamma=stage.lr_gamma, dnn_para=stage.dnn_para,
+            )
+            params = {**params, "lam_v": res.params}
+        elif stage.name in group_of:
+            group = group_of[stage.name]
+            res = train_residual_stage(
+                params[group], x_train, scaler_x, group,
+                n_iter=stage.n_iter, lr=stage.lr, lr_step=stage.lr_step,
+                lr_gamma=stage.lr_gamma,
+            )
+            params = {**params, group: res.params}
+        else:
+            raise ValueError(f"unknown stage '{stage.name}'")
+        log.add(f"{k}:{stage.name}", res.losses)
+        if verbose:
+            print(
+                f"stage {k} [{stage.name:9s}] {stage.n_iter:6d} steps  "
+                f"loss {float(res.losses[0]):.3e} → {float(res.losses[-1]):.3e}"
+            )
+    return params, log

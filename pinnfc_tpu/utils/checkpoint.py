@@ -1,0 +1,104 @@
+"""Parameter checkpoint / resume.
+
+The reference never saves model weights — its only artifact is
+``F01_output.mat`` (01:2185-2187).  SURVEY §5 adds standard checkpointing:
+the PINN pytree (MLP weights + 17 physics λ's) and the scalers round-trip
+through Orbax, with a plain-npz fallback for environments without Orbax.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pinnfc_tpu.data.scaling import AffineScaler
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix.rstrip("/")] = np.asarray(tree)
+    return out
+
+
+def save_params_npz(params: Dict[str, Any], path: str) -> None:
+    """Flatten the params pytree to an .npz archive."""
+    np.savez(path, **_flatten(params))
+
+
+def load_params_npz(path: str) -> Dict[str, Any]:
+    """Rebuild the nested dict/list pytree from the flat archive."""
+    flat = dict(np.load(path))
+
+    def insert(root, keys, value):
+        key = keys[0]
+        if len(keys) == 1:
+            root[key] = jnp.asarray(value)
+            return
+        root.setdefault(key, {})
+        insert(root[key], keys[1:], value)
+
+    nested: Dict[str, Any] = {}
+    for k, v in flat.items():
+        insert(nested, k.split("/"), v)
+
+    def listify(node):
+        if isinstance(node, dict):
+            keys = list(node.keys())
+            if keys and all(k.isdigit() for k in keys):
+                return [listify(node[str(i)]) for i in range(len(keys))]
+            return {k: listify(v) for k, v in node.items()}
+        return node
+
+    return listify(nested)
+
+
+def save_checkpoint(
+    path: str,
+    params: Dict[str, Any],
+    scaler_x: Optional[AffineScaler] = None,
+    scaler_y: Optional[AffineScaler] = None,
+    step: int = 0,
+) -> None:
+    """Orbax checkpoint of params (+ scalers as arrays).  Falls back to npz
+    when Orbax is unavailable."""
+    payload: Dict[str, Any] = {"params": params, "step": np.asarray(step)}
+    if scaler_x is not None:
+        payload["scaler_x"] = scaler_x.to_numpy()
+    if scaler_y is not None:
+        payload["scaler_y"] = scaler_y.to_numpy()
+    try:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, payload, force=True)
+    except Exception:
+        save_params_npz(path + ".npz", payload)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    """Load an Orbax (or npz-fallback) checkpoint."""
+    try:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        payload = ckptr.restore(os.path.abspath(path))
+    except Exception:
+        payload = load_params_npz(path + ".npz")
+    out = dict(payload)
+    if "scaler_x" in out:
+        out["scaler_x"] = AffineScaler.from_numpy(out["scaler_x"])
+    if "scaler_y" in out:
+        out["scaler_y"] = AffineScaler.from_numpy(out["scaler_y"])
+    return out

@@ -1,0 +1,260 @@
+"""Save-to-file matplotlib figures mirroring the reference's visualizations.
+
+The reference calls ``plt.show()`` interactively throughout (SURVEY §1 L6);
+here every figure is written to disk.  Covered:
+
+- uncertainty views (aleatoric scatter / smoothed epistemic, 01:1494-1624)
+- detailed voltage fit with residual axis (01:1626-1828)
+- train/test split overview (01:330-360)
+- ROC curves incl. unsupervised overlay (02:546-611)
+- 2-D feature / t-SNE scatters (02:287-433, 03:429-508)
+- per-fault GMM probability scatter (03:209-356)
+- RF(t) early-warning dual-axis condition plot (04:411-474)
+- confusion matrix with count + row-% annotations (05:104-174)
+- six-method macro-metric grouped bar chart (05:517-609)
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Dict, List, Optional, Sequence
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+from pinnfc_tpu.config import FAULT_NAMES_EN
+from pinnfc_tpu.data.contract import INDEX, ComprehensiveResults
+
+_CJK_CANDIDATES = ("Noto Sans CJK SC", "SimHei", "Microsoft YaHei", "WenQuanYi Zen Hei")
+
+
+def setup_cjk_font() -> bool:
+    """Configure a CJK-capable font if one exists (reference
+    setup_chinese_font, 01:33-55).  Returns whether one was found; when not,
+    ``display_name`` transliterates the fault names to English instead."""
+    import matplotlib.font_manager as fm
+
+    available = {f.name for f in fm.fontManager.ttflist}
+    for cand in _CJK_CANDIDATES:
+        if cand in available:
+            plt.rcParams["font.sans-serif"] = [cand] + plt.rcParams["font.sans-serif"]
+            plt.rcParams["axes.unicode_minus"] = False
+            return True
+    return False
+
+
+_HAS_CJK = setup_cjk_font()
+if not _HAS_CJK:
+    warnings.filterwarnings("ignore", message=r"Glyph \d+ .* missing from font")
+
+
+def display_name(name: str) -> str:
+    """Fault name for figure text: Chinese when a CJK font is available,
+    the English translation otherwise."""
+    if _HAS_CJK:
+        return name
+    for zh, en in FAULT_NAMES_EN.items():
+        name = name.replace(zh, en)
+    return name
+
+
+def _arr(results):
+    return results.array if isinstance(results, ComprehensiveResults) else np.asarray(results)
+
+
+def _finish(fig, save_path: str):
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=150)
+    plt.close(fig)
+    return save_path
+
+
+def plot_uncertainty(results, boundary_lines: Sequence[int], save_path: str):
+    """Aleatoric scatter + smoothed epistemic line with fault boundaries
+    (01:1494-1624)."""
+    arr = _arr(results)
+    n = len(arr)
+    fig, axes = plt.subplots(2, 1, figsize=(10, 6), sharex=True)
+    axes[0].scatter(np.arange(n), arr[:, INDEX["ale"]], s=2, alpha=0.5, c="tab:blue")
+    axes[0].set_ylabel("aleatoric std [V]")
+    axes[1].plot(np.arange(n), arr[:, INDEX["epi"]], lw=0.8, c="tab:red")
+    normal_end = boundary_lines[0] if boundary_lines else n
+    axes[1].axhline(
+        float(np.mean(arr[:normal_end, INDEX["epi"]])), ls="--", c="gray",
+        label="normal mean",
+    )
+    for b in boundary_lines:
+        for ax in axes:
+            ax.axvline(b, color="k", lw=0.5, alpha=0.4)
+    axes[1].set_ylabel("epistemic std [V]")
+    axes[1].set_xlabel("sample")
+    axes[1].legend(loc="upper left", fontsize=8)
+    return _finish(fig, save_path)
+
+
+def plot_detailed_results(results, save_path: str):
+    """Measured vs predicted stack voltage + physics residual (01:1626-1828)."""
+    arr = _arr(results)
+    n = len(arr)
+    fig, ax1 = plt.subplots(figsize=(11, 4))
+    ax1.plot(arr[:, INDEX["y_true"]], lw=0.6, label="measured V", c="k")
+    ax1.plot(arr[:, INDEX["y_pred"]], lw=0.6, label="predicted V", c="tab:blue")
+    ax1.set_ylabel("stack voltage [V]")
+    ax1.set_xlabel("sample")
+    ax2 = ax1.twinx()
+    ax2.plot(arr[:, INDEX["pV"]], lw=0.4, alpha=0.6, c="tab:orange", label="physics residual")
+    ax2.set_ylabel("voltage physics residual [V]")
+    lines, labels = ax1.get_legend_handles_labels()
+    l2, lab2 = ax2.get_legend_handles_labels()
+    ax1.legend(lines + l2, labels + lab2, fontsize=8)
+    return _finish(fig, save_path)
+
+
+def plot_split_overview(results, boundary_lines: Sequence[int], save_path: str):
+    """Voltage trace with segment boundaries (loader overview, 01:330-360)."""
+    arr = _arr(results)
+    fig, ax = plt.subplots(figsize=(11, 3))
+    ax.plot(arr[:, INDEX["y_true"]], lw=0.5, c="k")
+    for b in boundary_lines:
+        ax.axvline(b, color="tab:red", lw=0.6, alpha=0.6)
+    ax.set_ylabel("stack voltage [V]")
+    ax.set_xlabel("sample")
+    return _finish(fig, save_path)
+
+
+def plot_roc_curves(auc_result, save_path: str):
+    """All feature-group ROC curves + unsupervised overlay (02:546-611)."""
+    fig, ax = plt.subplots(figsize=(5, 5))
+    for g in auc_result.groups:
+        ax.plot(g.fpr, g.tpr, lw=1.2, label=f"group {g.group_id} [{g.features}] AUC={g.auc:.3f}")
+    if auc_result.iso_fpr is not None:
+        ax.plot(
+            auc_result.iso_fpr, auc_result.iso_tpr, "--", lw=1.2,
+            label=f"IsolationForest AUC={auc_result.iso_auc:.3f}",
+        )
+    ax.plot([0, 1], [0, 1], ":", c="gray", lw=0.8)
+    ax.set_xlabel("FPR")
+    ax.set_ylabel("TPR")
+    ax.legend(fontsize=7, loc="lower right")
+    return _finish(fig, save_path)
+
+
+def plot_feature_scatter(
+    x2d: np.ndarray, labels: np.ndarray, save_path: str,
+    class_names: Optional[List[str]] = None, title: str = "",
+):
+    """2-D scatter colored by class (02:233-285 / t-SNE output views)."""
+    fig, ax = plt.subplots(figsize=(5.5, 4.5))
+    classes = np.unique(labels)
+    for c in classes:
+        m = labels == c
+        name = display_name(class_names[int(c)]) if class_names else str(int(c))
+        ax.scatter(x2d[m, 0], x2d[m, 1], s=4, alpha=0.5, label=name)
+    ax.legend(fontsize=7, markerscale=2)
+    if title:
+        ax.set_title(title, fontsize=9)
+    return _finish(fig, save_path)
+
+
+def tsne_embed(x: np.ndarray, perplexity: float = 30.0, random_state: int = 42):
+    """t-SNE to 2-D (CPU sklearn — one-off visualization; 02:316-321)."""
+    from sklearn.manifold import TSNE
+
+    return TSNE(
+        n_components=2, perplexity=perplexity, init="pca", random_state=random_state
+    ).fit_transform(np.asarray(x, np.float64))
+
+
+def plot_fault_probabilities(
+    gmm_result, fault_idx: int, save_path: str
+):
+    """Per-fault class-probability scatter over test samples of one true
+    fault condition (03:209-356)."""
+    m = gmm_result.y_true == fault_idx
+    probs = gmm_result.y_prob[m]
+    fig, ax = plt.subplots(figsize=(7, 3.2))
+    for k, name in enumerate(gmm_result.class_names):
+        ax.scatter(np.arange(len(probs)), probs[:, k], s=4, alpha=0.55, label=display_name(name))
+    ax.set_ylim(-0.05, 1.05)
+    ax.set_ylabel(f"P(class) | true={display_name(gmm_result.class_names[fault_idx])}")
+    ax.set_xlabel("test sample")
+    ax.legend(fontsize=7, markerscale=2, ncol=4)
+    return _finish(fig, save_path)
+
+
+def plot_rf_condition(advance, warn_threshold: float, danger_threshold: float, save_path: str):
+    """Dual-axis RF(t) vs voltage with risk bands and alarm markers
+    (04:411-474)."""
+    fig, ax1 = plt.subplots(figsize=(6, 3))
+    t = np.arange(len(advance.voltage))
+    ax1.plot(t, advance.voltage, c="k", lw=0.8, label="stack voltage")
+    ax1.axhline(advance.v_threshold, ls="--", c="gray", lw=0.8, label="V threshold")
+    ax1.set_ylabel("voltage [V]")
+    ax1.set_xlabel("sample (condition-relative)")
+    ax2 = ax1.twinx()
+    ax2.plot(t, advance.rf_smooth, c="tab:red", lw=1.0, label="RF(t)")
+    ax2.axhspan(warn_threshold, danger_threshold, color="orange", alpha=0.15)
+    ax2.axhspan(danger_threshold, 1.0, color="red", alpha=0.12)
+    ax2.set_ylim(0, 1.05)
+    ax2.set_ylabel("RF(t)")
+    if advance.idx_rf_alarm is not None:
+        ax2.axvline(advance.idx_rf_alarm, c="tab:red", lw=0.8, ls=":")
+    if advance.idx_v_alarm is not None:
+        ax1.axvline(advance.idx_v_alarm, c="k", lw=0.8, ls=":")
+    ax1.set_title(
+        f"{advance.current_target:.0f}A {display_name(advance.fault_name)}  "
+        f"advance={advance.advance}", fontsize=9,
+    )
+    return _finish(fig, save_path)
+
+
+def plot_confusion_matrix(
+    cm: np.ndarray, class_names: List[str], save_path: str, title: str = ""
+):
+    """Counts + row-percentage annotations (05:104-174)."""
+    cm = np.asarray(cm)
+    row_sum = np.maximum(cm.sum(axis=1, keepdims=True), 1)
+    pct = cm / row_sum * 100.0
+    fig, ax = plt.subplots(figsize=(4.8, 4.2))
+    im = ax.imshow(cm, cmap="Blues")
+    for i in range(cm.shape[0]):
+        for j in range(cm.shape[1]):
+            color = "white" if cm[i, j] > cm.max() / 2 else "black"
+            ax.text(
+                j, i, f"{cm[i, j]}\n{pct[i, j]:.1f}%", ha="center", va="center",
+                fontsize=7, color=color,
+            )
+    names = [display_name(c) for c in class_names]
+    ax.set_xticks(range(len(names)), names, fontsize=7, rotation=30)
+    ax.set_yticks(range(len(names)), names, fontsize=7)
+    ax.set_xlabel("predicted")
+    ax.set_ylabel("true")
+    if title:
+        ax.set_title(title, fontsize=9)
+    fig.colorbar(im, shrink=0.8)
+    return _finish(fig, save_path)
+
+
+def plot_metrics_bars(summary: Dict[str, Dict[str, float]], save_path: str):
+    """Grouped accuracy / macro-P/R/F1 bars per method with value labels
+    (05:517-609)."""
+    methods = list(summary.keys())
+    metric_keys = ["accuracy", "precision_macro", "recall_macro", "f1_macro"]
+    x = np.arange(len(metric_keys))
+    width = 0.8 / max(len(methods), 1)
+    fig, ax = plt.subplots(figsize=(8, 3.6))
+    for i, m in enumerate(methods):
+        vals = [summary[m][k] for k in metric_keys]
+        bars = ax.bar(x + i * width, vals, width, label=m)
+        for b, v in zip(bars, vals):
+            ax.text(
+                b.get_x() + b.get_width() / 2, v + 0.01, f"{v:.2f}",
+                ha="center", fontsize=6,
+            )
+    ax.set_xticks(x + 0.4 - width / 2, ["accuracy", "precision", "recall", "F1"])
+    ax.set_ylim(0, 1.12)
+    ax.legend(fontsize=7, ncol=3)
+    return _finish(fig, save_path)

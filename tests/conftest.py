@@ -5,12 +5,19 @@ validated on XLA's host-platform device simulation (SURVEY §4d)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The image's sitecustomize force-registers the axon TPU plugin and the env
+# pins JAX_PLATFORMS=axon; the config override below (not just the env var)
+# is what actually restores the CPU simulation.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

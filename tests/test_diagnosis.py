@@ -1,0 +1,263 @@
+"""Diagnosis-layer tests: metrics vs sklearn, on-device GMM/KMeans/LR/SVM,
+posterior calibration vs the reference's loop formulation."""
+
+import jax
+import numpy as np
+import pytest
+
+from pinnfc_tpu.diagnosis import (
+    accuracy_score,
+    build_label_mapper,
+    calibrate_components,
+    compute_macro_metrics,
+    confusion_matrix,
+    extract_X_y,
+    gmm_fit,
+    gmm_predict_proba,
+    hard_responsibilities,
+    kmeans_fit,
+    kmeans_predict,
+    logreg_fit,
+    logreg_predict_proba,
+    parse_features,
+    parse_group_spec,
+    posterior_probabilities,
+    precision_recall_f1,
+    roc_auc_score,
+    roc_curve,
+    svm_fit,
+    svm_predict,
+)
+
+
+@pytest.fixture(scope="module")
+def blobs():
+    """4 well-separated Gaussian blobs in 4-D."""
+    rng = np.random.RandomState(0)
+    centers = np.array(
+        [[0, 0, 0, 0], [6, 0, 0, 0], [0, 6, 0, 0], [0, 0, 6, 6]], dtype=float
+    )
+    x = np.vstack([c + rng.randn(150, 4) for c in centers])
+    y = np.repeat(np.arange(4), 150)
+    perm = rng.permutation(len(y))
+    return x[perm], y[perm]
+
+
+class TestMetrics:
+    def test_roc_auc_vs_sklearn(self, rng):
+        from sklearn.metrics import roc_auc_score as sk_auc
+
+        y = rng.randint(0, 2, 500)
+        s = rng.randn(500) + y * 0.8
+        assert roc_auc_score(y, s) == pytest.approx(sk_auc(y, s), abs=1e-10)
+
+    def test_roc_curve_vs_sklearn(self, rng):
+        from sklearn.metrics import roc_curve as sk_roc
+
+        y = rng.randint(0, 2, 200)
+        s = rng.rand(200)
+        fpr, tpr, _ = roc_curve(y, s)
+        sk_fpr, sk_tpr, _ = sk_roc(y, s, drop_intermediate=False)
+        np.testing.assert_allclose(fpr, sk_fpr, atol=1e-12)
+        np.testing.assert_allclose(tpr, sk_tpr, atol=1e-12)
+
+    def test_confusion_and_prf_vs_sklearn(self, rng):
+        from sklearn.metrics import confusion_matrix as sk_cm
+        from sklearn.metrics import precision_recall_fscore_support
+
+        y = rng.randint(0, 4, 300)
+        p = rng.randint(0, 4, 300)
+        np.testing.assert_array_equal(confusion_matrix(y, p, 4), sk_cm(y, p))
+        prf = precision_recall_f1(y, p, 4, average="macro")
+        sk_p, sk_r, sk_f, _ = precision_recall_fscore_support(
+            y, p, average="macro", zero_division=0
+        )
+        assert prf["precision_macro"] == pytest.approx(sk_p, abs=1e-12)
+        assert prf["recall_macro"] == pytest.approx(sk_r, abs=1e-12)
+        assert prf["f1_macro"] == pytest.approx(sk_f, abs=1e-12)
+
+    def test_macro_metrics_perfect(self):
+        m = compute_macro_metrics([0, 1, 2, 3], [0, 1, 2, 3], 4)
+        assert m == {
+            "accuracy": 1.0,
+            "precision_macro": 1.0,
+            "recall_macro": 1.0,
+            "f1_macro": 1.0,
+        }
+
+
+class TestParsers:
+    def test_parse_features_mixed_separators(self):
+        assert parse_features("epi,res") == [11, 12]
+        assert parse_features("x0 x3;x4|x5") == [0, 3, 4, 5]
+        assert parse_features("pV、pT，pH") == [13, 14, 15]
+
+    def test_parse_features_rejects_label(self):
+        with pytest.raises(ValueError):
+            parse_features("label")
+
+    def test_parse_features_warns_on_y_true(self):
+        with pytest.warns(UserWarning):
+            parse_features("y_true")
+
+    def test_group_spec_roundtrip(self):
+        groups = parse_group_spec("水淹:1,2,3|氧饥饿:4,5,6|膜干:7,8,9|氢饥饿:10,11,12")
+        mapper, names = build_label_mapper(groups)
+        assert names == ["水淹", "氧饥饿", "膜干", "氢饥饿"]
+        assert mapper[5] == 1 and mapper[12] == 3
+
+    def test_duplicate_detail_label_raises(self):
+        with pytest.raises(ValueError):
+            build_label_mapper({"a": [1, 2], "b": [2, 3]})
+
+    def test_extract_filters_unmapped_and_nonfinite(self):
+        arr = np.zeros((6, 22))
+        arr[:, 17] = [0, 1, 2, 5, 1, 1]
+        arr[:, 13] = [1.0, 2.0, 3.0, 4.0, np.nan, 6.0]
+        x, y = extract_X_y(arr, [13], {1: 0, 2: 1})
+        np.testing.assert_allclose(x[:, 0], [2.0, 3.0, 6.0])
+        np.testing.assert_array_equal(y, [0, 1, 0])
+
+
+class TestPosterior:
+    def test_calibration_matches_reference_loops(self, rng):
+        """Vectorized calibration == reference per-component loops (03:395-414)."""
+        n, c, k = 200, 8, 4
+        resp = rng.rand(n, c)
+        resp /= resp.sum(axis=1, keepdims=True)
+        y = rng.randint(0, k, n)
+
+        want = np.zeros((c, k))
+        for ci in range(c):
+            w = resp[:, ci]
+            if w.sum() <= 0:
+                want[ci] = 1.0 / k
+                continue
+            for ki in range(k):
+                want[ci, ki] = w[y == ki].sum()
+            s = want[ci].sum()
+            want[ci] = want[ci] / s if s > 0 else 1.0 / k
+
+        got = calibrate_components(resp, y, k)
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+    def test_empty_component_uniform_fallback(self):
+        resp = np.zeros((4, 2))
+        resp[:, 0] = 1.0  # component 1 never used
+        cal = calibrate_components(resp, np.array([0, 0, 1, 1]), 2)
+        np.testing.assert_allclose(cal[1], [0.5, 0.5])
+
+    def test_posterior_probs_normalized(self, rng):
+        resp = rng.rand(50, 6)
+        resp /= resp.sum(1, keepdims=True)
+        cal = rng.rand(6, 4)
+        cal /= cal.sum(1, keepdims=True)
+        prob, pred = posterior_probabilities(resp, cal)
+        np.testing.assert_allclose(prob.sum(1), 1.0, atol=1e-9)
+        assert (pred == prob.argmax(1)).all()
+
+
+class TestGMM:
+    def test_separable_blobs_high_accuracy(self, blobs):
+        x, y = blobs
+        model = gmm_fit(x, jax.random.PRNGKey(0), n_components=8)
+        resp = np.asarray(gmm_predict_proba(model, x))
+        cal = calibrate_components(resp, y, 4)
+        _, pred = posterior_probabilities(resp, cal)
+        assert accuracy_score(y, pred) > 0.97
+
+    def test_matches_sklearn_quality(self, blobs):
+        """On-device EM reaches sklearn GaussianMixture's log-likelihood
+        within tolerance (not bit-identical — different init seeds)."""
+        from sklearn.mixture import GaussianMixture
+
+        x, _ = blobs
+        sk = GaussianMixture(4, covariance_type="full", random_state=0).fit(x)
+        sk_ll = sk.score(x)
+        model = gmm_fit(x, jax.random.PRNGKey(0), n_components=4)
+        assert float(model.lower_bound) > sk_ll - 0.25
+
+    def test_responsibilities_normalized(self, blobs):
+        x, _ = blobs
+        model = gmm_fit(x[:100], jax.random.PRNGKey(1), n_components=5)
+        resp = np.asarray(gmm_predict_proba(model, x[100:150]))
+        np.testing.assert_allclose(resp.sum(1), 1.0, atol=1e-5)
+
+
+class TestKMeans:
+    def test_blobs_clustering(self, blobs):
+        x, y = blobs
+        res = kmeans_fit(x, jax.random.PRNGKey(0), n_clusters=4)
+        cal = calibrate_components(
+            hard_responsibilities(np.asarray(res.assignments), 4), y, 4
+        )
+        assign_te = np.asarray(kmeans_predict(res.centers, x))
+        _, pred = posterior_probabilities(hard_responsibilities(assign_te, 4), cal)
+        assert accuracy_score(y, pred) > 0.95
+
+    def test_inertia_close_to_sklearn(self, blobs):
+        from sklearn.cluster import KMeans
+
+        x, _ = blobs
+        sk = KMeans(4, n_init=10, random_state=0).fit(x)
+        res = kmeans_fit(x, jax.random.PRNGKey(0), n_clusters=4)
+        assert float(res.inertia) < sk.inertia_ * 1.1
+
+
+class TestLogReg:
+    def test_close_to_sklearn(self, blobs):
+        from sklearn.linear_model import LogisticRegression
+        from sklearn.pipeline import Pipeline
+        from sklearn.preprocessing import StandardScaler
+
+        x, y = blobs
+        sk = Pipeline(
+            [("sc", StandardScaler()),
+             ("lr", LogisticRegression(max_iter=1000, class_weight="balanced"))]
+        ).fit(x, y)
+        model = logreg_fit(x, y, n_classes=4, balanced=True)
+        proba = np.asarray(logreg_predict_proba(model, x))
+        sk_proba = sk.predict_proba(x)
+        # same decisions nearly everywhere; probabilities close
+        agree = (proba.argmax(1) == sk_proba.argmax(1)).mean()
+        assert agree > 0.99
+        assert np.abs(proba - sk_proba).mean() < 0.02
+
+    def test_binary_auc_parity(self, rng):
+        from sklearn.linear_model import LogisticRegression
+        from sklearn.pipeline import Pipeline
+        from sklearn.preprocessing import StandardScaler
+
+        x = rng.randn(400, 3)
+        y = (x[:, 0] + 0.5 * rng.randn(400) > 0).astype(int)
+        model = logreg_fit(x, y, n_classes=2, balanced=True)
+        p = np.asarray(logreg_predict_proba(model, x))[:, 1]
+        sk = Pipeline(
+            [("sc", StandardScaler()),
+             ("lr", LogisticRegression(max_iter=1000, class_weight="balanced"))]
+        ).fit(x, y)
+        sk_p = sk.predict_proba(x)[:, 1]
+        assert roc_auc_score(y, p) == pytest.approx(roc_auc_score(y, sk_p), abs=5e-3)
+
+
+class TestSVM:
+    def test_blobs_accuracy(self, blobs):
+        x, y = blobs
+        model = svm_fit(x, y, n_classes=4, c_svm=0.05, balanced=True)
+        pred = np.asarray(svm_predict(model, x))
+        assert accuracy_score(y, pred) > 0.95
+
+    def test_comparable_to_sklearn_svc(self, blobs):
+        from sklearn.pipeline import Pipeline
+        from sklearn.preprocessing import StandardScaler
+        from sklearn.svm import SVC
+
+        x, y = blobs
+        sk = Pipeline(
+            [("sc", StandardScaler()),
+             ("svc", SVC(kernel="linear", C=0.05, class_weight="balanced"))]
+        ).fit(x, y)
+        sk_acc = accuracy_score(y, sk.predict(x))
+        model = svm_fit(x, y, n_classes=4, c_svm=0.05, balanced=True)
+        acc = accuracy_score(y, np.asarray(svm_predict(model, x)))
+        assert acc > sk_acc - 0.05

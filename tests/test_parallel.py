@@ -1,0 +1,155 @@
+"""Mesh / data-parallel / ensemble tests on the 8-device CPU simulation
+(conftest forces XLA_FLAGS=--xla_force_host_platform_device_count=8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pinnfc_tpu.models.pinn import init_pinn
+from pinnfc_tpu.parallel import (
+    full_train_step,
+    init_dp_state,
+    init_ensemble,
+    make_dp_optimizers,
+    make_mesh,
+    mc_dropout_sharded,
+    pad_to_multiple,
+    replicate,
+    shard_batch,
+    train_dnn_ensemble,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert jax.device_count() >= 8, "conftest must provide 8 simulated devices"
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def dp_data(tiny_dataset):
+    d = tiny_dataset
+    n = (d.x_train.shape[0] // 8) * 8
+    return d.x_train[:n], d.y_train[:n], d.scaler_x, d.scaler_y
+
+
+class TestMesh:
+    def test_make_mesh(self, mesh8):
+        assert mesh8.shape == {"data": 8}
+
+    def test_too_many_devices_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh(1000)
+
+    def test_pad_to_multiple(self):
+        a = np.arange(10).reshape(10, 1)
+        padded, n = pad_to_multiple(a, 8)
+        assert padded.shape == (16, 1) and n == 10
+        assert (padded[10:] == a[-1]).all()
+
+
+class TestDataParallel:
+    def test_sharded_step_matches_single_device(self, mesh8, dp_data):
+        """The data-parallel step must be numerically identical to the
+        unsharded step (XLA psum of per-shard grads == full-batch grad)."""
+        x, y, sx, sy = dp_data
+        params = init_pinn(jax.random.PRNGKey(0), (8, 16, 1))
+        opts = make_dp_optimizers()
+        key = jax.random.PRNGKey(42)
+
+        state0 = init_dp_state(params, opts)
+        step = jax.jit(
+            lambda s, x, y, k: full_train_step(s, x, y, k, sx, sy, opts)
+        )
+        ref_state, ref_losses = step(state0, x, y, key)
+
+        xs = shard_batch(mesh8, x)
+        ys = shard_batch(mesh8, y)
+        sh_state = replicate(mesh8, state0)
+        dp_state, dp_losses = step(sh_state, xs, ys, key)
+
+        for g in ref_losses:
+            np.testing.assert_allclose(
+                float(ref_losses[g]), float(dp_losses[g]), rtol=1e-5
+            )
+        np.testing.assert_allclose(
+            np.asarray(ref_state.params["lam_t"]),
+            np.asarray(dp_state.params["lam_t"]),
+            rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref_state.params["mlp"]["mean"]["b"]),
+            np.asarray(dp_state.params["mlp"]["mean"]["b"]),
+            rtol=1e-4, atol=1e-7,
+        )
+
+    def test_losses_finite_and_clamped(self, mesh8, dp_data):
+        x, y, sx, sy = dp_data
+        from pinnfc_tpu.models.pinn import LAMBDA_BOUNDS
+
+        params = init_pinn(jax.random.PRNGKey(1), (8, 16, 1))
+        opts = make_dp_optimizers()
+        state = replicate(mesh8, init_dp_state(params, opts))
+        step = jax.jit(lambda s, x, y, k: full_train_step(s, x, y, k, sx, sy, opts))
+        state, losses = step(
+            state, shard_batch(mesh8, x), shard_batch(mesh8, y), jax.random.PRNGKey(2)
+        )
+        assert all(np.isfinite(float(v)) for v in losses.values())
+        for g, (lo, hi) in LAMBDA_BOUNDS.items():
+            lam = np.asarray(state.params[g])
+            assert (lam >= lo - 1e-6).all() and (lam <= hi + 1e-6).all()
+
+
+class TestEnsemble:
+    def test_ensemble_trains_independently(self, mesh8, dp_data):
+        x, y, *_ = dp_data
+        ens = init_ensemble(jax.random.PRNGKey(0), 8, layers=(8, 16, 1))
+        ens2, losses = train_dnn_ensemble(
+            ens, x, y, jax.random.PRNGKey(1), n_iter=30, mesh=mesh8
+        )
+        assert losses.shape == (8, 30)
+        # members differ (different seeds) and all improved
+        assert float(np.std(np.asarray(losses[:, -1]))) > 0
+        assert (np.asarray(losses[:, -1]) <= np.asarray(losses[:, 0])).all()
+
+    def test_ensemble_predict_shape(self, dp_data):
+        x, *_ = dp_data
+        from pinnfc_tpu.parallel import ensemble_predict
+
+        ens = init_ensemble(jax.random.PRNGKey(0), 4, layers=(8, 16, 1))
+        preds = ensemble_predict(ens, x[:32])
+        assert preds.shape == (4, 32, 1)
+
+
+class TestShardedMC:
+    def test_sharded_mc_matches_unsharded(self, mesh8, dp_data):
+        from pinnfc_tpu.models.mlp import init_mlp
+        from pinnfc_tpu.uq import mc_dropout_samples
+
+        x, *_ = dp_data
+        params = init_mlp(jax.random.PRNGKey(0), (8, 16, 1))
+        rng = jax.random.PRNGKey(5)
+        a = mc_dropout_samples(params, x, rng, mc_times=32, chunk=16)
+        b = mc_dropout_sharded(params, x, rng, mesh8, mc_times=32, chunk=16)
+        np.testing.assert_allclose(a.pred_mean, b.pred_mean, rtol=1e-5)
+        np.testing.assert_allclose(a.epistemic_std, b.epistemic_std, rtol=1e-3, atol=1e-6)
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        jax.block_until_ready(out)
+        assert out[0].shape == (1024, 1)
+
+    def test_dryrun_multichip(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)

@@ -1,0 +1,106 @@
+"""End-to-end pipeline tests: training pipeline → 22-column export →
+downstream AUC / GMM / compare pipelines (the full reference flow 01→02/03/05
+on synthetic data)."""
+
+import numpy as np
+import pytest
+
+from pinnfc_tpu.config import StageConfig, TrainConfig
+from pinnfc_tpu.data import load_comprehensive_results, save_comprehensive_results
+from pinnfc_tpu.data.contract import INDEX
+from pinnfc_tpu.diagnosis import run_auc_pipeline, run_compare_pipeline, run_gmm_pipeline
+from pinnfc_tpu.pipeline import run_training_pipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline_result():
+    sched = (
+        StageConfig("dnn", 150, lr=0.01),
+        StageConfig("lambda_v", 60, lr=1e-3, dnn_para=False),
+        StageConfig("lambda_v", 60, lr=1e-3, dnn_para=True),
+        StageConfig("dnn", 150, lr=0.01),
+        StageConfig("thermal", 200, lr=1.0),
+        StageConfig("hydrogen", 100, lr=0.1, lr_gamma=0.9),
+        StageConfig("oxygen", 100, lr=0.01, lr_gamma=0.9),
+    )
+    cfg = TrainConfig(schedule=sched, mc_times=60, seed=0)
+    return run_training_pipeline(cfg, n_normal=600, n_fault=100)
+
+
+class TestTrainingPipeline:
+    def test_results_shape_and_finite(self, pipeline_result):
+        arr = pipeline_result.results.array
+        assert arr.shape == (600 + 12 * 100, 22)
+        assert np.isfinite(arr).all()
+
+    def test_labels_match_segments(self, pipeline_result):
+        labels = pipeline_result.results.labels
+        assert (labels[:600] == 0).all()
+        for k in range(12):
+            seg = labels[600 + k * 100 : 600 + (k + 1) * 100]
+            assert (seg == k + 1).all()
+
+    def test_residual_identity(self, pipeline_result):
+        """col 12 == col 8 − col 9 exactly (01:1940)."""
+        arr = pipeline_result.results.array
+        np.testing.assert_allclose(
+            arr[:, INDEX["res"]],
+            arr[:, INDEX["y_true"]] - arr[:, INDEX["y_pred"]],
+            atol=1e-9,
+        )
+
+    def test_inputs_denormalized(self, pipeline_result):
+        """col 0 is the stack current in amps, not normalized units."""
+        current = pipeline_result.results.col("x0")
+        assert current.min() > 40 and current.max() < 800
+
+    def test_voltage_fit_quality(self, pipeline_result):
+        """Even the short test schedule should fit synthetic voltage well."""
+        m = pipeline_result.metrics
+        assert m["voltage_r2"] > 0.8
+        assert m["voltage_mae"] < 0.2
+
+    def test_uncertainties_positive(self, pipeline_result):
+        arr = pipeline_result.results.array
+        assert (arr[:, INDEX["ale"]] > 0).all()
+        assert (arr[:, INDEX["epi"]] >= 0).all()
+
+    def test_mat_roundtrip(self, pipeline_result, tmp_path):
+        path = str(tmp_path / "F01_output.mat")
+        save_comprehensive_results(pipeline_result.results, path)
+        loaded = load_comprehensive_results(path)
+        np.testing.assert_allclose(loaded.array, pipeline_result.results.array)
+
+
+class TestDownstreamPipelines:
+    def test_auc_pipeline(self, pipeline_result):
+        res = run_auc_pipeline(pipeline_result.results)
+        assert len(res.groups) == 4
+        for g in res.groups:
+            assert 0.0 <= g.auc <= 1.0
+        assert res.iso_auc is not None
+        # residual-based features must beat chance on synthetic faults
+        assert res.groups[0].auc > 0.6
+
+    def test_gmm_pipeline(self, pipeline_result):
+        res = run_gmm_pipeline(pipeline_result.results)
+        assert res.y_prob.shape[1] == 4
+        np.testing.assert_allclose(res.y_prob.sum(axis=1), 1.0, atol=1e-9)
+        assert res.accuracy > 0.4  # 4-class, chance = 0.25
+        assert res.confusion.sum() == len(res.y_true)
+        # test_full_indices point at rows with mapped fault labels
+        labels = pipeline_result.results.labels[res.test_full_indices]
+        assert ((labels >= 1) & (labels <= 12)).all()
+
+    def test_compare_pipeline_fast_methods(self, pipeline_result):
+        res = run_compare_pipeline(
+            pipeline_result.results, methods=["gmm", "logreg", "kmeans"]
+        )
+        names = [m.name for m in res.methods]
+        assert names == ["GMM", "Supervised_LR", "KMeans"]
+        for m in res.methods:
+            assert 0.0 <= m.metrics["accuracy"] <= 1.0
+            assert m.confusion.shape == (4, 4)
+        # supervised LR should do decently on synthetic faults
+        lr = res.methods[1]
+        assert lr.metrics["accuracy"] > 0.5

@@ -1,0 +1,157 @@
+"""RF(t) risk-function tests against a literal numpy oracle of the reference
+loops (04:201-285)."""
+
+import numpy as np
+import pytest
+
+from pinnfc_tpu.config import RiskConfig
+from pinnfc_tpu.data.contract import INDEX
+from pinnfc_tpu.risk import (
+    compute_rf_advance_for_condition,
+    compute_rf_time_series,
+    estimate_mu_sigma_normal,
+    find_first_alarm_index,
+    run_risk_pipeline,
+)
+
+
+def _numpy_rf_oracle(r, mu, sigma, cfg: RiskConfig):
+    """Literal transcription of the reference algorithm (04:234-279)."""
+    n, d = r.shape
+    w_feat = np.asarray(cfg.feature_weights, float)
+    z = (r - mu.reshape(1, -1)) / sigma.reshape(1, -1)
+    a = np.abs(z)
+    a_trunc = np.maximum(0.0, a - cfg.z_safe)
+    key_to_idx = {k: i for i, k in enumerate(cfg.res_keys)}
+    s_tot = np.zeros(n)
+    layer_w = dict(cfg.layer_weights)
+    for lname, keys in cfg.layer_config:
+        idxs = [key_to_idx[k] for k in keys if k in key_to_idx]
+        if not idxs:
+            continue
+        a_l = a_trunc[:, idxs]
+        w_l = w_feat[idxs].reshape(1, -1)
+        s_l = np.power((w_l * np.power(a_l, cfg.p_layer)).sum(axis=1), 1.0 / cfg.p_layer)
+        s_tot += layer_w.get(lname, 1.0) * s_l
+    c = np.zeros(n)
+    for t in range(1, n):
+        c[t] = cfg.lambda_decay * c[t - 1] + s_tot[t]
+    c_clip = np.clip(c, 0.0, cfg.c_max)
+    l0 = 1.0 / (1.0 + np.exp(-cfg.k_logistic * (0.0 - cfg.c0_logistic)))
+    lm = 1.0 / (1.0 + np.exp(-cfg.k_logistic * (cfg.c_max - cfg.c0_logistic)))
+    denom = (lm - l0) if (lm - l0) != 0 else 1e-6
+    rf_inst = (1.0 / (1.0 + np.exp(-cfg.k_logistic * (c_clip - cfg.c0_logistic))) - l0) / denom
+    rf_inst = np.clip(rf_inst, 0.0, 1.0)
+    rf_smooth = np.zeros_like(rf_inst)
+    rf_smooth[0] = rf_inst[0]
+    for t in range(1, n):
+        rf_smooth[t] = cfg.alpha_smooth * rf_inst[t] + (1 - cfg.alpha_smooth) * rf_smooth[t - 1]
+    return rf_inst, rf_smooth, c, s_tot
+
+
+@pytest.fixture(scope="module")
+def fake_results():
+    """Synthetic comprehensive_results with growing residuals in fault rows."""
+    rng = np.random.RandomState(0)
+    n_normal, n_fault = 600, 150
+    n = n_normal + 12 * n_fault
+    arr = np.zeros((n, 22))
+    arr[:, INDEX["y_true"]] = 4.0 + 0.01 * rng.randn(n)
+    for k in ("res", "pV", "pT", "pH", "pO"):
+        arr[:, INDEX[k]] = 0.1 * rng.randn(n)
+    pos = n_normal
+    label = 1
+    for fault in range(4):
+        for cur_idx, amps in enumerate((108.0, 270.0, 405.0)):
+            seg = slice(pos, pos + n_fault)
+            arr[seg, INDEX["label"]] = label
+            arr[seg, INDEX["x0"]] = amps
+            ramp = np.linspace(0, 3.0, n_fault)
+            arr[seg, INDEX["res"]] += ramp * 0.5
+            arr[seg, INDEX["pV"]] += ramp * 0.4
+            arr[seg, INDEX["y_true"]] = 4.0 - np.linspace(0, 0.3, n_fault)
+            pos += n_fault
+            label += 1
+    arr[: n_normal, INDEX["x0"]] = rng.uniform(100, 400, n_normal)
+    return arr
+
+
+class TestRfCore:
+    def test_matches_numpy_oracle(self, fake_results, rng):
+        cfg = RiskConfig()
+        mu, sigma = estimate_mu_sigma_normal(fake_results)
+        r = np.stack(
+            [fake_results[:800, INDEX[k]].astype(float) for k in cfg.res_keys], axis=1
+        )
+        want_inst, want_smooth, want_c, want_s = _numpy_rf_oracle(r, mu, sigma, cfg)
+        rf = compute_rf_time_series(r, mu, sigma, cfg)
+        np.testing.assert_allclose(np.asarray(rf["s_tot"]), want_s, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(rf["c"]), want_c, rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(rf["rf_inst"]), want_inst, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(rf["rf_smooth"]), want_smooth, rtol=1e-3, atol=1e-4)
+
+    def test_mu_sigma_ddof1_and_floor(self):
+        arr = np.zeros((10, 22))
+        arr[:, INDEX["label"]] = 0
+        arr[:, INDEX["res"]] = np.arange(10.0)
+        # pV constant → σ floored to 1e-6
+        mu, sigma = estimate_mu_sigma_normal(arr)
+        assert mu[0] == pytest.approx(4.5)
+        assert sigma[0] == pytest.approx(np.std(np.arange(10.0), ddof=1))
+        assert sigma[1] == pytest.approx(1e-6)
+
+    def test_rf_zero_when_in_safe_band(self):
+        cfg = RiskConfig()
+        mu = np.zeros(5)
+        sigma = np.ones(5)
+        r = 0.5 * np.ones((100, 5))  # |z| = 0.5 < z_safe=2 → S=0 → RF=0
+        rf = compute_rf_time_series(r, mu, sigma, cfg)
+        np.testing.assert_allclose(np.asarray(rf["rf_smooth"]), 0.0, atol=1e-6)
+
+
+class TestAlarms:
+    def test_find_first_alarm(self):
+        s = np.array([0.1, 0.2, 0.35, 0.25, 0.5])
+        assert find_first_alarm_index(s, 0.3, "above") == 2
+        assert find_first_alarm_index(s, 0.15, "below") == 0
+        assert find_first_alarm_index(s, 0.9, "above") is None
+        with pytest.raises(ValueError):
+            find_first_alarm_index(s, 0.3, "sideways")
+
+    def test_condition_advance(self, fake_results):
+        cfg = RiskConfig()
+        mu, sigma = estimate_mu_sigma_normal(fake_results)
+        adv = compute_rf_advance_for_condition(
+            fake_results, mu, sigma, "水淹", 108.0, cfg
+        )
+        assert adv is not None
+        assert adv.n_samples == 150
+        assert adv.v_threshold == pytest.approx(adv.voltage[0] - 0.1)
+        # voltage drops 0.3 total → crosses threshold; RF should fire first
+        assert adv.idx_v_alarm is not None
+
+    def test_index_range_clipping(self, fake_results):
+        cfg = RiskConfig()
+        mu, sigma = estimate_mu_sigma_normal(fake_results)
+        adv = compute_rf_advance_for_condition(
+            fake_results, mu, sigma, "水淹", 108.0, cfg, index_range=(0, 50)
+        )
+        assert adv.n_samples == 50
+        none_adv = compute_rf_advance_for_condition(
+            fake_results, mu, sigma, "水淹", 108.0, cfg, index_range=(60, 50)
+        )
+        assert none_adv is None
+
+    def test_missing_condition_returns_none(self, fake_results):
+        cfg = RiskConfig()
+        mu, sigma = estimate_mu_sigma_normal(fake_results)
+        assert (
+            compute_rf_advance_for_condition(fake_results, mu, sigma, "水淹", 999.0, cfg)
+            is None
+        )
+
+    def test_full_pipeline_12_conditions(self, fake_results):
+        out = run_risk_pipeline(fake_results)
+        assert len(out) == 12
+        for adv in out:
+            assert np.isfinite(adv.rf_smooth).all()

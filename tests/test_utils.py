@@ -1,0 +1,64 @@
+"""Checkpoint round-trip and observability tests."""
+
+import jax
+import numpy as np
+import pytest
+
+from pinnfc_tpu.data.scaling import AffineScaler
+from pinnfc_tpu.models.pinn import init_pinn
+from pinnfc_tpu.utils import (
+    MetricsLogger,
+    StepTimer,
+    load_checkpoint,
+    load_params_npz,
+    save_checkpoint,
+    save_params_npz,
+)
+
+
+class TestCheckpoint:
+    def test_npz_roundtrip(self, tmp_path):
+        params = init_pinn(jax.random.PRNGKey(0), (8, 16, 16, 1))
+        path = str(tmp_path / "params.npz")
+        save_params_npz(params, path)
+        loaded = load_params_npz(path)
+        for g in ("lam_v", "lam_t", "lam_h", "lam_o"):
+            np.testing.assert_allclose(np.asarray(loaded[g]), np.asarray(params[g]))
+        np.testing.assert_allclose(
+            np.asarray(loaded["mlp"]["hidden"][0]["w"]),
+            np.asarray(params["mlp"]["hidden"][0]["w"]),
+        )
+        assert isinstance(loaded["mlp"]["hidden"], list)
+
+    def test_full_checkpoint_roundtrip(self, tmp_path):
+        params = init_pinn(jax.random.PRNGKey(1), (8, 8, 1))
+        sx = AffineScaler.fit(np.random.RandomState(0).rand(20, 8))
+        sy = AffineScaler.fit(np.random.RandomState(0).rand(20, 1))
+        path = str(tmp_path / "ckpt")
+        save_checkpoint(path, params, sx, sy, step=7)
+        loaded = load_checkpoint(path)
+        np.testing.assert_allclose(
+            np.asarray(loaded["params"]["lam_h"]), np.asarray(params["lam_h"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(loaded["scaler_x"].scale), np.asarray(sx.scale)
+        )
+        assert int(np.asarray(loaded["step"])) == 7
+
+
+class TestObservability:
+    def test_metrics_logger(self, tmp_path):
+        log = MetricsLogger()
+        log.log(0, loss=1.0)
+        log.log(1, loss=0.5, lr=0.01)
+        assert log.latest()["loss"] == 0.5
+        p = tmp_path / "m.jsonl"
+        log.to_jsonl(str(p))
+        assert len(p.read_text().strip().splitlines()) == 2
+
+    def test_step_timer(self):
+        t = StepTimer()
+        for _ in range(3):
+            with t:
+                pass
+        assert t.steps_per_sec(10) > 0
