@@ -80,10 +80,23 @@ def main():
                                        mc_times=500, dropout=0.4, chunk=50)
     t_mc = _timeit(lambda _: mc_fn(), None)
     print(json.dumps({
-        "metric": "mc_dropout_samples_per_sec",
+        "metric": "mc_dropout_vmap_samples_per_sec",
         "value": round(500 * 16384 / t_mc),
         "unit": "row-samples/s", "mc_times": 500, "rows": 16384,
     }))
+
+    if on_tpu:
+        from pinnfc_tpu.ops.pallas_mc_dropout import mc_dropout_pallas
+
+        mcp_fn = lambda: mc_dropout_pallas(mlp, x[:16384], 1, mc_times=500,
+                                           dropout=0.4)
+        t_mcp = _timeit(lambda _: mcp_fn(), None)
+        print(json.dumps({
+            "metric": "mc_dropout_pallas_samples_per_sec",
+            "value": round(500 * 16384 / t_mcp),
+            "unit": "row-samples/s", "mc_times": 500, "rows": 16384,
+            "speedup_vs_vmap": round(t_mc / t_mcp, 3),
+        }))
 
 
 if __name__ == "__main__":

@@ -6,6 +6,7 @@ from pinnfc_tpu.ops.recurrences import (
     ema,
 )
 from pinnfc_tpu.ops.pallas_residuals import all_residuals_pallas, fused_residuals_pallas
+from pinnfc_tpu.ops.pallas_mc_dropout import mc_dropout_pallas
 
 __all__ = [
     "centered_moving_average",
@@ -16,4 +17,5 @@ __all__ = [
     "ema",
     "all_residuals_pallas",
     "fused_residuals_pallas",
+    "mc_dropout_pallas",
 ]

@@ -50,17 +50,31 @@ def build_comprehensive_results(
     mc_times: int = 2000,
     dropout: float = 0.4,
     smooth_window: int = 200,
+    sampler: str = "vmap",
 ) -> ComprehensiveResults:
     """Full exporter (reference 01:1877-2010 + main call 01:2156-2158).
+
+    ``sampler``: 'vmap' (default, jax.random streams) or 'pallas' (fused
+    VMEM-resident kernel, counter-based RNG — statistically equivalent,
+    fastest on TPU; see ops.pallas_mc_dropout).
 
     Note: the reference evaluates ``net_f_V`` on the *eval-mode DNN
     prediction* (01:1947 uses self.dnn after eval), which equals the MC
     pred_mean — the same value is used here.
     """
     rng = jax.random.PRNGKey(1) if rng is None else rng
-    mc = mc_dropout_samples(
-        params["mlp"], dataset.x_test, rng, mc_times=mc_times, dropout=dropout
-    )
+    if sampler == "pallas":
+        from pinnfc_tpu.ops.pallas_mc_dropout import mc_dropout_pallas
+
+        seed = int(jax.random.randint(rng, (), 0, 2**31 - 1))
+        mc = mc_dropout_pallas(
+            params["mlp"], dataset.x_test, seed, mc_times=mc_times,
+            dropout=dropout, interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        mc = mc_dropout_samples(
+            params["mlp"], dataset.x_test, rng, mc_times=mc_times, dropout=dropout
+        )
     x_real, y_real, pred_real, ale_real, epi_real, bundle = _device_columns(
         params, dataset.x_test, dataset.y_test, dataset.scaler_x, dataset.scaler_y, mc
     )
