@@ -180,6 +180,52 @@ def cmd_run_all(args) -> int:
     return 0
 
 
+def cmd_ensemble(args) -> int:
+    """Many-seed PINN ensemble: E members trained simultaneously via vmap
+    (mesh-sharded when more than one device is visible)."""
+    import jax
+    import numpy as np
+
+    from pinnfc_tpu.data import combine_and_normalize, synthesize_stack_data
+    from pinnfc_tpu.parallel import (
+        ensemble_predict,
+        init_ensemble,
+        make_mesh,
+        train_dnn_ensemble,
+    )
+
+    normal, faults = synthesize_stack_data(
+        n_normal=1500 if args.small else 6000,
+        n_fault=200 if args.small else 800,
+        seed=args.seed,
+    )
+    ds = combine_and_normalize(normal, faults, training_rate=1.0, seed=args.seed)
+
+    mesh = None
+    n_dev = jax.device_count()
+    if n_dev > 1 and args.members % n_dev == 0:
+        mesh = make_mesh(n_dev)
+        print(f"sharding {args.members} members over {n_dev} devices")
+
+    ens = init_ensemble(jax.random.PRNGKey(args.seed), args.members)
+    ens, losses = train_dnn_ensemble(
+        ens, ds.x_train, ds.y_train, jax.random.PRNGKey(args.seed + 1),
+        n_iter=args.steps, mesh=mesh,
+    )
+    preds = np.asarray(ensemble_predict(ens, ds.x_test))  # (E, N, 1)
+    y = np.asarray(ds.scaler_y.inverse(ds.y_test))[:, 0]
+    scale_y = np.asarray(ds.scaler_y.scale)
+    min_y = np.asarray(ds.scaler_y.min)
+    preds_real = (preds[:, :, 0] - min_y) / scale_y
+    mae = np.abs(preds_real - y[None, :]).mean(axis=1)
+    print(f"{'member':>7} {'final loss':>12} {'test MAE [V]':>13}")
+    for e in range(args.members):
+        print(f"{e:7d} {float(losses[e, -1]):12.4e} {mae[e]:13.4f}")
+    spread = preds_real.std(axis=0).mean()
+    print(f"ensemble spread (mean member std): {spread:.4f} V")
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
 
@@ -219,6 +265,13 @@ def main(argv: Optional[list] = None) -> int:
     r.add_argument("--small", action="store_true")
     r.add_argument("--seed", type=int, default=42)
     r.set_defaults(fn=cmd_run_all)
+
+    e = sub.add_parser("ensemble", help="many-seed parallel PINN ensemble")
+    e.add_argument("--members", type=int, default=8)
+    e.add_argument("--steps", type=int, default=2000)
+    e.add_argument("--small", action="store_true")
+    e.add_argument("--seed", type=int, default=42)
+    e.set_defaults(fn=cmd_ensemble)
 
     b = sub.add_parser("bench", help="headline benchmark (one JSON line)")
     b.set_defaults(fn=cmd_bench)

@@ -33,7 +33,7 @@ from pinnfc_tpu.physics.residuals import ResidualBundle
 
 # output channel order
 _OUT_CHANNELS = ("f_v", "f_t", "f_h", "f_o", "v_phys_stack", "t_phys", "ratio_h", "ratio_o")
-_BLOCK_N = 512
+_BLOCK_N = 8192
 
 
 def _residual_kernel(scal_ref, xt_ref, ut_ref, sx_ref, out_ref):

@@ -14,10 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 # The image's sitecustomize force-registers the axon TPU plugin and the env
 # pins JAX_PLATFORMS=axon; the config override below (not just the env var)
-# is what actually restores the CPU simulation.
+# is what actually restores the CPU simulation.  Set PINNFC_TEST_TPU=1 to run
+# the suite against the real chip instead (used to validate Pallas kernels
+# on hardware).
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("PINNFC_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
