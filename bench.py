@@ -108,6 +108,10 @@ def bench_torch_cpu() -> float:
 def main():
     import sys
 
+    from pinnfc_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     t0 = time.perf_counter()
     torch_sps = bench_torch_cpu()
     print(f"[bench] torch-cpu: {torch_sps:.1f} steps/s "

@@ -50,12 +50,23 @@ def cmd_train(args) -> int:
     cfg = _train_config(args)
     n_normal = 1500 if args.small else 6000
     n_fault = 200 if args.small else 800
+
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        import jax
+
+        from pinnfc_tpu.parallel import make_mesh
+
+        mesh = make_mesh(jax.device_count())
+        print(f"data-parallel over {jax.device_count()} devices")
+
     res = run_training_pipeline(
         cfg,
         mat_path=args.mat_out,
         n_normal=n_normal,
         n_fault=n_fault,
         verbose=True,
+        mesh=mesh,
     )
     print(json.dumps({"metrics": res.metrics, "timings": res.timings}, indent=2))
     if args.ckpt:
@@ -65,6 +76,19 @@ def cmd_train(args) -> int:
         print(f"checkpoint → {args.ckpt}")
     if args.mat_out:
         print(f"comprehensive_results → {args.mat_out}")
+    if getattr(args, "plot_dir", None):
+        from pinnfc_tpu.viz import (
+            plot_detailed_results,
+            plot_split_overview,
+            plot_uncertainty,
+        )
+
+        os.makedirs(args.plot_dir, exist_ok=True)
+        bl = res.dataset.info.boundary_lines
+        plot_uncertainty(res.results, bl, os.path.join(args.plot_dir, "uncertainty.png"))
+        plot_detailed_results(res.results, os.path.join(args.plot_dir, "detailed.png"))
+        plot_split_overview(res.results, bl, os.path.join(args.plot_dir, "split.png"))
+        print("training figures →", args.plot_dir)
     return 0
 
 
@@ -167,13 +191,12 @@ def cmd_run_all(args) -> int:
     os.makedirs(args.out_dir, exist_ok=True)
     mat_path = os.path.join(args.out_dir, "F01_output.mat")
 
+    plot_dir = os.path.join(args.out_dir, "figures")
     ns = argparse.Namespace(
         small=args.small, seed=args.seed, mat_out=mat_path,
-        ckpt=os.path.join(args.out_dir, "pinn_ckpt"),
+        ckpt=os.path.join(args.out_dir, "pinn_ckpt"), plot_dir=plot_dir,
     )
     cmd_train(ns)
-
-    plot_dir = os.path.join(args.out_dir, "figures")
     for fn in (cmd_auc, cmd_gmm, cmd_risk, cmd_compare):
         fn(argparse.Namespace(mat=mat_path, plot_dir=plot_dir, methods=None))
     print(f"run-all complete → {args.out_dir}")
@@ -242,6 +265,11 @@ def main(argv: Optional[list] = None) -> int:
     t.add_argument("--ckpt", default=None)
     t.add_argument("--small", action="store_true", help="reduced schedule/data")
     t.add_argument("--seed", type=int, default=42)
+    t.add_argument(
+        "--data-parallel", action="store_true",
+        help="shard batch rows over all visible devices",
+    )
+    t.add_argument("--plot-dir", default=None)
     t.set_defaults(fn=cmd_train)
 
     for name, fn, extra in (
@@ -277,6 +305,10 @@ def main(argv: Optional[list] = None) -> int:
     b.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
+
+    from pinnfc_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     return args.fn(args)
 
 

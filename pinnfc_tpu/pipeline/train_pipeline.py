@@ -91,8 +91,10 @@ def run_training_pipeline(
     n_normal: int = 6000,
     n_fault: int = 800,
     verbose: bool = False,
+    mesh=None,
 ) -> PipelineResult:
-    """Execute the full stage-01 pipeline."""
+    """Execute the full stage-01 pipeline.  With ``mesh``, staged training
+    runs data-parallel over the mesh's 'data' axis (see run_schedule)."""
     timings: Dict[str, float] = {}
 
     t0 = time.perf_counter()
@@ -120,6 +122,7 @@ def run_training_pipeline(
         rng=train_key,
         dropout_p=config.model.dropout_p,
         verbose=verbose,
+        mesh=mesh,
     )
     jax.block_until_ready(params)
     timings["train_s"] = time.perf_counter() - t0

@@ -225,11 +225,39 @@ def run_schedule(
     rng: Optional[jax.Array] = None,
     dropout_p: float = 0.2,
     verbose: bool = False,
+    mesh=None,
 ) -> Tuple[PinnParams, TrainLog]:
-    """Run the staged schedule, mutating the params pytree stage by stage."""
+    """Run the staged schedule, mutating the params pytree stage by stage.
+
+    With ``mesh``, the batch rows are sharded over the mesh's 'data' axis and
+    parameters replicated — every stage's jitted scan then runs SPMD with XLA
+    inserting the gradient all-reduce (ICI psum); numerics are identical to
+    the single-device run (mean-loss gradients are exact under row sharding).
+    Rows are edge-padded to a multiple of the axis size; padded rows DO
+    perturb mean losses, so pass pre-divisible data for exact parity.
+    """
     schedule = default_schedule() if schedule is None else schedule
     rng = jax.random.PRNGKey(0) if rng is None else rng
     log = TrainLog()
+
+    if mesh is not None:
+        import numpy as np
+
+        from pinnfc_tpu.parallel.mesh import (
+            batch_sharding,
+            pad_to_multiple,
+            replicate,
+        )
+
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        x_np, n0 = pad_to_multiple(np.asarray(x_train), n_dev)
+        y_np, _ = pad_to_multiple(np.asarray(y_train), n_dev)
+        if x_np.shape[0] != n0 and verbose:
+            print(f"padded {n0} → {x_np.shape[0]} rows for {n_dev}-way sharding")
+        sh = batch_sharding(mesh)
+        x_train = jax.device_put(jnp.asarray(x_np, jnp.float32), sh)
+        y_train = jax.device_put(jnp.asarray(y_np, jnp.float32), sh)
+        params = replicate(mesh, params)
 
     lr_gamma_defaults = {"thermal": 0.8, "hydrogen": 0.9, "oxygen": 0.9}
     group_of = {"thermal": "lam_t", "hydrogen": "lam_h", "oxygen": "lam_o"}

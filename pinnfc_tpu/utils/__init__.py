@@ -5,6 +5,7 @@ from pinnfc_tpu.utils.checkpoint import (
     save_params_npz,
 )
 from pinnfc_tpu.utils.observability import MetricsLogger, StepTimer, profile_trace
+from pinnfc_tpu.utils.compilation_cache import enable_compilation_cache
 
 __all__ = [
     "load_checkpoint",
@@ -12,6 +13,7 @@ __all__ = [
     "save_checkpoint",
     "save_params_npz",
     "MetricsLogger",
+    "enable_compilation_cache",
     "StepTimer",
     "profile_trace",
 ]

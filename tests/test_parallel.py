@@ -153,3 +153,36 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestDataParallelSchedule:
+    def test_run_schedule_sharded_matches_unsharded(self, mesh8, dp_data):
+        """The staged schedule under row sharding reproduces the single-device
+        trajectory (divisible N → exact mean-loss gradients + psum)."""
+        from pinnfc_tpu.config import StageConfig
+        from pinnfc_tpu.training import run_schedule
+
+        x, y, sx, sy = dp_data
+        sched = (
+            StageConfig("dnn", 25, lr=0.01),
+            StageConfig("thermal", 25, lr=1.0),
+            StageConfig("hydrogen", 25, lr=0.1, lr_gamma=0.9),
+        )
+        p0 = init_pinn(jax.random.PRNGKey(3), (8, 16, 1))
+        key = jax.random.PRNGKey(9)
+        p_ref, log_ref = run_schedule(p0, x, y, sx, sy, schedule=sched, rng=key)
+        p_dp, log_dp = run_schedule(
+            p0, x, y, sx, sy, schedule=sched, rng=key, mesh=mesh8
+        )
+        np.testing.assert_allclose(
+            np.asarray(p_ref["lam_t"]), np.asarray(p_dp["lam_t"]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(p_ref["mlp"]["mean"]["b"]),
+            np.asarray(p_dp["mlp"]["mean"]["b"]),
+            rtol=1e-4, atol=1e-7,
+        )
+        for (n1, l1), (n2, l2) in zip(log_ref.stages, log_dp.stages):
+            np.testing.assert_allclose(
+                np.asarray(l1), np.asarray(l2), rtol=1e-4, atol=1e-6
+            )
