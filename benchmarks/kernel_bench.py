@@ -91,11 +91,47 @@ def main():
         mcp_fn = lambda: mc_dropout_pallas(mlp, x[:16384], 1, mc_times=500,
                                            dropout=0.4)
         t_mcp = _timeit(lambda _: mcp_fn(), None)
+        # roofline: the kernel is MXU-bound; FLOPs per row-sample for the
+        # [8,256,256,256,1] trunk + [256→128→64→1] variance head
+        macs = 8 * 256 + 256 * 256 * 2 + 256 + 256 * 128 + 128 * 64 + 64
+        flops = 2 * macs * 500 * 16384 / t_mcp
         print(json.dumps({
             "metric": "mc_dropout_pallas_samples_per_sec",
             "value": round(500 * 16384 / t_mcp),
             "unit": "row-samples/s", "mc_times": 500, "rows": 16384,
             "speedup_vs_vmap": round(t_mc / t_mcp, 3),
+            "achieved_tflops": round(flops / 1e12, 2),
+            "roofline_note": "v5e bf16 peak ~197 TFLOP/s; f32-highest ~1/8",
+        }))
+
+        # residual kernels at HBM-bound scale (4M rows; small-N timings are
+        # dominated by tunnel dispatch overhead): 36 B in + 32 B out per row;
+        # v5e HBM ~819 GB/s
+        n_big = 4_000_000
+        xb = jnp.tile(x, (n_big // N + 1, 1))[:n_big]
+        ub = jnp.tile(u, (n_big // N + 1, 1))[:n_big]
+        from pinnfc_tpu.ops.pallas_residuals import fused_residuals_pallas
+
+        jnp_big = jax.jit(lambda p, x, u: all_residuals(p, x, u, sx, sy))
+        t_jnp_big = _timeit(jnp_big, params, xb, ub)
+        print(json.dumps({
+            "metric": "residuals_jnp_big_rows_per_sec",
+            "value": round(n_big / t_jnp_big), "unit": "rows/s", "rows": n_big,
+            "hbm_gbps": round((36 + 32) * n_big / t_jnp_big / 1e9, 1),
+        }))
+
+        big_fn = lambda: fused_residuals_pallas(
+            params["lam_v"], params["lam_t"], params["lam_h"], params["lam_o"],
+            xb, ub, sx, sy,
+        )
+        t_big = _timeit(lambda _: big_fn(), None)
+        gbps = (36 + 32) * n_big / t_big / 1e9
+        print(json.dumps({
+            "metric": "residuals_pallas_hbm_gbps",
+            "value": round(gbps, 1), "unit": "GB/s", "rows": n_big,
+            "rows_per_sec": round(n_big / t_big),
+            "speedup_vs_jnp_big": round(t_jnp_big / t_big, 3),
+            "roofline_note": "v5e HBM ~819 GB/s; kernel is bandwidth-bound",
         }))
 
 

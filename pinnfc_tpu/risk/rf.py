@@ -45,15 +45,22 @@ def estimate_mu_sigma_normal(
 
 
 def compute_rf_time_series(
-    residuals: jnp.ndarray,
-    mu: jnp.ndarray,
-    sigma: jnp.ndarray,
+    residuals,
+    mu: np.ndarray,
+    sigma: np.ndarray,
     config: RiskConfig = RiskConfig(),
-) -> Dict[str, jnp.ndarray]:
+    backend: str = "jax",
+) -> Dict:
     """RF over a residual matrix (N, D) with channel order = config.res_keys.
 
     Returns {'rf_inst', 'rf_smooth', 'c', 's_tot', 's_layers'} (04:281-285).
+
+    ``backend``: 'jax' (f32, associative scans — the on-device path) or
+    'numpy' (f64, ``scipy.signal.lfilter`` recurrences — bit-parity with the
+    reference's sequential loops for exact warning-time reproduction).
     """
+    if backend == "numpy":
+        return _compute_rf_numpy(residuals, mu, sigma, config)
     r = jnp.asarray(residuals, jnp.float32)
     mu = jnp.asarray(mu, jnp.float32)
     sigma = jnp.asarray(sigma, jnp.float32)
@@ -108,6 +115,66 @@ def compute_rf_time_series(
     }
 
 
+def _compute_rf_numpy(residuals, mu, sigma, config: RiskConfig) -> Dict:
+    """f64 CPU path, exact w.r.t. the reference's sequential loops: the two
+    first-order recurrences run through ``scipy.signal.lfilter`` (IIR filters
+    evaluate the identical recurrence in f64)."""
+    from scipy.signal import lfilter
+
+    r = np.asarray(residuals, np.float64)
+    mu = np.asarray(mu, np.float64)
+    sigma = np.asarray(sigma, np.float64)
+    n = r.shape[0]
+
+    w_feat = np.asarray(config.feature_weights, np.float64)
+    key_to_idx = {k: i for i, k in enumerate(config.res_keys)}
+    layer_w = dict(config.layer_weights)
+
+    a_trunc = np.maximum(0.0, np.abs((r - mu[None, :]) / sigma[None, :]) - config.z_safe)
+    s_layers: Dict[str, np.ndarray] = {}
+    s_tot = np.zeros(n)
+    for layer_name, keys in config.layer_config:
+        idxs = [key_to_idx[k] for k in keys if k in key_to_idx]
+        if not idxs:
+            s_layers[layer_name] = np.zeros(n)
+            continue
+        a_l = a_trunc[:, idxs]
+        w_l = w_feat[idxs][None, :]
+        s_l = np.power((w_l * np.power(a_l, config.p_layer)).sum(axis=1),
+                       1.0 / config.p_layer)
+        s_layers[layer_name] = s_l
+        s_tot += layer_w.get(layer_name, 1.0) * s_l
+
+    # C[t] = λ·C[t-1] + S[t], C[0] = 0  ≡  IIR filter b=[1], a=[1, -λ] on
+    # S with S[0] zeroed
+    s_shift = s_tot.copy()
+    s_shift[0] = 0.0
+    c = lfilter([1.0], [1.0, -config.lambda_decay], s_shift)
+
+    c_clip = np.clip(c, 0.0, config.c_max)
+    k, c0 = config.k_logistic, config.c0_logistic
+    l_0 = 1.0 / (1.0 + math.exp(-k * (0.0 - c0)))
+    l_max = 1.0 / (1.0 + math.exp(-k * (config.c_max - c0)))
+    denom = (l_max - l_0) if (l_max - l_0) != 0 else 1e-6
+    rf_inst = np.clip(
+        (1.0 / (1.0 + np.exp(-k * (c_clip - c0))) - l_0) / denom, 0.0, 1.0
+    )
+
+    # EMA with y[0]=x[0]: filter y[t] = α·x[t] + (1-α)·y[t-1] with initial
+    # condition matching y[-1] = x[0]
+    alpha = config.alpha_smooth
+    zi = np.array([(1.0 - alpha) * rf_inst[0]])
+    rf_smooth, _ = lfilter([alpha], [1.0, -(1.0 - alpha)], rf_inst, zi=zi)
+
+    return {
+        "rf_inst": rf_inst,
+        "rf_smooth": rf_smooth,
+        "c": c,
+        "s_tot": s_tot,
+        "s_layers": s_layers,
+    }
+
+
 def find_first_alarm_index(
     series: np.ndarray, threshold: float, mode: str = "above"
 ) -> Optional[int]:
@@ -147,6 +214,7 @@ def compute_rf_advance_for_condition(
     current_target: float,
     config: RiskConfig = RiskConfig(),
     index_range: Optional[Tuple[int, Optional[int]]] = None,
+    backend: str = "jax",
 ) -> Optional[ConditionAdvance]:
     """Mask rows by fault class ∧ |I − target| ≤ tol, evaluate RF on the
     sub-sequence, compare against the dynamic voltage threshold
@@ -180,7 +248,7 @@ def compute_rf_advance_for_condition(
     res_matrix = np.stack(
         [sub[:, INDEX[k]].astype(float) for k in config.res_keys], axis=1
     )
-    rf = compute_rf_time_series(res_matrix, mu, sigma, config)
+    rf = compute_rf_time_series(res_matrix, mu, sigma, config, backend=backend)
     rf_smooth = np.asarray(rf["rf_smooth"])
 
     v_threshold = float(v_sub[0]) - config.voltage_drop
@@ -207,6 +275,7 @@ def run_risk_pipeline(
     results,
     config: RiskConfig = RiskConfig(),
     conditions=DEFAULT_RF_CONDITIONS,
+    backend: str = "jax",
 ) -> List[ConditionAdvance]:
     """Script-04 main: normal stats → all conditions → advance table
     (04:479-528)."""
@@ -215,7 +284,8 @@ def run_risk_pipeline(
     out: List[ConditionAdvance] = []
     for current_target, fault_name, index_range in conditions:
         adv = compute_rf_advance_for_condition(
-            arr, mu, sigma, fault_name, current_target, config, index_range
+            arr, mu, sigma, fault_name, current_target, config, index_range,
+            backend=backend,
         )
         if adv is not None:
             out.append(adv)

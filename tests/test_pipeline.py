@@ -120,3 +120,47 @@ class TestDeterminism:
         a = run_training_pipeline(cfg, n_normal=200, n_fault=30)
         b = run_training_pipeline(cfg, n_normal=200, n_fault=30)
         np.testing.assert_array_equal(a.results.array, b.results.array)
+
+
+class TestSklearnParity:
+    def test_auc_pipeline_matches_sklearn_clone(self, pipeline_result):
+        """The on-device LR AUC pipeline matches a sklearn clone of the
+        reference (same split, StandardScaler→LogisticRegression) within
+        optimizer tolerance."""
+        from sklearn.linear_model import LogisticRegression
+        from sklearn.model_selection import train_test_split
+        from sklearn.pipeline import Pipeline
+        from sklearn.preprocessing import StandardScaler
+
+        from pinnfc_tpu.config import AucConfig
+        from pinnfc_tpu.diagnosis import (
+            build_label_mapper,
+            extract_X_y,
+            parse_features,
+            parse_group_spec,
+            roc_auc_score,
+        )
+
+        cfg = AucConfig()
+        arr = pipeline_result.results.array
+        groups = parse_group_spec(cfg.group_spec)
+        label_map, _ = build_label_mapper(groups)
+        feat_idx = parse_features(cfg.feature_groups[0])  # epi,res
+        x, y = extract_X_y(arr, feat_idx, label_map)
+        x_tr, x_te, y_tr, y_te = train_test_split(
+            x, y, test_size=cfg.test_size, random_state=cfg.random_state,
+            stratify=y,
+        )
+        sk = Pipeline(
+            [("sc", StandardScaler()),
+             ("lr", LogisticRegression(max_iter=1000, class_weight="balanced",
+                                       random_state=cfg.random_state))]
+        ).fit(x_tr, y_tr)
+        sk_auc = roc_auc_score(
+            (y_te != 0).astype(int), 1.0 - sk.predict_proba(x_te)[:, 0]
+        )
+
+        from pinnfc_tpu.diagnosis import run_auc_pipeline
+
+        ours = run_auc_pipeline(pipeline_result.results, cfg).groups[0].auc
+        assert ours == pytest.approx(sk_auc, abs=0.01)

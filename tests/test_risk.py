@@ -155,3 +155,29 @@ class TestAlarms:
         assert len(out) == 12
         for adv in out:
             assert np.isfinite(adv.rf_smooth).all()
+
+
+class TestNumpyBackend:
+    def test_numpy_backend_exact_vs_loop_oracle(self, fake_results, rng):
+        """backend='numpy' (lfilter f64) is exact w.r.t. the reference's
+        sequential loops (≤1e-12 — same arithmetic, vectorized)."""
+        cfg = RiskConfig()
+        mu, sigma = estimate_mu_sigma_normal(fake_results)
+        r = np.stack(
+            [fake_results[:700, INDEX[k]].astype(float) for k in cfg.res_keys],
+            axis=1,
+        )
+        want_inst, want_smooth, want_c, want_s = _numpy_rf_oracle(r, mu, sigma, cfg)
+        rf = compute_rf_time_series(r, mu, sigma, cfg, backend="numpy")
+        np.testing.assert_allclose(rf["s_tot"], want_s, rtol=1e-12)
+        np.testing.assert_allclose(rf["c"], want_c, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(rf["rf_inst"], want_inst, rtol=1e-9, atol=1e-14)
+        np.testing.assert_allclose(rf["rf_smooth"], want_smooth, rtol=1e-9, atol=1e-14)
+
+    def test_backends_agree_on_alarm_indices(self, fake_results):
+        out_jax = run_risk_pipeline(fake_results, backend="jax")
+        out_np = run_risk_pipeline(fake_results, backend="numpy")
+        assert len(out_jax) == len(out_np)
+        for a, b in zip(out_jax, out_np):
+            assert a.idx_v_alarm == b.idx_v_alarm
+            assert a.idx_rf_alarm == b.idx_rf_alarm
