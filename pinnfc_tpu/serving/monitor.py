@@ -1,0 +1,205 @@
+"""Online streaming fault monitor (serving layer).
+
+The reference is a batch research pipeline; deployment needs the same
+physics in streaming form.  ``OnlineMonitor`` scores measurements as they
+arrive, O(1) state per step:
+
+1. one jitted device pass evaluates the DNN voltage prediction and all four
+   physics residuals for the incoming row block (the same math as the
+   exporter, pinnfc_tpu.physics.all_residuals);
+2. the RF(t) recurrences carry across calls — the leaky risk integral
+   ``C[t] = λ·C[t-1] + S[t]`` (04:262-264) and the EMA smoother
+   (04:276-279) continue exactly where the previous block ended, so feeding
+   one row at a time or a thousand at a time produces the identical series;
+3. alarms follow script 04's semantics: RF warn/danger thresholds plus the
+   dynamic voltage threshold V(0) − 0.1 V captured from the first sample.
+
+Normal-operation statistics (μ/σ of the residual channels) come from the
+training campaign (`estimate_mu_sigma_normal`), and model parameters +
+scalers load from a checkpoint (`utils.checkpoint`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pinnfc_tpu.config import RiskConfig
+from pinnfc_tpu.data.scaling import AffineScaler
+from pinnfc_tpu.models.mlp import mlp_forward
+from pinnfc_tpu.models.pinn import PinnParams
+from pinnfc_tpu.ops.recurrences import linear_recurrence_scan
+from pinnfc_tpu.physics.residuals import all_residuals
+
+
+class MonitorState(NamedTuple):
+    """Carry between blocks: risk integral, EMA value, first-sample voltage."""
+
+    c: jnp.ndarray  # () leaky integral C[t]
+    rf_smooth: jnp.ndarray  # () EMA value
+    v_first: jnp.ndarray  # () V(0) for the dynamic threshold
+    n_seen: jnp.ndarray  # () samples consumed
+
+
+@dataclasses.dataclass
+class MonitorOutput:
+    rf_smooth: np.ndarray  # (B,)
+    rf_inst: np.ndarray  # (B,)
+    residuals: np.ndarray  # (B, 5) [res, pV, pT, pH, pO]
+    v_pred: np.ndarray  # (B,) predicted stack voltage [V]
+    warn: np.ndarray  # (B,) bool — RF ≥ warn threshold
+    danger: np.ndarray  # (B,) bool — RF ≥ danger threshold
+    v_alarm: np.ndarray  # (B,) bool — measured V ≤ V(0) − drop
+
+
+def _rf_block(s_tot, state: MonitorState, cfg: RiskConfig):
+    """Continue the RF recurrences over one block given carry ``state``."""
+    lam = cfg.lambda_decay
+    c_series = linear_recurrence_scan(
+        jnp.full_like(s_tot, lam), s_tot, state.c
+    )
+    c_clip = jnp.clip(c_series, 0.0, cfg.c_max)
+    k, c0 = cfg.k_logistic, cfg.c0_logistic
+    l_0 = 1.0 / (1.0 + np.exp(-k * (0.0 - c0)))
+    l_max = 1.0 / (1.0 + np.exp(-k * (cfg.c_max - c0)))
+    denom = (l_max - l_0) if (l_max - l_0) != 0 else 1e-6
+    rf_inst = jnp.clip(
+        (1.0 / (1.0 + jnp.exp(-k * (c_clip - c0))) - l_0) / denom, 0.0, 1.0
+    )
+    # EMA continues from the carried value; on the very first sample ever,
+    # seed with rf_inst[0] (04:277)
+    alpha = cfg.alpha_smooth
+    seed = jnp.where(state.n_seen == 0, rf_inst[0], state.rf_smooth)
+    rf_smooth = linear_recurrence_scan(
+        jnp.full_like(rf_inst, 1.0 - alpha), alpha * rf_inst, seed
+    )
+    # first-ever sample: rf_smooth[0] must equal rf_inst[0] exactly
+    rf_smooth = jnp.where(
+        (state.n_seen == 0) & (jnp.arange(rf_inst.shape[0]) == 0),
+        rf_inst, rf_smooth,
+    )
+    return rf_inst, rf_smooth, c_series
+
+
+class OnlineMonitor:
+    """Streaming scorer over (B, 8) raw measurement blocks + (B,) voltage."""
+
+    def __init__(
+        self,
+        params: PinnParams,
+        scaler_x: AffineScaler,
+        scaler_y: AffineScaler,
+        mu: np.ndarray,
+        sigma: np.ndarray,
+        config: RiskConfig = RiskConfig(),
+    ):
+        self.params = params
+        self.scaler_x = scaler_x
+        self.scaler_y = scaler_y
+        self.mu = jnp.asarray(mu, jnp.float32)
+        self.sigma = jnp.asarray(sigma, jnp.float32)
+        self.config = config
+        self.state = MonitorState(
+            c=jnp.asarray(0.0),
+            rf_smooth=jnp.asarray(0.0),
+            v_first=jnp.asarray(0.0),
+            n_seen=jnp.asarray(0),
+        )
+        self._step = self._build_step()
+
+    def _build_step(self):
+        cfg = self.config
+        w_feat = jnp.asarray(cfg.feature_weights, jnp.float32)
+        key_to_idx = {k: i for i, k in enumerate(cfg.res_keys)}
+        layer_w = dict(cfg.layer_weights)
+
+        @jax.jit
+        def step(params, state: MonitorState, x_raw, v_meas, mu, sigma):
+            x_norm = self.scaler_x.transform(x_raw)
+            u_norm, _ = mlp_forward(params["mlp"], x_norm, train=False)
+            v_pred = self.scaler_y.inverse(u_norm)[:, 0]
+            bundle = all_residuals(
+                params, x_norm, u_norm, self.scaler_x, self.scaler_y
+            )
+            res = v_meas - v_pred  # prediction residual (col 12 semantics)
+            r = jnp.stack(
+                [res, bundle.f_v[:, 0], bundle.f_t[:, 0],
+                 bundle.f_h[:, 0], bundle.f_o[:, 0]], axis=1
+            )
+
+            a_trunc = jnp.maximum(
+                0.0, jnp.abs((r - mu[None, :]) / sigma[None, :]) - cfg.z_safe
+            )
+            s_tot = jnp.zeros(r.shape[0], jnp.float32)
+            for lname, keys in cfg.layer_config:
+                idxs = [key_to_idx[k] for k in keys if k in key_to_idx]
+                if not idxs:
+                    continue
+                a_l = a_trunc[:, jnp.asarray(idxs)]
+                w_l = w_feat[jnp.asarray(idxs)][None, :]
+                s_tot = s_tot + layer_w.get(lname, 1.0) * jnp.power(
+                    jnp.sum(w_l * jnp.power(a_l, cfg.p_layer), axis=1),
+                    1.0 / cfg.p_layer,
+                )
+            # first-ever sample contributes no risk (C[0]=0 semantics, 04:262)
+            s_tot = jnp.where(
+                (state.n_seen == 0) & (jnp.arange(s_tot.shape[0]) == 0),
+                0.0, s_tot,
+            )
+
+            rf_inst, rf_smooth, c_series = _rf_block(s_tot, state, cfg)
+
+            v_first = jnp.where(state.n_seen == 0, v_meas[0], state.v_first)
+            new_state = MonitorState(
+                c=c_series[-1],
+                rf_smooth=rf_smooth[-1],
+                v_first=v_first,
+                n_seen=state.n_seen + s_tot.shape[0],
+            )
+            v_alarm = v_meas <= (v_first - cfg.voltage_drop)
+            return new_state, (rf_inst, rf_smooth, r, v_pred, v_alarm)
+
+        return step
+
+    def observe(self, x_raw, v_measured) -> MonitorOutput:
+        """Score a block of raw measurements (B, 8) + measured voltage (B,)."""
+        x_raw = jnp.asarray(np.atleast_2d(np.asarray(x_raw, np.float32)))
+        v_meas = jnp.asarray(np.atleast_1d(np.asarray(v_measured, np.float32)))
+        self.state, (rf_inst, rf_smooth, r, v_pred, v_alarm) = self._step(
+            self.params, self.state, x_raw, v_meas, self.mu, self.sigma
+        )
+        rf_smooth = np.asarray(rf_smooth)
+        return MonitorOutput(
+            rf_smooth=rf_smooth,
+            rf_inst=np.asarray(rf_inst),
+            residuals=np.asarray(r),
+            v_pred=np.asarray(v_pred),
+            warn=rf_smooth >= self.config.warn_threshold,
+            danger=rf_smooth >= self.config.danger_threshold,
+            v_alarm=np.asarray(v_alarm),
+        )
+
+    def reset(self) -> None:
+        self.state = MonitorState(
+            c=jnp.asarray(0.0),
+            rf_smooth=jnp.asarray(0.0),
+            v_first=jnp.asarray(0.0),
+            n_seen=jnp.asarray(0),
+        )
+
+    @classmethod
+    def from_checkpoint(
+        cls, path: str, mu, sigma, config: RiskConfig = RiskConfig()
+    ) -> "OnlineMonitor":
+        """Restore params + scalers saved by utils.checkpoint.save_checkpoint."""
+        from pinnfc_tpu.utils.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(path)
+        return cls(
+            ckpt["params"], ckpt["scaler_x"], ckpt["scaler_y"], mu, sigma, config
+        )

@@ -226,6 +226,7 @@ def run_schedule(
     dropout_p: float = 0.2,
     verbose: bool = False,
     mesh=None,
+    checkpoint_dir: Optional[str] = None,
 ) -> Tuple[PinnParams, TrainLog]:
     """Run the staged schedule, mutating the params pytree stage by stage.
 
@@ -235,10 +236,31 @@ def run_schedule(
     the single-device run (mean-loss gradients are exact under row sharding).
     Rows are edge-padded to a multiple of the axis size; padded rows DO
     perturb mean losses, so pass pre-divisible data for exact parity.
+
+    With ``checkpoint_dir``, parameters are persisted after every stage and a
+    restarted run resumes from the first incomplete stage (SURVEY §5:
+    checkpoint-restart for long runs).  PRNG keys are derived per stage index
+    so the resumed trajectory matches the uninterrupted one.
     """
     schedule = default_schedule() if schedule is None else schedule
     rng = jax.random.PRNGKey(0) if rng is None else rng
     log = TrainLog()
+
+    start_stage = 0
+    ckpt_path = None
+    if checkpoint_dir is not None:
+        import os
+
+        from pinnfc_tpu.utils.checkpoint import load_params_npz, save_params_npz
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        ckpt_path = os.path.join(checkpoint_dir, "schedule_ckpt.npz")
+        if os.path.exists(ckpt_path):
+            payload = load_params_npz(ckpt_path)
+            params = payload["params"]
+            start_stage = int(jnp.asarray(payload["stage"])) + 1
+            if verbose:
+                print(f"resuming schedule at stage {start_stage}")
 
     if mesh is not None:
         import numpy as np
@@ -263,8 +285,12 @@ def run_schedule(
     group_of = {"thermal": "lam_t", "hydrogen": "lam_h", "oxygen": "lam_o"}
 
     for k, stage in enumerate(schedule):
+        if k < start_stage:
+            continue
         if stage.name == "dnn":
-            rng, key = jax.random.split(rng)
+            # per-stage key derived from the stage index so a resumed run
+            # reproduces the uninterrupted trajectory
+            key = jax.random.fold_in(rng, k)
             res = train_dnn_stage(
                 params["mlp"], x_train, y_train, key,
                 n_iter=stage.n_iter, lr=stage.lr, lr_step=stage.lr_step,
@@ -291,6 +317,8 @@ def run_schedule(
         else:
             raise ValueError(f"unknown stage '{stage.name}'")
         log.add(f"{k}:{stage.name}", res.losses)
+        if ckpt_path is not None:
+            save_params_npz({"params": params, "stage": jnp.asarray(k)}, ckpt_path)
         if verbose:
             print(
                 f"stage {k} [{stage.name:9s}] {stage.n_iter:6d} steps  "

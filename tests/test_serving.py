@@ -1,0 +1,102 @@
+"""Online streaming monitor: parity with the offline RF pipeline, block-size
+invariance, reset, checkpoint restore."""
+
+import jax
+import numpy as np
+import pytest
+
+from pinnfc_tpu.config import RiskConfig
+from pinnfc_tpu.models.mlp import mlp_forward
+from pinnfc_tpu.models.pinn import init_pinn
+from pinnfc_tpu.physics.residuals import all_residuals
+from pinnfc_tpu.risk import compute_rf_time_series
+from pinnfc_tpu.serving import OnlineMonitor
+
+
+@pytest.fixture(scope="module")
+def setup(tiny_dataset):
+    d = tiny_dataset
+    params = init_pinn(jax.random.PRNGKey(0), (8, 16, 1))
+    mu = np.zeros(5)
+    sigma = np.array([0.05, 0.05, 2.0, 0.1, 0.2])
+    x_raw = np.asarray(d.scaler_x.inverse(d.x_test))[:400].astype(np.float32)
+    v_meas = np.asarray(d.scaler_y.inverse(d.y_test))[:400, 0].astype(np.float32)
+    return params, d, mu, sigma, x_raw, v_meas
+
+
+def _offline_rf(params, d, mu, sigma, x_raw, v_meas, cfg):
+    """Offline reference: full-sequence residuals + compute_rf_time_series."""
+    import jax.numpy as jnp
+
+    x_norm = d.scaler_x.transform(x_raw)
+    u_norm, _ = mlp_forward(params["mlp"], x_norm, train=False)
+    v_pred = np.asarray(d.scaler_y.inverse(u_norm))[:, 0]
+    bundle = all_residuals(params, x_norm, u_norm, d.scaler_x, d.scaler_y)
+    r = np.stack(
+        [v_meas - v_pred, np.asarray(bundle.f_v)[:, 0],
+         np.asarray(bundle.f_t)[:, 0], np.asarray(bundle.f_h)[:, 0],
+         np.asarray(bundle.f_o)[:, 0]], axis=1,
+    )
+    return compute_rf_time_series(r, mu, sigma, cfg)
+
+
+class TestOnlineMonitor:
+    def test_matches_offline_pipeline(self, setup):
+        params, d, mu, sigma, x_raw, v_meas = setup
+        cfg = RiskConfig()
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma, cfg)
+        out = mon.observe(x_raw, v_meas)
+        want = _offline_rf(params, d, mu, sigma, x_raw, v_meas, cfg)
+        np.testing.assert_allclose(
+            out.rf_smooth, np.asarray(want["rf_smooth"]), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            out.rf_inst, np.asarray(want["rf_inst"]), rtol=1e-4, atol=1e-5
+        )
+
+    def test_block_size_invariance(self, setup):
+        """Streaming 1-by-50 must equal one 400-row block exactly (the carry
+        continues the recurrences)."""
+        params, d, mu, sigma, x_raw, v_meas = setup
+        cfg = RiskConfig()
+        mon_a = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma, cfg)
+        full = mon_a.observe(x_raw, v_meas)
+
+        mon_b = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma, cfg)
+        chunks = []
+        for s in range(0, 400, 50):
+            chunks.append(mon_b.observe(x_raw[s : s + 50], v_meas[s : s + 50]))
+        stream = np.concatenate([c.rf_smooth for c in chunks])
+        np.testing.assert_allclose(stream, full.rf_smooth, rtol=1e-5, atol=1e-7)
+
+    def test_alarm_flags(self, setup):
+        params, d, mu, sigma, x_raw, v_meas = setup
+        cfg = RiskConfig()
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma, cfg)
+        out = mon.observe(x_raw, v_meas)
+        # dynamic threshold anchored on the first sample
+        want_v_alarm = v_meas <= (v_meas[0] - cfg.voltage_drop)
+        np.testing.assert_array_equal(out.v_alarm, want_v_alarm)
+        assert out.warn.dtype == bool and out.danger.dtype == bool
+        # danger implies warn
+        assert (~out.danger | out.warn).all()
+
+    def test_reset(self, setup):
+        params, d, mu, sigma, x_raw, v_meas = setup
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        a = mon.observe(x_raw[:100], v_meas[:100])
+        mon.reset()
+        b = mon.observe(x_raw[:100], v_meas[:100])
+        np.testing.assert_array_equal(a.rf_smooth, b.rf_smooth)
+
+    def test_from_checkpoint(self, setup, tmp_path):
+        params, d, mu, sigma, x_raw, v_meas = setup
+        from pinnfc_tpu.utils import save_checkpoint
+
+        path = str(tmp_path / "mon_ckpt")
+        save_checkpoint(path, params, d.scaler_x, d.scaler_y)
+        mon = OnlineMonitor.from_checkpoint(path, mu, sigma)
+        direct = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        a = mon.observe(x_raw[:50], v_meas[:50])
+        b = direct.observe(x_raw[:50], v_meas[:50])
+        np.testing.assert_allclose(a.rf_smooth, b.rf_smooth, rtol=1e-6)

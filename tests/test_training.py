@@ -186,3 +186,43 @@ class TestSchedule:
             mean.bias.detach().numpy(),
             rtol=1e-4, atol=1e-6,
         )
+
+
+class TestCheckpointResume:
+    def test_resume_matches_uninterrupted(self, tiny_dataset, tmp_path):
+        """Kill after stage 1, resume → identical final params to a straight
+        run (per-stage fold_in keys make trajectories reproducible)."""
+        d = tiny_dataset
+        sched = (
+            StageConfig("dnn", 30, lr=0.01),
+            StageConfig("thermal", 30, lr=1.0),
+            StageConfig("hydrogen", 30, lr=0.1, lr_gamma=0.9),
+        )
+        p0 = init_pinn(jax.random.PRNGKey(5), (8, 16, 1))
+        key = jax.random.PRNGKey(6)
+
+        straight, _ = run_schedule(
+            p0, d.x_train, d.y_train, d.scaler_x, d.scaler_y,
+            schedule=sched, rng=key,
+        )
+
+        ck = str(tmp_path / "resume")
+        # run only the first two stages, checkpointing
+        partial_sched = sched[:2]
+        run_schedule(
+            p0, d.x_train, d.y_train, d.scaler_x, d.scaler_y,
+            schedule=partial_sched, rng=key, checkpoint_dir=ck,
+        )
+        # resume with the full schedule: stages 0-1 skipped, stage 2 runs
+        resumed, log = run_schedule(
+            p0, d.x_train, d.y_train, d.scaler_x, d.scaler_y,
+            schedule=sched, rng=key, checkpoint_dir=ck,
+        )
+        assert len(log.stages) == 1  # only the hydrogen stage ran
+        np.testing.assert_allclose(
+            np.asarray(straight["lam_h"]), np.asarray(resumed["lam_h"]), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(straight["mlp"]["mean"]["b"]),
+            np.asarray(resumed["mlp"]["mean"]["b"]), rtol=1e-6,
+        )
