@@ -93,19 +93,75 @@ def cmd_train(args) -> int:
 
 
 def cmd_auc(args) -> int:
+    import dataclasses as dc
+
+    from pinnfc_tpu.config import AucConfig
     from pinnfc_tpu.data import load_comprehensive_results
-    from pinnfc_tpu.diagnosis import run_auc_pipeline
+    from pinnfc_tpu.diagnosis import list_available_features, run_auc_pipeline
+
+    if getattr(args, "list_features", False):  # 02:455-458
+        print("available features:", ", ".join(list_available_features()))
+        return 0
+
+    cfg = AucConfig()
+    overrides = {}
+    if getattr(args, "group_spec", None):
+        overrides["group_spec"] = args.group_spec
+    if getattr(args, "test_size", None) is not None:
+        overrides["test_size"] = args.test_size
+    if getattr(args, "balanced", None) is not None:
+        overrides["balanced"] = args.balanced
+    if overrides:
+        cfg = dc.replace(cfg, **overrides)
 
     results = load_comprehensive_results(args.mat)
-    out = run_auc_pipeline(results)
+    out = run_auc_pipeline(results, cfg)
     for g in out.groups:
         print(f"group {g.group_id} [{g.features}]  AUC={g.auc:.4f}  acc={g.accuracy:.4f}")
     print(f"unsupervised IsolationForest AUC={out.iso_auc:.4f}")
+
+    if getattr(args, "show_coef", 0):  # 02:209-229 explainer
+        import numpy as np
+
+        from pinnfc_tpu.data.contract import INDEX
+        from pinnfc_tpu.diagnosis import (
+            build_label_mapper,
+            explain_coefficients,
+            extract_X_y,
+            logreg_fit,
+            parse_features,
+            parse_group_spec,
+        )
+        from pinnfc_tpu.diagnosis.splits import stratified_split
+
+        groups = parse_group_spec(cfg.group_spec)
+        label_map, class_names = build_label_mapper(groups)
+        inv = {v: k for k, v in INDEX.items()}
+        for spec in cfg.feature_groups:
+            feat_idx = parse_features(spec)
+            x, y = extract_X_y(results.array, feat_idx, label_map)
+            x_tr, _, y_tr, _ = stratified_split(
+                x, y, y=y, test_size=cfg.test_size, random_state=cfg.random_state
+            )
+            model = logreg_fit(x_tr, y_tr, n_classes=len(class_names),
+                               balanced=cfg.balanced)
+            names = [inv.get(i, f"col{i}") for i in feat_idx]
+            info = explain_coefficients(model, names, class_names,
+                                        topn=args.show_coef)
+            print(f"\nLR coefficients, features [{spec}]:")
+            for cname, d in info.items():
+                pos = ", ".join(f"{n}({w:+.3f})" for n, w in d["positive"])
+                neg = ", ".join(f"{n}({w:+.3f})" for n, w in d["negative"])
+                print(f"  {cname}: top+ {pos} | top- {neg}")
+
     if args.plot_dir:
-        from pinnfc_tpu.viz import plot_roc_curves
+        from pinnfc_tpu.viz import plot_res_vs_epi, plot_roc_curves, plot_temp_vs_voltage
 
         os.makedirs(args.plot_dir, exist_ok=True)
-        print("figure →", plot_roc_curves(out, os.path.join(args.plot_dir, "roc.png")))
+        plot_roc_curves(out, os.path.join(args.plot_dir, "roc.png"))
+        plot_temp_vs_voltage(results, os.path.join(args.plot_dir, "temp_vs_v.png"))
+        plot_res_vs_epi(results, os.path.join(args.plot_dir, "res_vs_epi.png"))
+        print("figures →", args.plot_dir)
     return 0
 
 
@@ -128,6 +184,18 @@ def cmd_gmm(args) -> int:
         for k in range(len(out.class_names)):
             plot_fault_probabilities(
                 out, k, os.path.join(args.plot_dir, f"gmm_probs_fault{k}.png")
+            )
+        if getattr(args, "tsne", False):  # 03:429-508
+            from pinnfc_tpu.config import GmmConfig
+            from pinnfc_tpu.diagnosis import parse_features
+            from pinnfc_tpu.viz import plot_feature_scatter, tsne_embed
+
+            feat_idx = parse_features(GmmConfig().features)
+            x_te = results.array[out.test_full_indices][:, feat_idx]
+            emb = tsne_embed(x_te, perplexity=20.0)
+            plot_feature_scatter(
+                emb, out.y_pred, os.path.join(args.plot_dir, "gmm_tsne.png"),
+                out.class_names, title="t-SNE of test samples (predicted class)",
             )
         print("figures →", args.plot_dir)
     return 0
@@ -273,8 +341,8 @@ def main(argv: Optional[list] = None) -> int:
     t.set_defaults(fn=cmd_train)
 
     for name, fn, extra in (
-        ("auc", cmd_auc, {}),
-        ("gmm", cmd_gmm, {}),
+        ("auc", cmd_auc, {"auc": True}),
+        ("gmm", cmd_gmm, {"tsne": True}),
         ("risk", cmd_risk, {}),
         ("compare", cmd_compare, {"methods": True}),
     ):
@@ -286,6 +354,17 @@ def main(argv: Optional[list] = None) -> int:
                 "--methods", default=None,
                 help="comma list: gmm,logreg,svm,kmeans,agglomerative,spectral",
             )
+        if extra.get("auc"):  # script-02 argparse parity (02:446-453)
+            s.add_argument("--group-spec", default=None)
+            s.add_argument("--test-size", type=float, default=None)
+            s.add_argument("--balanced", action="store_true", default=None)
+            s.add_argument("--no-balanced", dest="balanced", action="store_false")
+            s.add_argument("--show-coef", type=int, default=0,
+                           help="print top-N LR coefficients per class")
+            s.add_argument("--list-features", action="store_true")
+        if extra.get("tsne"):
+            s.add_argument("--tsne", action="store_true",
+                           help="also write a t-SNE figure (CPU, slow)")
         s.set_defaults(fn=fn)
 
     r = sub.add_parser("run-all", help="full pipeline 01→02/03/04/05")

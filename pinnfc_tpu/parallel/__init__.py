@@ -18,6 +18,7 @@ from pinnfc_tpu.parallel.ensemble import (
     init_ensemble,
     mc_dropout_sharded,
     train_dnn_ensemble,
+    train_pinn_ensemble,
 )
 
 __all__ = [
@@ -36,4 +37,5 @@ __all__ = [
     "init_ensemble",
     "mc_dropout_sharded",
     "train_dnn_ensemble",
+    "train_pinn_ensemble",
 ]

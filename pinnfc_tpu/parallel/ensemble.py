@@ -75,6 +75,72 @@ def train_dnn_ensemble(
     return {**ensemble_params, "mlp": mlps}, losses
 
 
+def train_pinn_ensemble(
+    ensemble_params,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    rng: jax.Array,
+    scaler_x,
+    scaler_y,
+    schedule=None,
+    dropout_p: float = 0.2,
+):
+    """Run the FULL staged schedule for every ensemble member simultaneously
+    (the many-seed PINN sweep): each stage's jitted scan is vmapped over the
+    member axis, data broadcast.  Returns (stacked params, {stage: losses
+    (E, n_iter)})."""
+    from pinnfc_tpu.config import default_schedule
+    from pinnfc_tpu.models.mlp import mlp_forward
+    from pinnfc_tpu.training.stages import (
+        train_lambda_v_stage,
+        train_residual_stage,
+    )
+
+    schedule = default_schedule() if schedule is None else schedule
+    n_models = jax.tree_util.tree_leaves(ensemble_params["mlp"])[0].shape[0]
+    params = dict(ensemble_params)
+    losses = {}
+    group_of = {"thermal": "lam_t", "hydrogen": "lam_h", "oxygen": "lam_o"}
+
+    for k, stage in enumerate(schedule):
+        if stage.name == "dnn":
+            keys = jax.random.split(jax.random.fold_in(rng, k), n_models)
+
+            def one_dnn(mlp, key):
+                return train_dnn_stage(
+                    mlp, x, y, key, n_iter=stage.n_iter, lr=stage.lr,
+                    lr_step=stage.lr_step, lr_gamma=stage.lr_gamma,
+                    dropout_p=dropout_p,
+                )
+
+            res = jax.vmap(one_dnn)(params["mlp"], keys)
+            params["mlp"] = res.params
+        elif stage.name == "lambda_v":
+            def one_lam_v(mlp, lam_v):
+                u_pred, _ = mlp_forward(mlp, x, train=False)
+                return train_lambda_v_stage(
+                    lam_v, x, y, u_pred, scaler_x, scaler_y,
+                    n_iter=stage.n_iter, lr=stage.lr, lr_step=stage.lr_step,
+                    lr_gamma=stage.lr_gamma, dnn_para=stage.dnn_para,
+                )
+
+            res = jax.vmap(one_lam_v)(params["mlp"], params["lam_v"])
+            params["lam_v"] = res.params
+        else:
+            group = group_of[stage.name]
+
+            def one_res(lam):
+                return train_residual_stage(
+                    lam, x, scaler_x, group, n_iter=stage.n_iter, lr=stage.lr,
+                    lr_step=stage.lr_step, lr_gamma=stage.lr_gamma,
+                )
+
+            res = jax.vmap(one_res)(params[group])
+            params[group] = res.params
+        losses[f"{k}:{stage.name}"] = res.losses
+    return params, losses
+
+
 def ensemble_predict(ensemble_params, x: jnp.ndarray):
     """(E, N, 1) stacked eval-mode predictions."""
     from pinnfc_tpu.models.mlp import mlp_forward

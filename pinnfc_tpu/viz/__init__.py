@@ -4,9 +4,11 @@ from pinnfc_tpu.viz.plots import (
     plot_fault_probabilities,
     plot_feature_scatter,
     plot_metrics_bars,
+    plot_res_vs_epi,
     plot_rf_condition,
     plot_roc_curves,
     plot_split_overview,
+    plot_temp_vs_voltage,
     plot_uncertainty,
     tsne_embed,
 )
@@ -17,9 +19,11 @@ __all__ = [
     "plot_fault_probabilities",
     "plot_feature_scatter",
     "plot_metrics_bars",
+    "plot_res_vs_epi",
     "plot_rf_condition",
     "plot_roc_curves",
     "plot_split_overview",
+    "plot_temp_vs_voltage",
     "plot_uncertainty",
     "tsne_embed",
 ]

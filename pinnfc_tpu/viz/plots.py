@@ -159,6 +159,40 @@ def plot_feature_scatter(
     return _finish(fig, save_path)
 
 
+def plot_temp_vs_voltage(results, save_path: str):
+    """Coolant-outlet temperature (x5) vs measured voltage, normal/fault
+    colored (reference scatter view, 02:233-258)."""
+    arr = _arr(results)
+    labels = arr[:, INDEX["label"]].astype(int)
+    fig, ax = plt.subplots(figsize=(5.5, 4))
+    m = labels == 0
+    ax.scatter(arr[m, INDEX["x5"]], arr[m, INDEX["y_true"]], s=4, alpha=0.4,
+               label="normal", c="tab:blue")
+    ax.scatter(arr[~m, INDEX["x5"]], arr[~m, INDEX["y_true"]], s=4, alpha=0.4,
+               label="fault", c="tab:red")
+    ax.set_xlabel("coolant outlet temperature [°C]")
+    ax.set_ylabel("stack voltage [V]")
+    ax.legend(fontsize=8, markerscale=2)
+    return _finish(fig, save_path)
+
+
+def plot_res_vs_epi(results, save_path: str):
+    """Prediction residual vs epistemic uncertainty, normal/fault colored
+    (reference scatter view, 02:260-285)."""
+    arr = _arr(results)
+    labels = arr[:, INDEX["label"]].astype(int)
+    fig, ax = plt.subplots(figsize=(5.5, 4))
+    m = labels == 0
+    ax.scatter(arr[m, INDEX["res"]], arr[m, INDEX["epi"]], s=4, alpha=0.4,
+               label="normal", c="tab:blue")
+    ax.scatter(arr[~m, INDEX["res"]], arr[~m, INDEX["epi"]], s=4, alpha=0.4,
+               label="fault", c="tab:red")
+    ax.set_xlabel("prediction residual [V]")
+    ax.set_ylabel("epistemic std [V]")
+    ax.legend(fontsize=8, markerscale=2)
+    return _finish(fig, save_path)
+
+
 def tsne_embed(x: np.ndarray, perplexity: float = 30.0, random_state: int = 42):
     """t-SNE to 2-D (CPU sklearn — one-off visualization; 02:316-321)."""
     from sklearn.manifold import TSNE

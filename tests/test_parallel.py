@@ -186,3 +186,39 @@ class TestDataParallelSchedule:
             np.testing.assert_allclose(
                 np.asarray(l1), np.asarray(l2), rtol=1e-4, atol=1e-6
             )
+
+
+class TestFullPinnEnsemble:
+    def test_full_schedule_all_members(self, dp_data):
+        """Every member runs the whole staged schedule; λ's stay within
+        bounds and differ across seeds only in MLP-dependent stages."""
+        from pinnfc_tpu.config import StageConfig
+        from pinnfc_tpu.models.pinn import LAMBDA_BOUNDS
+        from pinnfc_tpu.parallel import init_ensemble, train_pinn_ensemble
+
+        x, y, sx, sy = dp_data
+        sched = (
+            StageConfig("dnn", 20, lr=0.01),
+            StageConfig("lambda_v", 15, lr=1e-3, dnn_para=True),
+            StageConfig("thermal", 15, lr=1.0),
+            StageConfig("hydrogen", 15, lr=0.1, lr_gamma=0.9),
+            StageConfig("oxygen", 15, lr=0.01, lr_gamma=0.9),
+        )
+        ens = init_ensemble(jax.random.PRNGKey(0), 4, layers=(8, 16, 1))
+        params, losses = train_pinn_ensemble(
+            ens, x, y, jax.random.PRNGKey(1), sx, sy, schedule=sched
+        )
+        assert set(losses) == {"0:dnn", "1:lambda_v", "2:thermal",
+                               "3:hydrogen", "4:oxygen"}
+        for name, l in losses.items():
+            assert l.shape[0] == 4
+            assert np.isfinite(np.asarray(l)).all(), name
+        for g, (lo, hi) in LAMBDA_BOUNDS.items():
+            lam = np.asarray(params[g])
+            assert lam.shape[0] == 4
+            assert (lam >= lo - 1e-6).all() and (lam <= hi + 1e-6).all()
+        # thermal stage is MLP-independent → members identical; dnn losses differ
+        np.testing.assert_allclose(
+            np.asarray(params["lam_t"][0]), np.asarray(params["lam_t"][1])
+        )
+        assert float(np.std(np.asarray(losses["0:dnn"][:, -1]))) > 0
