@@ -24,8 +24,9 @@ FAULT_Y_INDEX = 19 - 3
 
 
 def _as_col(a: np.ndarray) -> np.ndarray:
-    a = np.asarray(a)
-    return a.reshape(-1, 1) if a.ndim == 1 else a
+    """Channel vector → (N, 1) column.  MATLAB stores vectors as (N, 1) or
+    (1, N) depending on origin; both flatten to the same channel."""
+    return np.asarray(a).reshape(-1, 1)
 
 
 def load_normal_mat(path: str) -> Tuple[np.ndarray, np.ndarray]:

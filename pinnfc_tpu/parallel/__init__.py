@@ -11,7 +11,6 @@ from pinnfc_tpu.parallel.data_parallel import (
     full_train_step,
     init_dp_state,
     make_dp_optimizers,
-    make_jitted_dp_step,
 )
 from pinnfc_tpu.parallel.ensemble import (
     ensemble_predict,
@@ -32,7 +31,6 @@ __all__ = [
     "full_train_step",
     "init_dp_state",
     "make_dp_optimizers",
-    "make_jitted_dp_step",
     "ensemble_predict",
     "init_ensemble",
     "mc_dropout_sharded",

@@ -14,7 +14,6 @@ dryrun_multichip`): it compiles and executes on an N-virtual-device CPU mesh.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax
@@ -24,7 +23,6 @@ import optax
 from pinnfc_tpu.data.scaling import AffineScaler
 from pinnfc_tpu.models.mlp import aleatoric_loss, mlp_forward
 from pinnfc_tpu.models.pinn import LAMBDA_BOUNDS, PinnParams
-from pinnfc_tpu.parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
 from pinnfc_tpu.physics.hydrogen import hydrogen_residual
 from pinnfc_tpu.physics.oxygen import oxygen_residual
 from pinnfc_tpu.physics.thermal import thermal_residual_simple
@@ -110,23 +108,3 @@ def full_train_step(
         losses[g] = loss
 
     return DPTrainState(new_params, tuple(new_opt_states)), losses
-
-
-def make_jitted_dp_step(mesh, scaler_x, scaler_y, opts, dropout_p=0.2):
-    """jit the combined step with data sharded over the mesh and params
-    replicated; XLA inserts the gradient all-reduce."""
-    data_sh = batch_sharding(mesh)
-
-    @partial(jax.jit, static_argnames=(), in_shardings=None, out_shardings=None)
-    def step(state, x, y, key):
-        return full_train_step(
-            state, x, y, key, scaler_x, scaler_y, opts, dropout_p
-        )
-
-    def run(state, x, y, key):
-        x = jax.device_put(x, data_sh)
-        y = jax.device_put(y, data_sh)
-        state = replicate(mesh, state)
-        return step(state, x, y, key)
-
-    return run

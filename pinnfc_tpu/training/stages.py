@@ -70,7 +70,10 @@ def _adam(lr: float, step_size: int, gamma: float) -> optax.GradientTransformati
 # DNN stage (reference train_dnn, 01:929-964)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("n_iter", "lr", "lr_step", "lr_gamma", "dropout_p"))
+@partial(
+    jax.jit,
+    static_argnames=("n_iter", "lr", "lr_step", "lr_gamma", "dropout_p", "precision"),
+)
 def train_dnn_stage(
     mlp_params,
     x: jnp.ndarray,
@@ -81,13 +84,20 @@ def train_dnn_stage(
     lr_step: int = 1000,
     lr_gamma: float = 0.8,
     dropout_p: float = 0.2,
+    precision: str = "highest",
 ) -> StageResult:
-    """Full-batch Adam on the MLP with dropout active and λ frozen."""
+    """Full-batch Adam on the MLP with dropout active and λ frozen.
+
+    ``precision``: 'highest' (6-pass f32 MXU — torch-parity numerics, the
+    default) or 'default' (single-pass bf16 MXU inputs — the throughput
+    mode; parameters and accumulation stay f32)."""
     opt = _adam(lr, lr_step, lr_gamma)
     opt_state = opt.init(mlp_params)
 
     def loss_fn(p, key):
-        pred, log_var = mlp_forward(p, x, dropout_p=dropout_p, train=True, rng=key)
+        pred, log_var = mlp_forward(
+            p, x, dropout_p=dropout_p, train=True, rng=key, precision=precision
+        )
         return aleatoric_loss(y, pred, log_var)
 
     def step(carry, key):

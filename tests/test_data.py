@@ -125,3 +125,48 @@ class TestSynthetic:
         # fault segments degrade voltage vs healthy start
         for x, y, label in faults:
             assert y[-50:].mean() < y[:50].mean() - 0.05, label
+
+
+class TestMatLoaders:
+    """Raw .mat ingestion with the reference's channel selection/filters
+    (01:115-187), against synthetic .mat files with the campaign layout."""
+
+    def test_normal_mat_channels_and_filter(self, tmp_path, rng):
+        import scipy.io
+
+        n = 50
+        data = {
+            "I": rng.uniform(0, 900, n),  # some rows outside (50, 800)
+            "m_W": rng.rand(n), "T_W_in": rng.rand(n), "P_H_in": rng.rand(n),
+            "P_O_in": rng.rand(n), "T_W_out": rng.rand(n),
+            "m_H2": rng.rand(n), "m_O2": rng.rand(n),
+            "U": rng.rand(n),
+        }
+        path = str(tmp_path / "Polar-1.mat")
+        scipy.io.savemat(path, data)
+
+        from pinnfc_tpu.data import load_normal_mat
+
+        x, y = load_normal_mat(path)
+        keep = (data["I"] > 50) & (data["I"] < 800)
+        assert x.shape == (keep.sum(), 8)
+        np.testing.assert_allclose(x[:, 0], data["I"][keep])
+        np.testing.assert_allclose(x[:, 5], data["T_W_out"][keep])
+        np.testing.assert_allclose(y[:, 0], data["U"][keep])
+
+    def test_fault_mat_corr_index_and_filter(self, tmp_path, rng):
+        import scipy.io
+
+        n, width = 40, 80
+        seg = rng.rand(n, width)
+        seg[:5, 22] = 0.0  # zero current rows (corr_index[1] = 25-3 = 22)
+        path = str(tmp_path / "fault.mat")
+        scipy.io.savemat(path, {"segment_double": seg})
+
+        from pinnfc_tpu.data import load_fault_mat
+        from pinnfc_tpu.data.loaders import FAULT_CORR_INDEX, FAULT_Y_INDEX
+
+        x, y = load_fault_mat(path)
+        assert x.shape == (35, 8)
+        np.testing.assert_allclose(x, seg[5:, FAULT_CORR_INDEX])
+        np.testing.assert_allclose(y[:, 0], seg[5:, FAULT_Y_INDEX])
