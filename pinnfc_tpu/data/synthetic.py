@@ -21,7 +21,7 @@ factor 0 → 1 over the segment with characteristic channel signatures:
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -14,7 +14,7 @@ batched matmul/triangular-solve — MXU work; no Python loops anywhere.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

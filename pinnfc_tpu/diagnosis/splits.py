@@ -9,7 +9,7 @@ preserves the reference's exact row selection for parity checks.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

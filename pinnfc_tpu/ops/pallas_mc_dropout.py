@@ -29,7 +29,6 @@ flexible (Python loop unrolls at trace time).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,14 +15,10 @@ MC samples serially (01:1443-1464).  Here:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from pinnfc_tpu.models.mlp import init_mlp
 from pinnfc_tpu.models.pinn import init_pinn
 from pinnfc_tpu.training.stages import train_dnn_stage
 from pinnfc_tpu.uq.mc_dropout import MCSamples, mc_dropout_samples

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -123,6 +123,7 @@ def run_training_pipeline(
         dropout_p=config.model.dropout_p,
         verbose=verbose,
         mesh=mesh,
+        precision=config.model.precision,
     )
     jax.block_until_ready(params)
     timings["train_s"] = time.perf_counter() - t0

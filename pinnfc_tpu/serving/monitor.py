@@ -22,8 +22,7 @@ scalers load from a checkpoint (`utils.checkpoint`).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Dict, List, NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

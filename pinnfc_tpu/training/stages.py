@@ -41,10 +41,10 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from pinnfc_tpu.config import StageConfig, TrainConfig, default_schedule
+from pinnfc_tpu.config import default_schedule
 from pinnfc_tpu.data.scaling import AffineScaler
 from pinnfc_tpu.models.mlp import aleatoric_loss, mlp_forward
-from pinnfc_tpu.models.pinn import LAMBDA_BOUNDS, PinnParams, init_pinn
+from pinnfc_tpu.models.pinn import LAMBDA_BOUNDS, PinnParams
 from pinnfc_tpu.physics.hydrogen import hydrogen_residual
 from pinnfc_tpu.physics.oxygen import oxygen_residual
 from pinnfc_tpu.physics.thermal import thermal_residual_simple
@@ -237,6 +237,7 @@ def run_schedule(
     verbose: bool = False,
     mesh=None,
     checkpoint_dir: Optional[str] = None,
+    precision: str = "highest",
 ) -> Tuple[PinnParams, TrainLog]:
     """Run the staged schedule, mutating the params pytree stage by stage.
 
@@ -305,6 +306,7 @@ def run_schedule(
                 params["mlp"], x_train, y_train, key,
                 n_iter=stage.n_iter, lr=stage.lr, lr_step=stage.lr_step,
                 lr_gamma=stage.lr_gamma, dropout_p=dropout_p,
+                precision=precision,
             )
             params = {**params, "mlp": res.params}
         elif stage.name == "lambda_v":
