@@ -261,3 +261,19 @@ class TestSVM:
         model = svm_fit(x, y, n_classes=4, c_svm=0.05, balanced=True)
         acc = accuracy_score(y, np.asarray(svm_predict(model, x)))
         assert acc > sk_acc - 0.05
+
+
+class TestExplainCoefficients:
+    def test_structure_and_ordering(self, blobs):
+        from pinnfc_tpu.diagnosis import explain_coefficients
+
+        x, y = blobs
+        model = logreg_fit(x, y, n_classes=4, balanced=True)
+        names = ["f0", "f1", "f2", "f3"]
+        out = explain_coefficients(model, names, ["a", "b", "c", "d"], topn=2)
+        assert set(out) == {"a", "b", "c", "d"}
+        for cls, d in out.items():
+            assert len(d["positive"]) == 2 and len(d["negative"]) == 2
+            # positive list sorted descending, negative ascending
+            assert d["positive"][0][1] >= d["positive"][1][1]
+            assert d["negative"][0][1] <= d["negative"][1][1]

@@ -62,3 +62,28 @@ class TestObservability:
             with t:
                 pass
         assert t.steps_per_sec(10) > 0
+
+
+class TestProfileTrace:
+    def test_trace_capture(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from pinnfc_tpu.utils import profile_trace
+
+        out_dir = str(tmp_path / "trace")
+        with profile_trace(out_dir):
+            x = jnp.ones((64, 64))
+            jax.block_until_ready(jax.jit(lambda a: a @ a)(x))
+        import os
+
+        found = []
+        for root, _, files in os.walk(out_dir):
+            found += files
+        assert found, "profiler produced no trace files"
+
+    def test_disabled_is_noop(self):
+        from pinnfc_tpu.utils import profile_trace
+
+        with profile_trace(enabled=False):
+            pass
