@@ -106,7 +106,9 @@ class TestRfCore:
         sigma = np.ones(5)
         r = 0.5 * np.ones((100, 5))  # |z| = 0.5 < z_safe=2 → S=0 → RF=0
         rf = compute_rf_time_series(r, mu, sigma, cfg)
-        np.testing.assert_allclose(np.asarray(rf["rf_smooth"]), 0.0, atol=1e-6)
+        # atol 1e-5: on-device f32 exp differs from the host f64 logistic
+        # offset l_0 by ~3e-6 at C=0
+        np.testing.assert_allclose(np.asarray(rf["rf_smooth"]), 0.0, atol=1e-5)
 
 
 class TestAlarms:
