@@ -226,3 +226,36 @@ class TestCheckpointResume:
             np.asarray(straight["mlp"]["mean"]["b"]),
             np.asarray(resumed["mlp"]["mean"]["b"]), rtol=1e-6,
         )
+
+
+class TestStepLRParity:
+    def test_adam_steplr_trajectory_matches_torch(self):
+        """Multi-step Adam + StepLR staircase trajectory matches torch exactly
+        (scheduler stepped after each update, as the reference does)."""
+        torch = pytest.importorskip("torch")
+        import optax
+
+        w0 = np.array([1.0, -2.0, 3.0], np.float32)
+        target = np.array([0.2, 0.4, -0.6], np.float32)
+
+        # torch: quadratic loss, Adam(0.1), StepLR(3, 0.5)
+        wt = torch.nn.Parameter(torch.tensor(w0))
+        opt = torch.optim.Adam([wt], lr=0.1)
+        sched = torch.optim.lr_scheduler.StepLR(opt, step_size=3, gamma=0.5)
+        tt = torch.tensor(target)
+        for _ in range(10):
+            loss = torch.sum((wt - tt) ** 2)
+            opt.zero_grad(); loss.backward(); opt.step(); sched.step()
+        want = wt.detach().numpy()
+
+        # ours: optax.adam(exponential_decay staircase)
+        schedule = optax.exponential_decay(0.1, 3, 0.5, staircase=True)
+        oj = optax.adam(schedule)
+        w = jnp.asarray(w0)
+        state = oj.init(w)
+        tj = jnp.asarray(target)
+        for _ in range(10):
+            g = jax.grad(lambda p: jnp.sum((p - tj) ** 2))(w)
+            updates, state = oj.update(g, state, w)
+            w = optax.apply_updates(w, updates)
+        np.testing.assert_allclose(np.asarray(w), want, rtol=1e-5, atol=1e-7)
