@@ -48,8 +48,8 @@ def cmd_train(args) -> int:
     from pinnfc_tpu.utils import save_checkpoint
 
     cfg = _train_config(args)
-    n_normal = 1500 if args.small else 6000
-    n_fault = 200 if args.small else 800
+    n_normal = getattr(args, "n_normal", None) or (1500 if args.small else 6000)
+    n_fault = getattr(args, "n_fault", None) or (200 if args.small else 800)
 
     mesh = None
     if getattr(args, "data_parallel", False):
@@ -338,6 +338,10 @@ def main(argv: Optional[list] = None) -> int:
         help="shard batch rows over all visible devices",
     )
     t.add_argument("--plot-dir", default=None)
+    t.add_argument("--n-normal", type=int, default=None,
+                   help="synthetic normal rows (default 6000; 1500 with --small)")
+    t.add_argument("--n-fault", type=int, default=None,
+                   help="rows per fault segment (default 800; 200 with --small)")
     t.set_defaults(fn=cmd_train)
 
     for name, fn, extra in (
