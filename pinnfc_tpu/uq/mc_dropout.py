@@ -35,7 +35,11 @@ class MCSamples(NamedTuple):
     epistemic_std: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("mc_times", "dropout", "chunk"))
+# rows × samples per device pass; the widest activation is (chunk, N, 256)
+# f32, so 1.5e6 row-samples ≈ 1.5 GB peak — safe on a 16 GB chip
+_CHUNK_ROW_BUDGET = 1_500_000
+
+
 def mc_dropout_samples(
     mlp_params: MLPParams,
     x: jnp.ndarray,
@@ -50,9 +54,26 @@ def mc_dropout_samples(
       x: (N, 8) normalized inputs.
       mc_times: stochastic passes (reference default 2000, 01:2157).
       dropout: override rate for phase 2 (reference 0.4, 01:2158).
-      chunk: samples per device pass; ``mc_times`` is rounded up to a
-        multiple of ``chunk`` — statistics use the true sample count.
+      chunk: samples per device pass, auto-clamped so chunk·N stays inside
+        the activation-memory budget; ``mc_times`` is rounded up to a
+        multiple of the effective chunk — statistics use the true count.
     """
+    n = x.shape[0]
+    chunk = max(1, min(chunk, _CHUNK_ROW_BUDGET // max(n, 1)))
+    return _mc_dropout_jit(
+        mlp_params, x, rng, mc_times=mc_times, dropout=dropout, chunk=chunk
+    )
+
+
+@partial(jax.jit, static_argnames=("mc_times", "dropout", "chunk"))
+def _mc_dropout_jit(
+    mlp_params: MLPParams,
+    x: jnp.ndarray,
+    rng: jax.Array,
+    mc_times: int,
+    dropout: float,
+    chunk: int,
+) -> MCSamples:
     n_chunks = -(-mc_times // chunk)
     total = n_chunks * chunk
 
