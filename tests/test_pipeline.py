@@ -164,3 +164,19 @@ class TestSklearnParity:
 
         ours = run_auc_pipeline(pipeline_result.results, cfg).groups[0].auc
         assert ours == pytest.approx(sk_auc, abs=0.01)
+
+
+class TestAllSixMethods:
+    def test_compare_pipeline_all_methods(self, pipeline_result):
+        """All six reference methods (05:614-707) run and produce sane
+        metrics, including the CPU Ward/Spectral fallbacks."""
+        res = run_compare_pipeline(pipeline_result.results)
+        names = [m.name for m in res.methods]
+        assert names == [
+            "GMM", "Supervised_LR", "Supervised_SVM",
+            "KMeans", "Agglomerative", "Spectral",
+        ]
+        for m in res.methods:
+            assert 0.0 <= m.metrics["accuracy"] <= 1.0
+            assert 0.0 <= m.metrics["f1_macro"] <= 1.0
+            assert m.confusion.sum() == len(res.y_true)
