@@ -38,9 +38,12 @@ def bench_jax() -> float:
     y = jnp.asarray(rng.uniform(-1, 1, (N_TRAIN, 1)), jnp.float32)
     params = init_mlp(jax.random.PRNGKey(0), LAYERS)
 
+    def key(i):  # the framework's default dropout generator (rbg)
+        return jax.random.key(i, impl="rbg")
+
     # warmup/compile at the SAME scan length (the trip count is part of the
     # compiled program — a different length would not hit the cache)
-    res = train_dnn_stage(params, x, y, jax.random.PRNGKey(0), n_iter=JAX_STEPS)
+    res = train_dnn_stage(params, x, y, key(0), n_iter=JAX_STEPS)
     assert np.isfinite(float(res.losses[-1]))
 
     # time with a DIFFERENT key per repeat (defeats any result memoization in
@@ -48,7 +51,7 @@ def bench_jax() -> float:
     times = []
     for i in range(1, 4):
         t0 = time.perf_counter()
-        res = train_dnn_stage(params, x, y, jax.random.PRNGKey(i), n_iter=JAX_STEPS)
+        res = train_dnn_stage(params, x, y, key(i), n_iter=JAX_STEPS)
         final_loss = float(res.losses[-1])
         times.append(time.perf_counter() - t0)
         assert np.isfinite(final_loss)

