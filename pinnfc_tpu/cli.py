@@ -318,7 +318,12 @@ def cmd_ensemble(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import bench
+    try:
+        import bench
+    except ImportError:  # bench.py lives at the repo root, next to the package
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, repo_root)
+        import bench
 
     bench.main()
     return 0
