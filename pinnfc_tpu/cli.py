@@ -300,7 +300,8 @@ def cmd_ensemble(args) -> int:
 
     ens = init_ensemble(jax.random.PRNGKey(args.seed), args.members)
     ens, losses = train_dnn_ensemble(
-        ens, ds.x_train, ds.y_train, jax.random.PRNGKey(args.seed + 1),
+        ens, ds.x_train, ds.y_train,
+        jax.random.key(args.seed + 1, impl="rbg"),  # fast dropout masks
         n_iter=args.steps, mesh=mesh,
     )
     preds = np.asarray(ensemble_predict(ens, ds.x_test))  # (E, N, 1)

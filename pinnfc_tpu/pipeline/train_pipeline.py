@@ -81,6 +81,11 @@ def evaluate_voltage_metrics(
         "temp_mae_smooth": float(np.mean(np.abs(f_t_smooth))),
         "hydrogen_mae": float(jnp.mean(jnp.abs(bundle.f_h))),
         "oxygen_mae": float(jnp.mean(jnp.abs(bundle.f_o))),
+        # excess-ratio ranges, printed by the reference (01:1810-1816)
+        "ratio_h_min": float(jnp.min(bundle.ratio_h)),
+        "ratio_h_max": float(jnp.max(bundle.ratio_h)),
+        "ratio_o_min": float(jnp.min(bundle.ratio_o)),
+        "ratio_o_max": float(jnp.max(bundle.ratio_o)),
     }
 
 

@@ -180,3 +180,27 @@ class TestAllSixMethods:
             assert 0.0 <= m.metrics["accuracy"] <= 1.0
             assert 0.0 <= m.metrics["f1_macro"] <= 1.0
             assert m.confusion.sum() == len(res.y_true)
+
+
+class TestNoiseInjection:
+    def test_pipeline_with_noise_config(self):
+        """The data-level fault-injection plumbing (01:59-112 / SURVEY §5)
+        works end-to-end through combine_and_normalize."""
+        from pinnfc_tpu.data import combine_and_normalize, synthesize_stack_data
+
+        normal, faults = synthesize_stack_data(n_normal=200, n_fault=30, seed=1)
+        clean = combine_and_normalize(normal, faults, training_rate=1.0)
+        noisy = combine_and_normalize(
+            normal, faults, training_rate=1.0,
+            noise_config=dict(noise_type="gaussian", noise_level=0.05,
+                              noise_target="fault_only"),
+        )
+        assert noisy.info.noise_info is not None
+        assert noisy.info.noise_info["affected_samples"] == 12 * 30
+        # normal rows untouched; fault rows perturbed
+        np.testing.assert_array_equal(
+            np.asarray(clean.y_test[:200]), np.asarray(noisy.y_test[:200])
+        )
+        assert not np.allclose(
+            np.asarray(clean.y_test[200:]), np.asarray(noisy.y_test[200:])
+        )
