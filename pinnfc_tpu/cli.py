@@ -51,6 +51,18 @@ def cmd_train(args) -> int:
     n_normal = getattr(args, "n_normal", None) or (1500 if args.small else 6000)
     n_fault = getattr(args, "n_fault", None) or (200 if args.small else 800)
 
+    campaign = None
+    if getattr(args, "normal_mat", None):
+        from pinnfc_tpu.data import CampaignConfig
+
+        if not getattr(args, "fault_dir", None):
+            print("--normal-mat requires --fault-dir", file=sys.stderr)
+            return 2
+        campaign = CampaignConfig.from_dir(
+            args.normal_mat, args.fault_dir, seed=args.seed
+        )
+        print(f"campaign: {args.normal_mat} + faults from {args.fault_dir}")
+
     mesh = None
     if getattr(args, "data_parallel", False):
         import jax
@@ -62,6 +74,7 @@ def cmd_train(args) -> int:
 
     res = run_training_pipeline(
         cfg,
+        campaign=campaign,
         mat_path=args.mat_out,
         n_normal=n_normal,
         n_fault=n_fault,
@@ -263,6 +276,8 @@ def cmd_run_all(args) -> int:
     ns = argparse.Namespace(
         small=args.small, seed=args.seed, mat_out=mat_path,
         ckpt=os.path.join(args.out_dir, "pinn_ckpt"), plot_dir=plot_dir,
+        normal_mat=getattr(args, "normal_mat", None),
+        fault_dir=getattr(args, "fault_dir", None),
     )
     cmd_train(ns)
     for fn in (cmd_auc, cmd_gmm, cmd_risk, cmd_compare):
@@ -348,6 +363,11 @@ def main(argv: Optional[list] = None) -> int:
                    help="synthetic normal rows (default 6000; 1500 with --small)")
     t.add_argument("--n-fault", type=int, default=None,
                    help="rows per fault segment (default 800; 200 with --small)")
+    t.add_argument("--normal-mat", default=None,
+                   help="real campaign: normal-operation .mat (e.g. Polar-1.mat)")
+    t.add_argument("--fault-dir", default=None,
+                   help="real campaign: directory with the 12 fault .mat files "
+                        "(<type>_<108|270|405>A.mat, Chinese or ASCII stems)")
     t.set_defaults(fn=cmd_train)
 
     for name, fn, extra in (
@@ -381,6 +401,10 @@ def main(argv: Optional[list] = None) -> int:
     r.add_argument("--out-dir", required=True)
     r.add_argument("--small", action="store_true")
     r.add_argument("--seed", type=int, default=42)
+    r.add_argument("--normal-mat", default=None,
+                   help="real campaign: normal-operation .mat")
+    r.add_argument("--fault-dir", default=None,
+                   help="real campaign: directory with the 12 fault .mat files")
     r.set_defaults(fn=cmd_run_all)
 
     e = sub.add_parser("ensemble", help="many-seed parallel PINN ensemble")

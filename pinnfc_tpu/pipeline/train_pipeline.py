@@ -92,17 +92,31 @@ def evaluate_voltage_metrics(
 def run_training_pipeline(
     config: TrainConfig = TrainConfig(),
     dataset: Optional[FuelCellDataset] = None,
+    campaign=None,
     mat_path: Optional[str] = None,
     n_normal: int = 6000,
     n_fault: int = 800,
     verbose: bool = False,
     mesh=None,
 ) -> PipelineResult:
-    """Execute the full stage-01 pipeline.  With ``mesh``, staged training
-    runs data-parallel over the mesh's 'data' axis (see run_schedule)."""
+    """Execute the full stage-01 pipeline.  Data source precedence:
+    ``dataset`` (pre-built) > ``campaign`` (a ``CampaignConfig`` pointing at
+    real .mat files, reference 01:2055-2135) > synthetic generator.  With
+    ``mesh``, staged training runs data-parallel over the mesh's 'data'
+    axis (see run_schedule)."""
     timings: Dict[str, float] = {}
 
     t0 = time.perf_counter()
+    if dataset is None and campaign is not None:
+        from pinnfc_tpu.data.campaign import load_campaign_dataset
+
+        dataset = load_campaign_dataset(campaign)
+        if verbose:
+            print(
+                f"campaign: {dataset.info.normal_samples} normal rows + "
+                f"{len(dataset.info.segment_labels)} fault segments "
+                f"({dataset.info.fault_samples} rows)"
+            )
     if dataset is None:
         normal, faults = synthesize_stack_data(
             n_normal=n_normal, n_fault=n_fault, seed=config.seed
