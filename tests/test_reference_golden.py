@@ -1,0 +1,295 @@
+"""Golden parity against the ACTUAL reference implementation (VERDICT #3).
+
+importlib-loads ``/root/reference/01_train_pinn_multiphysics_model.py``
+(import-guarded main, 01:2055), builds a tiny ``PhysicsInformedNN`` with
+weights copied into the jnp pytree, and asserts our residuals, losses,
+training steps and MC semantics reproduce the reference's torch outputs to
+f32 tolerance.  This replaces the hand-transcribed torch oracle
+(test_torch_oracle.py) as the parity anchor — transcription errors in the
+oracle itself cannot hide here.
+"""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF_PATH = "/root/reference/01_train_pinn_multiphysics_model.py"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_PATH), reason="reference checkout not mounted"
+)
+
+
+@pytest.fixture(scope="module")
+def ref01():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    spec = importlib.util.spec_from_file_location("ref01_golden", REF_PATH)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref01_golden"] = mod
+    spec.loader.exec_module(mod)  # main is import-guarded (01:2055)
+
+    # The reference passes StepLR(verbose=False) (01:940), removed in newer
+    # torch; shim the kwarg away without changing scheduler behavior.
+    orig_steplr = mod.StepLR
+
+    def _steplr(*args, **kwargs):
+        kwargs.pop("verbose", None)
+        return orig_steplr(*args, **kwargs)
+
+    mod.StepLR = _steplr
+    return mod
+
+
+def _tiny_raw(n=48, seed=0):
+    rng = np.random.RandomState(seed)
+    x_raw = np.column_stack(
+        [
+            rng.uniform(100, 400, n),  # I [A]
+            rng.uniform(0.1, 0.5, n),  # coolant flow
+            rng.uniform(60, 64, n),  # T_in
+            rng.uniform(40, 70, n),  # P_H2
+            rng.uniform(30, 60, n),  # P_air
+            rng.uniform(62, 70, n),  # T_out
+            rng.uniform(2, 40, n),  # H2 flow
+            rng.uniform(10, 200, n),  # air flow
+        ]
+    ).astype(np.float64)
+    y_raw = rng.uniform(3.0, 4.5, (n, 1))
+    return x_raw, y_raw
+
+
+def _torch_weights_to_pytree(dnn):
+    """Copy the torch DNN's Linear weights into our MLPParams layout
+    (torch stores (out, in); ours is (in, out))."""
+    import jax.numpy as jnp
+
+    def lin(layer):
+        return {
+            "w": jnp.asarray(layer.weight.detach().numpy().T),
+            "b": jnp.asarray(layer.bias.detach().numpy()),
+        }
+
+    hidden = [
+        lin(getattr(dnn.layers, f"layer_{i}")) for i in range(dnn.depth - 1)
+    ]
+    mean = lin(dnn.predict)
+    # var_layers Sequential: [Linear, Tanh, Dropout, Linear, Tanh, Linear]
+    var = [lin(dnn.var_layers[0]), lin(dnn.var_layers[3]), lin(dnn.var_layers[5])]
+    return {"hidden": hidden, "mean": mean, "var": var}
+
+
+@pytest.fixture()
+def pair(ref01):
+    """(reference PINN, our params, shared data/scalers) — fresh per test;
+    p=0 so both frameworks are dropout-free and fully deterministic."""
+    from sklearn.preprocessing import MinMaxScaler
+
+    import jax.numpy as jnp
+
+    from pinnfc_tpu.data.scaling import AffineScaler
+    from pinnfc_tpu.models.pinn import LAMBDA_INIT
+
+    x_raw, y_raw = _tiny_raw()
+    xs = MinMaxScaler((-1, 1)).fit(x_raw)
+    ys = MinMaxScaler((-1, 1)).fit(y_raw)
+    X = torch.tensor(xs.transform(x_raw), dtype=torch.float32)
+    u = torch.tensor(ys.transform(y_raw), dtype=torch.float32)
+
+    torch.manual_seed(0)
+    pinn = ref01.PhysicsInformedNN(
+        X, u, [8, 16, 16, 1], xs, ys, p=0.0, logvar=True
+    )
+
+    params = {"mlp": _torch_weights_to_pytree(pinn.dnn)}
+    for name, val in LAMBDA_INIT.items():
+        params[name] = jnp.asarray(val)
+
+    scaler_x = AffineScaler.fit(x_raw)
+    scaler_y = AffineScaler.fit(y_raw)
+    x_norm = jnp.asarray(xs.transform(x_raw), jnp.float32)
+    y_norm = jnp.asarray(ys.transform(y_raw), jnp.float32)
+    return pinn, params, (x_norm, y_norm, scaler_x, scaler_y)
+
+
+def _np(t):
+    return t.detach().cpu().numpy()
+
+
+class TestForwardParity:
+    def test_net_u_eval(self, pair):
+        from pinnfc_tpu.models.mlp import mlp_forward
+
+        pinn, params, (x, _, _, _) = pair
+        pinn.dnn.eval()
+        u_ref, lv_ref = pinn.net_u(pinn.x)
+        u_jnp, lv_jnp = mlp_forward(params["mlp"], x, train=False)
+        np.testing.assert_allclose(np.asarray(u_jnp), _np(u_ref), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(lv_jnp), _np(lv_ref), atol=2e-5)
+
+    def test_aleatoric_loss(self, pair):
+        from pinnfc_tpu.models.mlp import aleatoric_loss, mlp_forward
+
+        pinn, params, (x, y, _, _) = pair
+        pinn.dnn.eval()
+        u_ref, lv_ref = pinn.net_u(pinn.x)
+        loss_ref = pinn.aleatoric_loss(pinn.u, u_ref, lv_ref).item()
+        u_j, lv_j = mlp_forward(params["mlp"], x, train=False)
+        loss_jnp = float(aleatoric_loss(y, u_j, lv_j))
+        np.testing.assert_allclose(loss_jnp, loss_ref, rtol=1e-5)
+
+
+class TestResidualParity:
+    def test_net_f_V(self, pair):
+        from pinnfc_tpu.models.mlp import mlp_forward
+        from pinnfc_tpu.physics.voltage import voltage_residual
+
+        pinn, params, (x, _, sx, sy) = pair
+        pinn.dnn.eval()
+        ref = pinn.net_f_V(pinn.X, pinn.x_scal)
+        u_pred, _ = mlp_forward(params["mlp"], x, train=False)
+        out = voltage_residual(params["lam_v"], x, u_pred, sx, sy)
+        # (f, V_act, V_ohmic, V_conc, E_nerst, V_out_est*5, i, il, V_out*5)
+        np.testing.assert_allclose(np.asarray(out.f), _np(ref[0]), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(out.v_act), _np(ref[1]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out.v_ohmic), _np(ref[2]), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(out.v_conc), _np(ref[3]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out.e_nernst), _np(ref[4]), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(out.v_out_est_stack), _np(ref[5]), atol=1e-4
+        )
+        np.testing.assert_allclose(np.asarray(out.i), _np(ref[6]), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(out.v_out_stack), _np(ref[8]), atol=1e-5
+        )
+
+    def test_net_f_T_simple(self, pair):
+        from pinnfc_tpu.physics.thermal import thermal_residual_simple
+
+        pinn, params, (x, _, sx, _) = pair
+        pinn.dnn.eval()
+        ref = pinn.net_f_T_simple(pinn.X, pinn.x_scal)
+        out = thermal_residual_simple(params["lam_t"], x, sx)
+        np.testing.assert_allclose(np.asarray(out.f), _np(ref[0]), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(out.t_pred), _np(ref[1]), atol=2e-3)
+
+    def test_net_f_H(self, pair):
+        from pinnfc_tpu.physics.hydrogen import hydrogen_residual
+
+        pinn, params, (x, _, sx, _) = pair
+        ref = pinn.net_f_H(pinn.X, pinn.x_scal)
+        out = hydrogen_residual(params["lam_h"], x, sx)
+        np.testing.assert_allclose(np.asarray(out.f), _np(ref[0]), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(out[1]), _np(ref[1]), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(out[2]), _np(ref[2]), atol=1e-4)
+
+    def test_net_f_O(self, pair):
+        from pinnfc_tpu.physics.oxygen import oxygen_residual
+
+        pinn, params, (x, _, sx, _) = pair
+        ref = pinn.net_f_O(pinn.X, pinn.x_scal)
+        out = oxygen_residual(params["lam_o"], x, sx)
+        np.testing.assert_allclose(np.asarray(out.f), _np(ref[0]), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out[1]), _np(ref[1]), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out[2]), _np(ref[2]), atol=1e-4)
+
+
+class TestTrainingStepParity:
+    def test_train_dnn_steps_f64(self, pair):
+        """3 reference Adam steps (p=0 → deterministic) must reproduce our
+        scan-stage weights (train_dnn, 01:929-963).  Run in f64 on both
+        sides: in f32, Adam's m̂/√v̂ normalization amplifies last-ulp
+        gradient differences on near-zero-gradient weights to ~1e-3, which
+        would mask (or fake) semantic differences."""
+        import jax
+
+        from pinnfc_tpu.training.stages import train_dnn_stage
+
+        pinn, params, (x, y, _, _) = pair
+        pinn.dnn.double()
+        pinn.x = pinn.x.detach().double().requires_grad_(True)
+        pinn.u = pinn.u.double()
+        pinn.train_dnn(3)
+        want = _torch_weights_to_pytree(pinn.dnn)
+
+        jax.config.update("jax_enable_x64", True)
+        try:
+            import jax.numpy as jnp
+
+            to64 = lambda t: jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.float64), t
+            )
+            got = train_dnn_stage(
+                to64(params["mlp"]),
+                jnp.asarray(x, jnp.float64),
+                jnp.asarray(y, jnp.float64),
+                jax.random.PRNGKey(0),
+                n_iter=3,
+                dropout_p=0.0,
+            ).params
+            for ours, ref in (
+                (got["hidden"][0], want["hidden"][0]),
+                (got["hidden"][1], want["hidden"][1]),
+                (got["mean"], want["mean"]),
+                (got["var"][2], want["var"][2]),
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(ours["w"]), np.asarray(ref["w"]), atol=1e-9
+                )
+                np.testing.assert_allclose(
+                    np.asarray(ours["b"]), np.asarray(ref["b"]), atol=1e-9
+                )
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+    @pytest.mark.parametrize("dnn_para", [False, True])
+    def test_train_lambda_steps(self, pair, dnn_para):
+        """5 reference λ-steps (eval-mode DNN) vs our λ scan stage
+        (train_lambda, 01:966-1058), both loss modes."""
+        from pinnfc_tpu.models.mlp import mlp_forward
+        from pinnfc_tpu.training.stages import train_lambda_v_stage
+
+        pinn, params, (x, y, sx, sy) = pair
+        pinn.train_lambda(5, dnn_para=dnn_para)
+        lam_ref = np.array(
+            [
+                pinn.lambda_1.item(),
+                pinn.lambda_2.item(),
+                pinn.lambda_3.item(),
+                pinn.lambda_4.item(),
+            ]
+        )
+        u_pred, _ = mlp_forward(params["mlp"], x, train=False)
+        got = train_lambda_v_stage(
+            params["lam_v"], x, y, u_pred, sx, sy, n_iter=5, dnn_para=dnn_para
+        ).params
+        np.testing.assert_allclose(np.asarray(got), lam_ref, rtol=2e-4, atol=1e-8)
+
+
+class TestMCSamplesParity:
+    def test_phase_semantics_deterministic(self, pair):
+        """dropout=0 removes the stochastic part; the two-phase structure
+        (pred_mean from eval phase 01:1480, aleatoric from the override
+        phase 01:1483) must match exactly."""
+        import jax
+
+        from pinnfc_tpu.uq.mc_dropout import mc_dropout_samples
+
+        pinn, params, (x, _, _, _) = pair
+        ref01_mod = sys.modules["ref01_golden"]
+        pm_ref, au_ref, eu_ref = ref01_mod.get_MC_samples(
+            pinn, pinn.X, pinn.x_scal, mc_times=4, dropout=0.0
+        )
+        mc = mc_dropout_samples(
+            params["mlp"], x, jax.random.PRNGKey(0), mc_times=4, dropout=0.0, chunk=2
+        )
+        np.testing.assert_allclose(np.asarray(mc.pred_mean), pm_ref, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(mc.aleatoric_std), au_ref, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(mc.epistemic_std), eu_ref, atol=2e-6)
+        assert float(np.max(np.asarray(mc.epistemic_std))) < 1e-6
