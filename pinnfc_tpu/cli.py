@@ -36,11 +36,22 @@ def _small_schedule():
 
 
 def _train_config(args) -> TrainConfig:
+    import dataclasses as dc
+
     if args.small:
-        return TrainConfig(
-            schedule=_small_schedule(), mc_times=200, seed=args.seed
+        cfg = TrainConfig(schedule=_small_schedule(), mc_times=200, seed=args.seed)
+    else:
+        cfg = TrainConfig(seed=args.seed)
+    scale = getattr(args, "steps_scale", None)
+    if scale:
+        cfg = dc.replace(
+            cfg,
+            schedule=tuple(
+                dc.replace(s, n_iter=max(1, int(s.n_iter * scale)))
+                for s in cfg.schedule
+            ),
         )
-    return TrainConfig(seed=args.seed)
+    return cfg
 
 
 def cmd_train(args) -> int:
@@ -353,6 +364,8 @@ def main(argv: Optional[list] = None) -> int:
     t.add_argument("--mat-out", default="F01_output.mat")
     t.add_argument("--ckpt", default=None)
     t.add_argument("--small", action="store_true", help="reduced schedule/data")
+    t.add_argument("--steps-scale", type=float, default=None,
+                   help="multiply every stage's step count (quick experiments)")
     t.add_argument("--seed", type=int, default=42)
     t.add_argument(
         "--data-parallel", action="store_true",

