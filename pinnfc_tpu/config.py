@@ -86,6 +86,9 @@ class AucConfig:
     balanced: bool = True  # 02:59
     iso_n_estimators: int = 200  # 02:584
     iso_max_samples: int = 256
+    # 'device' = vmapped jnp forest (diagnosis/isoforest.py);
+    # 'sklearn' = the reference's CPU estimator (02:583-596)
+    iso_backend: str = "device"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -30,6 +30,8 @@ from pinnfc_tpu.diagnosis.logreg import (
     logreg_predict,
     logreg_predict_proba,
 )
+from pinnfc_tpu.diagnosis.isoforest import IsoForest, isoforest_fit, isoforest_score
+from pinnfc_tpu.diagnosis.spectral import SpectralResult, spectral_fit
 from pinnfc_tpu.diagnosis.svm import SVMModel, svm_fit, svm_predict
 from pinnfc_tpu.diagnosis.auc import AucPipelineResult, GroupAucResult, run_auc_pipeline
 from pinnfc_tpu.diagnosis.gmm_pipeline import GmmDiagnosisResult, run_gmm_pipeline
@@ -65,6 +67,11 @@ __all__ = [
     "logreg_fit",
     "logreg_predict",
     "logreg_predict_proba",
+    "IsoForest",
+    "isoforest_fit",
+    "isoforest_score",
+    "SpectralResult",
+    "spectral_fit",
     "SVMModel",
     "svm_fit",
     "svm_predict",

@@ -3,9 +3,9 @@
 Four feature groups (02:41-47) each get a balanced multinomial logistic
 regression (here the on-device JAX L-BFGS model) and a binary ROC built
 from ``1 − P(normal)`` (02:546-569); group 1 additionally gets an
-unsupervised IsolationForest trained on normal-only rows (02:571-611,
-CPU — a one-off ensemble-of-trees baseline, kept on sklearn by design;
-SURVEY §7.6).
+unsupervised IsolationForest trained on normal-only rows (02:571-611) —
+on-device by default (vmapped jnp forest, diagnosis/isoforest.py), with
+the sklearn estimator available via ``AucConfig.iso_backend='sklearn'``.
 """
 
 from __future__ import annotations
@@ -98,17 +98,34 @@ def run_auc_pipeline(
             )
         )
 
-        # unsupervised IsolationForest on group 1 (02:571-611)
+        # unsupervised IsolationForest on group 1 (02:571-611), fit on
+        # normal-only training rows
         if gid == 1:
-            from sklearn.ensemble import IsolationForest
+            if config.iso_backend == "device":
+                import jax
 
-            iso = IsolationForest(
-                n_estimators=config.iso_n_estimators,
-                contamination="auto",
-                random_state=config.random_state,
-            )
-            iso.fit(x_tr[y_tr == 0])
-            iso_score = -iso.score_samples(x_te)
+                from pinnfc_tpu.diagnosis.isoforest import (
+                    isoforest_fit,
+                    isoforest_score,
+                )
+
+                iso = isoforest_fit(
+                    x_tr[y_tr == 0],
+                    jax.random.PRNGKey(config.random_state),
+                    n_estimators=config.iso_n_estimators,
+                    max_samples=config.iso_max_samples,
+                )
+                iso_score = np.asarray(isoforest_score(iso, x_te))
+            else:
+                from sklearn.ensemble import IsolationForest
+
+                iso = IsolationForest(
+                    n_estimators=config.iso_n_estimators,
+                    contamination="auto",
+                    random_state=config.random_state,
+                )
+                iso.fit(x_tr[y_tr == 0])
+                iso_score = -iso.score_samples(x_te)
             iso_fpr, iso_tpr, _ = roc_curve(y_bin, iso_score)
             iso_auc = auc(iso_fpr, iso_tpr)
 

@@ -11,11 +11,13 @@ Methods, each wrapped with the shared posterior label calibration
 4. KMeans posterior     — on-device Lloyd, hard calibration (05:346-393)
 5. Agglomerative (Ward) — CPU sklearn; synthetic centers = cluster means,
                           nearest-center test assignment (05:398-450)
-6. Spectral             — CPU sklearn (eigensolve; 05:455-512)
+6. Spectral             — on-device by default (kNN affinity + Laplacian
+                          eigh + vmapped k-means, diagnosis/spectral.py);
+                          sklearn via ``device_spectral=False`` (05:455-512)
 
-Ward linkage and the spectral eigensolve are deliberately CPU fallbacks
-(SURVEY §7.6): one-off O(N²)-ish graph algorithms with no TPU-shaped inner
-loop, run once per comparison.
+Ward linkage stays a CPU fallback by design (SURVEY §7.6): sequential
+greedy merges with a mutating heap — no fixed-shape tensor inner loop to
+put on the MXU — and it runs exactly once per comparison.
 """
 
 from __future__ import annotations
@@ -90,6 +92,7 @@ def run_compare_pipeline(
     config: CompareConfig = CompareConfig(),
     gmm_config: GmmConfig = GmmConfig(),
     methods: Optional[List[str]] = None,
+    device_spectral: bool = True,
 ) -> CompareResult:
     """Script-05 main (05:614-707)."""
     arr = results.array if isinstance(results, ComprehensiveResults) else np.asarray(results)
@@ -165,17 +168,27 @@ def run_compare_pipeline(
         add("Agglomerative", y_pred)
 
     if "spectral" in todo:
-        from sklearn.cluster import SpectralClustering
-
         n_clusters = config.spectral_clusters_factor * k
-        spec = SpectralClustering(
-            n_clusters=n_clusters,
-            affinity="nearest_neighbors",
-            n_neighbors=config.spectral_n_neighbors,
-            assign_labels="kmeans",
-            random_state=config.random_state,
-        )
-        assign_tr = spec.fit_predict(x_tr)
+        if device_spectral:
+            from pinnfc_tpu.diagnosis.spectral import spectral_fit
+
+            assign_tr = np.asarray(
+                spectral_fit(
+                    x_tr, key, n_clusters,
+                    n_neighbors=config.spectral_n_neighbors,
+                ).assignments
+            )
+        else:
+            from sklearn.cluster import SpectralClustering
+
+            spec = SpectralClustering(
+                n_clusters=n_clusters,
+                affinity="nearest_neighbors",
+                n_neighbors=config.spectral_n_neighbors,
+                assign_labels="kmeans",
+                random_state=config.random_state,
+            )
+            assign_tr = spec.fit_predict(x_tr)
         centers = _centers_from_assignments(x_tr, assign_tr, n_clusters)
         cal = calibrate_components(
             hard_responsibilities(assign_tr, n_clusters), y_tr, k

@@ -1,0 +1,163 @@
+"""On-device Isolation Forest: vmapped random-partition trees.
+
+The reference's unsupervised detector is ``sklearn.IsolationForest(
+n_estimators=200, contamination='auto')`` fit on normal-only rows
+(02:583-596), scored as ``-score_samples`` (02:592).  That algorithm is
+embarrassingly parallel — every tree is an independent random partition of
+a ≤256-row subsample — so here the whole forest is ONE ``vmap`` over tree
+PRNG keys and every tree is a *complete* fixed-depth array-encoded binary
+tree (feature / threshold / node-size tables), which makes both build and
+scoring pure fixed-shape tensor ops under ``jit``:
+
+- build: level-by-level — boolean membership masks (2^l, ψ) per level,
+  per-node masked min/max over features, uniform random feature + uniform
+  random threshold (the Extremely-Randomized split rule sklearn uses);
+- score: H gather-and-compare steps walk all N samples through all T trees
+  simultaneously; early-isolated samples freeze at their leaf.
+
+Anomaly score s(x) = 2^{−E[h(x)]/c(ψ)} (Liu et al.; identical to sklearn's
+``-score_samples``), with the same average-path-length correction c(n).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_EULER = 0.5772156649015329
+
+
+class IsoForest(NamedTuple):
+    feature: jnp.ndarray  # (T, M) int32 — split feature per internal node
+    threshold: jnp.ndarray  # (T, M) f32
+    size: jnp.ndarray  # (T, 2M+1) f32 — training-subsample rows per node
+    depth: int  # static tree depth H (M = 2^H − 1 internal nodes)
+    psi: int  # subsample size
+
+
+def _avg_path_length(n):
+    """c(n): expected unsuccessful-search path length of a BST with n
+    external nodes (sklearn's ``_average_path_length``)."""
+    n = jnp.asarray(n, jnp.float32)
+    c = 2.0 * (jnp.log(jnp.maximum(n - 1.0, 1.0)) + _EULER) - 2.0 * (
+        jnp.maximum(n - 1.0, 0.0) / jnp.maximum(n, 1.0)
+    )
+    return jnp.where(n <= 1.0, 0.0, jnp.where(n == 2.0, 1.0, c))
+
+
+def _build_tree(x, key, psi: int, depth: int):
+    """One tree from an ψ-row subsample of x (n, d) → node tables."""
+    n, d = x.shape
+    k_sub, k_feat, k_thr = jax.random.split(key, 3)
+    idx = jax.random.choice(k_sub, n, (psi,), replace=False)
+    xs = x[idx]  # (ψ, d)
+
+    n_internal = 2**depth - 1
+    features = jnp.zeros((n_internal,), jnp.int32)
+    thresholds = jnp.zeros((n_internal,), jnp.float32)
+    sizes = jnp.zeros((2 ** (depth + 1) - 1,), jnp.float32)
+
+    feat_keys = jax.random.split(k_feat, depth)
+    thr_keys = jax.random.split(k_thr, depth)
+
+    masks = jnp.ones((1, psi), bool)  # level-0 membership
+    for lvl in range(depth):
+        m = masks  # (2^lvl, ψ)
+        lvl_lo = 2**lvl - 1
+        sz = jnp.sum(m, axis=1).astype(jnp.float32)
+        sizes = jax.lax.dynamic_update_slice(sizes, sz, (lvl_lo,))
+
+        big = jnp.where(m[:, :, None], xs[None, :, :], -jnp.inf)
+        x_max = jnp.max(big, axis=1)  # (2^lvl, d)
+        small = jnp.where(m[:, :, None], xs[None, :, :], jnp.inf)
+        x_min = jnp.min(small, axis=1)
+        empty = sz < 1.0
+        x_min = jnp.where(empty[:, None], 0.0, x_min)
+        x_max = jnp.where(empty[:, None], 0.0, x_max)
+
+        f = jax.random.randint(feat_keys[lvl], (m.shape[0],), 0, d)
+        u = jax.random.uniform(thr_keys[lvl], (m.shape[0],))
+        lo = jnp.take_along_axis(x_min, f[:, None], axis=1)[:, 0]
+        hi = jnp.take_along_axis(x_max, f[:, None], axis=1)[:, 0]
+        thr = lo + u * (hi - lo)
+
+        features = jax.lax.dynamic_update_slice(features, f, (lvl_lo,))
+        thresholds = jax.lax.dynamic_update_slice(
+            thresholds, thr.astype(jnp.float32), (lvl_lo,)
+        )
+
+        vals = jnp.take_along_axis(xs.T, f[:, None], axis=0)  # (2^lvl, ψ)
+        go_left = vals < thr[:, None]
+        left = m & go_left
+        right = m & ~go_left
+        masks = jnp.stack([left, right], axis=1).reshape(-1, psi)
+
+    # depth-H external nodes
+    sz = jnp.sum(masks, axis=1).astype(jnp.float32)
+    sizes = jax.lax.dynamic_update_slice(sizes, sz, (2**depth - 1,))
+    return features, thresholds, sizes
+
+
+@partial(jax.jit, static_argnames=("n_estimators", "psi", "depth"))
+def _fit_jit(x, key, n_estimators, psi, depth):
+    keys = jax.random.split(key, n_estimators)
+    return jax.vmap(lambda k: _build_tree(x, k, psi, depth))(keys)
+
+
+def isoforest_fit(
+    x: jnp.ndarray,
+    key: jax.Array,
+    n_estimators: int = 200,
+    max_samples: int = 256,
+    depth: int = None,
+) -> IsoForest:
+    """Fit the forest (sklearn defaults: 200 trees, ψ = min(256, n),
+    tree height cap ⌈log2 ψ⌉ — 02:583-587)."""
+    import math
+
+    x = jnp.asarray(x, jnp.float32)
+    psi = int(min(max_samples, x.shape[0]))
+    if depth is None:
+        depth = max(1, math.ceil(math.log2(psi)))
+    feat, thr, size = _fit_jit(x, key, n_estimators, psi, depth)
+    return IsoForest(feat, thr, size, depth, psi)
+
+
+def isoforest_score(model: IsoForest, x: jnp.ndarray) -> jnp.ndarray:
+    """Anomaly score s(x) = 2^{−E[h]/c(ψ)} ∈ (0, 1] — higher = more
+    anomalous; equivalent to sklearn's ``-score_samples`` up to the
+    ensemble's randomness (the pipeline's ROC input, 02:592)."""
+    return _score_jit(
+        model.feature,
+        model.threshold,
+        model.size,
+        jnp.asarray(x, jnp.float32),
+        model.depth,
+        model.psi,
+    )
+
+
+@partial(jax.jit, static_argnames=("depth", "psi"))
+def _score_jit(features, thresholds, sizes, x, depth, psi):
+    def tree_paths(feature, threshold, size):
+        n = x.shape[0]
+        idx = jnp.zeros((n,), jnp.int32)
+        h = jnp.zeros((n,), jnp.float32)
+        done = jnp.zeros((n,), bool)
+        for lvl in range(depth):
+            sz = size[idx]
+            leaf = sz <= 1.0
+            h = jnp.where(~done & leaf, lvl + _avg_path_length(sz), h)
+            done = done | leaf
+            f = feature[idx]
+            go_right = jnp.take_along_axis(x, f[:, None], axis=1)[:, 0] >= threshold[idx]
+            idx = jnp.where(done, idx, 2 * idx + 1 + go_right.astype(jnp.int32))
+        h = jnp.where(done, h, depth + _avg_path_length(size[idx]))
+        return h
+
+    paths = jax.vmap(tree_paths)(features, thresholds, sizes)
+    mean_h = jnp.mean(paths, axis=0)
+    return 2.0 ** (-mean_h / _avg_path_length(jnp.asarray(float(psi))))

@@ -196,6 +196,143 @@ class TestGMM:
         assert int(short.n_iter) == 1
 
 
+class TestSpectral:
+    """On-device spectral clustering vs sklearn (05:455-512; VERDICT #9)."""
+
+    @pytest.fixture(scope="class")
+    def fake_results(self):
+        """22-col comprehensive_results with distinct residual signatures
+        per fault class (labels 1..12 → 4 classes)."""
+        from pinnfc_tpu.data.contract import INDEX
+
+        rng = np.random.RandomState(0)
+        n_fault = 50
+        n = 100 + 12 * n_fault
+        arr = np.zeros((n, 22))
+        for k in ("pV", "pT", "pH", "pO"):
+            arr[:, INDEX[k]] = 0.05 * rng.randn(n)
+        pos = 100
+        for fault in range(4):
+            for _ in range(3):
+                seg = slice(pos, pos + n_fault)
+                arr[seg, INDEX["label"]] = (pos - 100) // n_fault + 1
+                arr[seg, INDEX[("pV", "pT", "pH", "pO")[fault]]] += rng.uniform(
+                    0.8, 1.2, n_fault
+                )
+                pos += n_fault
+        return arr
+
+    def test_blobs_recovered(self, blobs):
+        from pinnfc_tpu.diagnosis import spectral_fit
+
+        x, y = blobs
+        res = spectral_fit(x, jax.random.PRNGKey(0), n_clusters=4)
+        assign = np.asarray(res.assignments)
+        # cluster IDs are arbitrary: check purity via best per-cluster label
+        purity = 0.0
+        for c in range(4):
+            m = assign == c
+            if m.any():
+                purity += np.bincount(y[m].astype(int), minlength=4).max()
+        assert purity / len(y) > 0.95
+
+    def test_agrees_with_sklearn_labels(self, blobs):
+        from sklearn.cluster import SpectralClustering
+        from sklearn.metrics import adjusted_rand_score
+
+        from pinnfc_tpu.diagnosis import spectral_fit
+
+        x, _ = blobs
+        ours = np.asarray(
+            spectral_fit(x, jax.random.PRNGKey(0), 4, n_neighbors=10).assignments
+        )
+        sk = SpectralClustering(
+            n_clusters=4, affinity="nearest_neighbors", n_neighbors=10,
+            assign_labels="kmeans", random_state=0,
+        ).fit_predict(x)
+        assert adjusted_rand_score(ours, sk) > 0.9
+
+    def test_compare_pipeline_backends_agree(self, fake_results):
+        from pinnfc_tpu.diagnosis import run_compare_pipeline
+
+        accs = {}
+        for dev in (True, False):
+            out = run_compare_pipeline(
+                fake_results, methods=["spectral"], device_spectral=dev
+            )
+            accs[dev] = out.methods[0].metrics["accuracy"]
+        assert accs[True] == pytest.approx(accs[False], abs=0.15)
+
+
+class TestIsoForest:
+    """On-device isolation forest vs sklearn (02:571-611; VERDICT #5)."""
+
+    @pytest.fixture(scope="class")
+    def anomaly_data(self):
+        rng = np.random.RandomState(7)
+        x_fit = rng.randn(1500, 2) * [0.4, 0.6]
+        # moderately overlapping anomalies so AUC is informative, not 1.0
+        x_te = np.vstack(
+            [rng.randn(400, 2) * [0.4, 0.6], rng.randn(200, 2) * 0.8 + [1.2, -1.0]]
+        )
+        y = np.r_[np.zeros(400), np.ones(200)]
+        return x_fit, x_te, y
+
+    def test_auc_matches_sklearn_within_noise(self, anomaly_data):
+        from sklearn.ensemble import IsolationForest
+        from sklearn.metrics import roc_auc_score
+
+        from pinnfc_tpu.diagnosis import isoforest_fit, isoforest_score
+
+        x_fit, x_te, y = anomaly_data
+        m = isoforest_fit(x_fit, jax.random.PRNGKey(0), n_estimators=100)
+        auc_dev = roc_auc_score(y, np.asarray(isoforest_score(m, x_te)))
+        sk = IsolationForest(n_estimators=100, random_state=0).fit(x_fit)
+        auc_sk = roc_auc_score(y, -sk.score_samples(x_te))
+        assert abs(auc_dev - auc_sk) < 0.03
+
+    def test_scores_rank_outliers_above_inliers(self, anomaly_data):
+        from pinnfc_tpu.diagnosis import isoforest_fit, isoforest_score
+
+        x_fit, _, _ = anomaly_data
+        m = isoforest_fit(x_fit, jax.random.PRNGKey(1), n_estimators=50)
+        s = np.asarray(
+            isoforest_score(m, np.array([[0.0, 0.0], [5.0, -5.0]]))
+        )
+        assert s[1] > s[0]
+        assert 0.0 < s[0] <= 1.0 and 0.0 < s[1] <= 1.0
+
+    def test_auc_pipeline_backends_agree(self, tmp_path):
+        """run_auc_pipeline's device / sklearn forests produce consistent
+        unsupervised AUC on the same artifact."""
+        import dataclasses as dc
+
+        from pinnfc_tpu.config import AucConfig
+        from pinnfc_tpu.diagnosis import run_auc_pipeline
+
+        rng = np.random.RandomState(3)
+        from pinnfc_tpu.data.contract import INDEX
+
+        n_normal, n_fault = 400, 50
+        n = n_normal + 12 * n_fault
+        arr = np.zeros((n, 22))
+        arr[:, INDEX["epi"]] = 0.01 + 0.002 * rng.rand(n)
+        arr[:, INDEX["res"]] = 0.02 * rng.randn(n)
+        lab = np.zeros(n)
+        for k in range(12):
+            seg = slice(n_normal + k * n_fault, n_normal + (k + 1) * n_fault)
+            lab[seg] = k + 1
+            arr[seg, INDEX["res"]] += np.linspace(0.1, 1.0, n_fault)
+            arr[seg, INDEX["epi"]] += 0.03
+        arr[:, INDEX["label"]] = lab
+
+        outs = {}
+        for backend in ("device", "sklearn"):
+            cfg = dc.replace(AucConfig(), iso_backend=backend)
+            outs[backend] = run_auc_pipeline(arr, cfg).iso_auc
+        assert outs["device"] == pytest.approx(outs["sklearn"], abs=0.05)
+
+
 class TestKMeans:
     def test_blobs_clustering(self, blobs):
         x, y = blobs
