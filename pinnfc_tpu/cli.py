@@ -198,16 +198,20 @@ def cmd_gmm(args) -> int:
     print(f"GMM 4-class accuracy: {out.accuracy:.4f}")
     print("confusion:\n", out.confusion)
     if args.plot_dir:
-        from pinnfc_tpu.viz import plot_confusion_matrix, plot_fault_probabilities
+        from pinnfc_tpu.viz import (
+            fault_prob_filename,
+            plot_confusion_matrix,
+            plot_fault_probabilities,
+        )
 
         os.makedirs(args.plot_dir, exist_ok=True)
         plot_confusion_matrix(
             out.confusion, out.class_names,
             os.path.join(args.plot_dir, "gmm_confusion.png"), title="GMM",
         )
-        for k in range(len(out.class_names)):
+        for k, cname in enumerate(out.class_names):
             plot_fault_probabilities(
-                out, k, os.path.join(args.plot_dir, f"gmm_probs_fault{k}.png")
+                out, k, os.path.join(args.plot_dir, fault_prob_filename(cname))
             )
         if getattr(args, "tsne", False):  # 03:429-508
             from pinnfc_tpu.config import GmmConfig
@@ -289,10 +293,13 @@ def cmd_run_all(args) -> int:
         ckpt=os.path.join(args.out_dir, "pinn_ckpt"), plot_dir=plot_dir,
         normal_mat=getattr(args, "normal_mat", None),
         fault_dir=getattr(args, "fault_dir", None),
+        steps_scale=getattr(args, "steps_scale", None),
     )
     cmd_train(ns)
     for fn in (cmd_auc, cmd_gmm, cmd_risk, cmd_compare):
-        fn(argparse.Namespace(mat=mat_path, plot_dir=plot_dir, methods=None))
+        # tsne=True: the reference always draws the script-03 t-SNE (03:587)
+        fn(argparse.Namespace(mat=mat_path, plot_dir=plot_dir, methods=None,
+                              tsne=fn is cmd_gmm))
     print(f"run-all complete → {args.out_dir}")
     return 0
 
@@ -413,6 +420,8 @@ def main(argv: Optional[list] = None) -> int:
     r = sub.add_parser("run-all", help="full pipeline 01→02/03/04/05")
     r.add_argument("--out-dir", required=True)
     r.add_argument("--small", action="store_true")
+    r.add_argument("--steps-scale", type=float, default=None,
+                   help="multiply every stage's step count")
     r.add_argument("--seed", type=int, default=42)
     r.add_argument("--normal-mat", default=None,
                    help="real campaign: normal-operation .mat")

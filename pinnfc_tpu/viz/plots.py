@@ -72,27 +72,80 @@ def _finish(fig, save_path: str):
     return save_path
 
 
-def plot_uncertainty(results, boundary_lines: Sequence[int], save_path: str):
-    """Aleatoric scatter + smoothed epistemic line with fault boundaries
-    (01:1494-1624)."""
+def _rolling_mean_centered(data: np.ndarray, window: int) -> np.ndarray:
+    """pandas ``rolling(window, center=True, min_periods=1).mean()``
+    (reference moving_average_improved, 01:1511-1515)."""
+    if len(data) < window:
+        return np.asarray(data, float)
+    import pandas as pd
+
+    return pd.Series(data).rolling(window=window, center=True, min_periods=1).mean().values
+
+
+def plot_uncertainty(
+    results, boundary_lines: Sequence[int], save_path: str, window_size: int = 50
+):
+    """Reference view_uncertainty_only (01:1494-1624): TWO figures —
+    figure A the aleatoric scatter with Normal/Fault-i region labels, and
+    figure B the window-50 centered-rolling epistemic line with the
+    normal-region mean as a purple dashed baseline.  ``save_path`` is the
+    stem: writes ``<stem>_aleatoric.<ext>`` and ``<stem>_epistemic.<ext>``;
+    returns both paths."""
+    import os
+
     arr = _arr(results)
     n = len(arr)
-    fig, axes = plt.subplots(2, 1, figsize=(10, 6), sharex=True)
-    axes[0].scatter(np.arange(n), arr[:, INDEX["ale"]], s=2, alpha=0.5, c="tab:blue")
-    axes[0].set_ylabel("aleatoric std [V]")
-    axes[1].plot(np.arange(n), arr[:, INDEX["epi"]], lw=0.8, c="tab:red")
-    normal_end = boundary_lines[0] if boundary_lines else n
-    axes[1].axhline(
-        float(np.mean(arr[:normal_end, INDEX["epi"]])), ls="--", c="gray",
-        label="normal mean",
+    idx = np.arange(n)
+    ale = arr[:, INDEX["ale"]]
+    epi = arr[:, INDEX["epi"]]
+    base, ext = os.path.splitext(save_path)
+    normal_end = int(boundary_lines[0]) if boundary_lines else n
+    normal_mean = float(np.mean(epi[:normal_end])) if normal_end > 0 else float(np.mean(epi))
+
+    # figure A — aleatoric scatter (01:1547-1580)
+    fig, ax = plt.subplots(figsize=(12, 4))
+    ax.scatter(idx, ale, c="blue", s=7, alpha=0.7, label="Aleatoric uncertainty")
+    ax.set_ylabel("Uncertainty magnitude")
+    ax.set_title("Aleatoric uncertainty distribution")
+    ax.legend(fontsize=9)
+    ax.grid(True, alpha=0.3)
+    for b in boundary_lines[:-1]:
+        ax.axvline(b, color="gray", ls="--", alpha=0.5, lw=1)
+    if normal_end > 0:
+        ax.text(
+            normal_end / 2, ax.get_ylim()[1] * 0.95, "Normal", ha="center",
+            fontsize=9,
+            bbox=dict(boxstyle="round,pad=0.2", facecolor="lightblue", alpha=0.7),
+        )
+    y_pos = ax.get_ylim()[1] * 0.85
+    for i in range(len(boundary_lines) - 1):
+        mid = (boundary_lines[i] + boundary_lines[i + 1]) / 2
+        ax.text(
+            mid, y_pos, f"Fault-{i + 1}", ha="center", fontsize=8,
+            bbox=dict(boxstyle="round,pad=0.2", facecolor="lightcoral", alpha=0.7),
+        )
+    path_a = _finish(fig, f"{base}_aleatoric{ext}")
+
+    # figure B — smoothed epistemic line + normal-mean baseline (01:1585-1624)
+    epi_filtered = _rolling_mean_centered(epi, window_size)
+    fig, ax = plt.subplots(figsize=(12, 4))
+    ax.plot(
+        idx, epi_filtered, c="red", lw=4, alpha=0.8,
+        label=f"Epistemic uncertainty (filtered, window={window_size})",
     )
-    for b in boundary_lines:
-        for ax in axes:
-            ax.axvline(b, color="k", lw=0.5, alpha=0.4)
-    axes[1].set_ylabel("epistemic std [V]")
-    axes[1].set_xlabel("sample")
-    axes[1].legend(loc="upper left", fontsize=8)
-    return _finish(fig, save_path)
+    for side in ("left", "right", "top", "bottom"):
+        ax.spines[side].set_linewidth(2.5)
+    if np.isfinite(normal_mean):
+        ax.axhline(
+            normal_mean, color="purple", ls="--", lw=1.5,
+            label=f"Normal mean = {normal_mean:.4f}",
+        )
+    ax.set_xlabel("Sample index")
+    ax.set_ylabel("Epistemic uncertainty")
+    for b in boundary_lines[:-1]:
+        ax.axvline(b, color="gray", ls="--", alpha=0.5, lw=2)
+    path_b = _finish(fig, f"{base}_epistemic{ext}")
+    return path_a, path_b
 
 
 def plot_detailed_results(results, save_path: str):
@@ -202,20 +255,52 @@ def tsne_embed(x: np.ndarray, perplexity: float = 30.0, random_state: int = 42):
     ).fit_transform(np.asarray(x, np.float64))
 
 
-def plot_fault_probabilities(
-    gmm_result, fault_idx: int, save_path: str
-):
-    """Per-fault class-probability scatter over test samples of one true
-    fault condition (03:209-356)."""
+# script-03 probability-figure style constants (03:36-48)
+PROB_FIG_SIZE = (12, 4)
+PROB_MARKERSIZE = 20
+PROB_ALPHA = 0.75
+DIAG_COLORS = {"水淹": "#e377c2", "氧饥饿": "#ff7f0e", "膜干": "#17becf", "氢饥饿": "#9464b8"}
+FAULT_EN_TITLE = {
+    "水淹": "Flooding",
+    "氧饥饿": "Oxygen starvation",
+    "膜干": "Membrane drying",
+    "氢饥饿": "Hydrogen starvation",
+}
+FAULT_EN_SHORT = {
+    "水淹": "flooding",
+    "氧饥饿": "oxygen_starvation",
+    "膜干": "membrane_drying",
+    "氢饥饿": "hydrogen_starvation",
+}
+
+
+def fault_prob_filename(class_name: str) -> str:
+    """Reference figure file name ``prob_<english short name>.png``
+    (03:323-325)."""
+    return f"prob_{FAULT_EN_SHORT.get(class_name, class_name)}.png"
+
+
+def plot_fault_probabilities(gmm_result, fault_idx: int, save_path: str):
+    """Class-probability scatter over the test samples whose TRUE condition
+    is one fault type — reference
+    plot_fault_probabilities_for_single_fault (03:209-327): fixed class
+    colors, English title, (12,4) canvas, dotted grid."""
     m = gmm_result.y_true == fault_idx
     probs = gmm_result.y_prob[m]
-    fig, ax = plt.subplots(figsize=(7, 3.2))
-    for k, name in enumerate(gmm_result.class_names):
-        ax.scatter(np.arange(len(probs)), probs[:, k], s=4, alpha=0.55, label=display_name(name))
-    ax.set_ylim(-0.05, 1.05)
-    ax.set_ylabel(f"P(class) | true={display_name(gmm_result.class_names[fault_idx])}")
-    ax.set_xlabel("test sample")
-    ax.legend(fontsize=7, markerscale=2, ncol=4)
+    fig, ax = plt.subplots(figsize=PROB_FIG_SIZE)
+    x = np.arange(len(probs))
+    for j, name in enumerate(gmm_result.class_names):
+        color = DIAG_COLORS.get(name, plt.cm.Dark2(j % 8))
+        ax.scatter(
+            x, probs[:, j], s=PROB_MARKERSIZE, c=[color], alpha=PROB_ALPHA,
+            marker="o", edgecolors="none", label=display_name(name),
+        )
+    ax.set_xlabel("Sample Index")
+    ax.set_ylabel("Probability")
+    ax.set_ylim(-0.02, 1.02)
+    ax.grid(True, ls=":", alpha=0.5)
+    name = gmm_result.class_names[fault_idx]
+    ax.set_title(FAULT_EN_TITLE.get(name, display_name(name)))
     return _finish(fig, save_path)
 
 

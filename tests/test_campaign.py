@@ -93,6 +93,7 @@ class TestCampaignEndToEnd:
 
         d, cfg, _ = campaign_dir
         mat_out = str(tmp_path / "F01_output.mat")
+        plot_dir = str(tmp_path / "figs")
         rc = main(
             [
                 "train",
@@ -100,9 +101,17 @@ class TestCampaignEndToEnd:
                 "--fault-dir", d,
                 "--small", "--steps-scale", "0.05",
                 "--mat-out", mat_out,
+                "--plot-dir", plot_dir,
             ]
         )
         assert rc == 0
+        # script-01 figure inventory: 2 uncertainty figures + detailed + split
+        assert {
+            "uncertainty_aleatoric.png",
+            "uncertainty_epistemic.png",
+            "detailed.png",
+            "split.png",
+        } <= set(os.listdir(plot_dir))
         assert os.path.exists(mat_out)
         res = load_comprehensive_results(mat_out)
         assert res.array.shape[1] == 22

@@ -32,7 +32,38 @@ class TestPlots:
     def test_uncertainty(self, fake_results, tmp_path):
         from pinnfc_tpu.viz import plot_uncertainty
 
-        _check(plot_uncertainty(fake_results, [100, 200, 300, 400], str(tmp_path / "u.png")))
+        path_a, path_b = plot_uncertainty(
+            fake_results, [100, 200, 300, 400], str(tmp_path / "u.png")
+        )
+        _check(path_a)
+        _check(path_b)
+        assert path_a.endswith("u_aleatoric.png")
+        assert path_b.endswith("u_epistemic.png")
+
+    def test_rolling_mean_matches_pandas(self):
+        import pandas as pd
+
+        from pinnfc_tpu.viz.plots import _rolling_mean_centered
+
+        rng = np.random.RandomState(1)
+        x = rng.randn(300)
+        want = pd.Series(x).rolling(50, center=True, min_periods=1).mean().values
+        np.testing.assert_allclose(_rolling_mean_centered(x, 50), want)
+
+    def test_fault_prob_figure_and_name(self, tmp_path):
+        from types import SimpleNamespace
+
+        from pinnfc_tpu.viz import fault_prob_filename, plot_fault_probabilities
+
+        assert fault_prob_filename("水淹") == "prob_flooding.png"
+        assert fault_prob_filename("氢饥饿") == "prob_hydrogen_starvation.png"
+        rng = np.random.RandomState(0)
+        res = SimpleNamespace(
+            y_true=np.repeat([0, 1, 2, 3], 50),
+            y_prob=rng.dirichlet(np.ones(4), 200),
+            class_names=["水淹", "氧饥饿", "膜干", "氢饥饿"],
+        )
+        _check(plot_fault_probabilities(res, 0, str(tmp_path / "p.png")))
 
     def test_detailed(self, fake_results, tmp_path):
         from pinnfc_tpu.viz import plot_detailed_results
