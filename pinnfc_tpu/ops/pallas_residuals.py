@@ -15,6 +15,17 @@ same layout.  Everything is VPU element-wise work; scalar parameters
 
 The jnp reference implementation (`pinnfc_tpu.physics.all_residuals`) is the
 parity oracle; `tests/test_pallas.py` asserts agreement.
+
+STATUS — retired demonstrator (closed in round 2, PERFORMANCE.md):
+- at HBM scale XLA's fused elementwise loops win (1.04 vs 0.71 G rows/s;
+  the kernel pays one extra HBM pass for the (8, N) lane transpose);
+- the other candidate payoff — fusing the residual into a VMEM-resident
+  λ-stage trainer (the `ops.pallas_train` pattern) — is moot by
+  measurement: the XLA λ-stage scans already run at 35-46k steps/s on a
+  v5e (benchmarks/lambda_bench.py), so ALL 26,003 λ-steps of the reference
+  schedule cost ~0.66 s next to ~8 s of DNN stages.  The production paths
+  stay jnp (`physics.all_residuals`, `training.stages`); this kernel
+  remains a verified layout/parity study.
 """
 
 from __future__ import annotations
