@@ -50,19 +50,29 @@ def build_comprehensive_results(
     mc_times: int = 2000,
     dropout: float = 0.4,
     smooth_window: int = 200,
-    sampler: str = "vmap",
+    sampler: str = "auto",
 ) -> ComprehensiveResults:
     """Full exporter (reference 01:1877-2010 + main call 01:2156-2158).
 
-    ``sampler``: 'vmap' (default, jax.random streams) or 'pallas' (fused
-    VMEM-resident kernel, counter-based RNG — statistically equivalent,
-    fastest on TPU; see ops.pallas_mc_dropout).
+    ``sampler``: 'auto' (default — the fused Pallas kernel on TPU, the
+    vmapped sampler elsewhere), 'vmap' (jax.random streams), or 'pallas'
+    (VMEM-resident kernel, counter-based RNG — statistically equivalent
+    per-sample stream, 6× faster on TPU; see ops.pallas_mc_dropout and
+    PERFORMANCE.md).  Only the flagship (8,256,256,256,1) topology has a
+    kernel; 'auto' falls back to vmap for other shapes.
 
     Note: the reference evaluates ``net_f_V`` on the *eval-mode DNN
     prediction* (01:1947 uses self.dnn after eval), which equals the MC
     pred_mean — the same value is used here.
     """
     rng = jax.random.PRNGKey(1) if rng is None else rng
+    if sampler == "auto":
+        flagship = [w["w"].shape for w in params["mlp"]["hidden"]] == [
+            (8, 256), (256, 256), (256, 256)
+        ]
+        sampler = (
+            "pallas" if flagship and jax.default_backend() == "tpu" else "vmap"
+        )
     if sampler == "pallas":
         from pinnfc_tpu.ops.pallas_mc_dropout import mc_dropout_pallas
 
