@@ -351,6 +351,55 @@ def cmd_ensemble(args) -> int:
     return 0
 
 
+def cmd_monitor(args) -> int:
+    """Streaming replay: feed a comprehensive_results artifact through the
+    OnlineMonitor block by block, as a deployed scorer would consume live
+    measurements; print the first warn/danger/voltage alarms."""
+    import numpy as np
+
+    from pinnfc_tpu.config import RiskConfig
+    from pinnfc_tpu.data import load_comprehensive_results
+    from pinnfc_tpu.data.contract import INDEX
+    from pinnfc_tpu.risk import estimate_mu_sigma_normal
+    from pinnfc_tpu.serving import OnlineMonitor
+
+    results = load_comprehensive_results(args.mat)
+    arr = results.array
+    cfg = RiskConfig()
+    mu, sigma = estimate_mu_sigma_normal(arr)
+    monitor = OnlineMonitor.from_checkpoint(args.ckpt, mu, sigma, cfg)
+
+    rows = arr
+    if args.fault_label is not None:
+        # replay one fault segment preceded by its lead-in normal rows
+        mask = arr[:, INDEX["label"]] == args.fault_label
+        lead = arr[arr[:, INDEX["label"]] == 0][-args.lead :]
+        rows = np.vstack([lead, arr[mask]])
+
+    x_raw = rows[:, 0:8]
+    v_meas = rows[:, INDEX["y_true"]]
+    first = {"warn": None, "danger": None, "v_alarm": None}
+    pos = 0
+    while pos < len(rows):
+        out = monitor.observe(
+            x_raw[pos : pos + args.block], v_meas[pos : pos + args.block]
+        )
+        for name, flags in (
+            ("warn", out.warn), ("danger", out.danger), ("v_alarm", out.v_alarm)
+        ):
+            if first[name] is None and flags.any():
+                first[name] = pos + int(np.argmax(flags))
+        pos += args.block
+    print(
+        f"streamed {len(rows)} samples in blocks of {args.block}: "
+        f"first warn={first['warn']}  danger={first['danger']}  "
+        f"voltage alarm={first['v_alarm']}"
+    )
+    if first["warn"] is not None and first["v_alarm"] is not None:
+        print(f"RF lead over voltage alarm: {first['v_alarm'] - first['warn']} samples")
+    return 0
+
+
 def cmd_bench(args) -> int:
     try:
         import bench
@@ -435,6 +484,16 @@ def main(argv: Optional[list] = None) -> int:
     e.add_argument("--small", action="store_true")
     e.add_argument("--seed", type=int, default=42)
     e.set_defaults(fn=cmd_ensemble)
+
+    m = sub.add_parser("monitor", help="streaming replay through OnlineMonitor")
+    m.add_argument("--mat", default="F01_output.mat")
+    m.add_argument("--ckpt", required=True, help="checkpoint from `train --ckpt`")
+    m.add_argument("--block", type=int, default=64, help="samples per block")
+    m.add_argument("--fault-label", type=int, default=None,
+                   help="replay only this fault segment (1..12) after a lead-in")
+    m.add_argument("--lead", type=int, default=200,
+                   help="normal lead-in rows before the fault segment")
+    m.set_defaults(fn=cmd_monitor)
 
     b = sub.add_parser("bench", help="headline benchmark (one JSON line)")
     b.set_defaults(fn=cmd_bench)

@@ -106,8 +106,11 @@ def combine_and_normalize(
     scaler_x = AffineScaler.fit(x_normal[train_indices])
     scaler_y = AffineScaler.fit(y_normal[train_indices])
 
-    x_scaled = np.asarray(scaler_x.transform(x_combined))
-    y_scaled = np.asarray(scaler_y.transform(y_combined))
+    # cast on the host: a float64 numpy input to jnp.asarray(..., f32) would
+    # dispatch an eager convert_element_type on device — seconds per call
+    # through a remote-compile relay; an f32 numpy array is a pure transfer
+    x_scaled = np.asarray(scaler_x.transform(x_combined), np.float32)
+    y_scaled = np.asarray(scaler_y.transform(y_combined), np.float32)
 
     info = DataInfo(
         boundary_lines=boundary_lines,
@@ -118,10 +121,10 @@ def combine_and_normalize(
         noise_info=noise_info,
     )
     return FuelCellDataset(
-        x_train=jnp.asarray(x_scaled[train_indices], jnp.float32),
-        y_train=jnp.asarray(y_scaled[train_indices], jnp.float32),
-        x_test=jnp.asarray(x_scaled, jnp.float32),
-        y_test=jnp.asarray(y_scaled, jnp.float32),
+        x_train=jnp.asarray(x_scaled[train_indices]),
+        y_train=jnp.asarray(y_scaled[train_indices]),
+        x_test=jnp.asarray(x_scaled),
+        y_test=jnp.asarray(y_scaled),
         scaler_x=scaler_x,
         scaler_y=scaler_y,
         info=info,

@@ -15,6 +15,7 @@ p-mutation loop (01:1448-1464).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -35,8 +36,15 @@ def _init_linear(key, fan_in: int, fan_out: int, dtype=jnp.float32):
 
 
 def init_mlp(key, layers: Sequence[int] = (8, 256, 256, 256, 1), dtype=jnp.float32) -> MLPParams:
-    """Initialize parameters for layer sizes ``layers`` (reference 01:2139)."""
-    layers = tuple(layers)
+    """Initialize parameters for layer sizes ``layers`` (reference 01:2139).
+
+    Jitted: one compiled program (persistent-cache friendly) instead of
+    ~28 eager PRNG dispatches — material through a remote-compile relay."""
+    return _init_mlp_jit(key, tuple(layers), dtype)
+
+
+@partial(jax.jit, static_argnames=("layers", "dtype"))
+def _init_mlp_jit(key, layers, dtype):
     depth = len(layers) - 1
     keys = jax.random.split(key, depth + 3)
     hidden = [

@@ -40,6 +40,41 @@ def _offline_rf(params, d, mu, sigma, x_raw, v_meas, cfg):
     return compute_rf_time_series(r, mu, sigma, cfg)
 
 
+class TestMonitorCli:
+    def test_cli_monitor_replays_artifact(self, setup, tmp_path, capsys):
+        """`cli monitor` streams a comprehensive_results artifact through the
+        OnlineMonitor from a checkpoint (the serving product surface)."""
+        from pinnfc_tpu.cli import main
+        from pinnfc_tpu.data.contract import INDEX, save_comprehensive_results
+        from pinnfc_tpu.utils import save_checkpoint
+
+        params, d, mu, sigma, x_raw, v_meas = setup
+        ckpt = str(tmp_path / "ckpt")
+        save_checkpoint(ckpt, params, d.scaler_x, d.scaler_y)
+
+        n = len(x_raw)
+        arr = np.zeros((n, 22))
+        arr[:, 0:8] = x_raw
+        arr[:, INDEX["y_true"]] = v_meas
+        arr[n // 2 :, INDEX["label"]] = 1  # second half 'fault'
+        # induce a voltage collapse so alarms actually fire
+        arr[n // 2 :, INDEX["y_true"]] -= np.linspace(0, 1.0, n - n // 2)
+        mat = str(tmp_path / "F01.mat")
+        save_comprehensive_results(arr, mat)
+
+        rc = main(["monitor", "--mat", mat, "--ckpt", ckpt, "--block", "37"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "streamed" in out and f"{n} samples" in out
+
+        rc = main([
+            "monitor", "--mat", mat, "--ckpt", ckpt,
+            "--fault-label", "1", "--lead", "50",
+        ])
+        assert rc == 0
+        assert "voltage alarm=" in capsys.readouterr().out
+
+
 class TestOnlineMonitor:
     def test_matches_offline_pipeline(self, setup):
         params, d, mu, sigma, x_raw, v_meas = setup
