@@ -325,18 +325,27 @@ def cmd_ensemble(args) -> int:
     )
     ds = combine_and_normalize(normal, faults, training_rate=1.0, seed=args.seed)
 
-    mesh = None
-    n_dev = jax.device_count()
-    if n_dev > 1 and args.members % n_dev == 0:
-        mesh = make_mesh(n_dev)
-        print(f"sharding {args.members} members over {n_dev} devices")
-
+    rng = jax.random.key(args.seed + 1, impl="rbg")  # fast dropout masks
     ens = init_ensemble(jax.random.PRNGKey(args.seed), args.members)
-    ens, losses = train_dnn_ensemble(
-        ens, ds.x_train, ds.y_train,
-        jax.random.key(args.seed + 1, impl="rbg"),  # fast dropout masks
-        n_iter=args.steps, mesh=mesh,
-    )
+    n_dev = jax.device_count()
+    if getattr(args, "mesh_shape", None):
+        # hybrid 2-D: members over 'model', batch rows over 'data'
+        from pinnfc_tpu.parallel import train_dnn_ensemble_2d
+
+        m, d = (int(v) for v in args.mesh_shape.lower().split("x"))
+        mesh = make_mesh(m * d, axis_names=("model", "data"), shape=(m, d))
+        print(f"2-D mesh: {args.members} members over {m} × rows over {d}")
+        ens, losses = train_dnn_ensemble_2d(
+            ens, ds.x_train, ds.y_train, rng, n_iter=args.steps, mesh=mesh
+        )
+    else:
+        mesh = None
+        if n_dev > 1 and args.members % n_dev == 0:
+            mesh = make_mesh(n_dev)
+            print(f"sharding {args.members} members over {n_dev} devices")
+        ens, losses = train_dnn_ensemble(
+            ens, ds.x_train, ds.y_train, rng, n_iter=args.steps, mesh=mesh
+        )
     preds = np.asarray(ensemble_predict(ens, ds.x_test))  # (E, N, 1)
     y = np.asarray(ds.scaler_y.inverse(ds.y_test))[:, 0]
     scale_y = np.asarray(ds.scaler_y.scale)
@@ -481,6 +490,9 @@ def main(argv: Optional[list] = None) -> int:
     e = sub.add_parser("ensemble", help="many-seed parallel PINN ensemble")
     e.add_argument("--members", type=int, default=8)
     e.add_argument("--steps", type=int, default=2000)
+    e.add_argument("--mesh-shape", default=None, metavar="MxD",
+                   help="hybrid 2-D mesh, e.g. 4x2: members over M devices, "
+                        "each member's batch rows over D devices")
     e.add_argument("--small", action="store_true")
     e.add_argument("--seed", type=int, default=42)
     e.set_defaults(fn=cmd_ensemble)

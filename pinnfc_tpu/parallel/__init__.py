@@ -17,6 +17,7 @@ from pinnfc_tpu.parallel.ensemble import (
     init_ensemble,
     mc_dropout_sharded,
     train_dnn_ensemble,
+    train_dnn_ensemble_2d,
     train_pinn_ensemble,
 )
 
@@ -35,5 +36,6 @@ __all__ = [
     "init_ensemble",
     "mc_dropout_sharded",
     "train_dnn_ensemble",
+    "train_dnn_ensemble_2d",
     "train_pinn_ensemble",
 ]

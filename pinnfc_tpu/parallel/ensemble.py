@@ -71,6 +71,50 @@ def train_dnn_ensemble(
     return {**ensemble_params, "mlp": mlps}, losses
 
 
+def train_dnn_ensemble_2d(
+    ensemble_params,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    rng: jax.Array,
+    n_iter: int,
+    mesh,
+    lr: float = 0.01,
+    dropout_p: float = 0.2,
+):
+    """Hybrid 2-D parallel ensemble training over a ('model', 'data') mesh.
+
+    Ensemble members are sharded over the 'model' axis (zero communication
+    between members) while each member's full-batch rows are sharded over
+    the 'data' axis — XLA inserts the gradient all-reduce (ICI psum) along
+    'data' inside every vmapped member.  This is the layout for scaling
+    BOTH the seed sweep and the per-member batch past one chip: e.g. a
+    4×2 mesh trains 4 member groups, each data-parallel over 2 chips.
+
+    Numerics are identical to the unsharded ``train_dnn_ensemble`` (mean-
+    loss gradients are exact under row sharding)."""
+    n_models = jax.tree_util.tree_leaves(ensemble_params["mlp"])[0].shape[0]
+    keys = jax.random.split(rng, n_models)
+
+    model_first = lambda a: NamedSharding(
+        mesh, P(*(("model",) + (None,) * (a.ndim - 1)))
+    )
+    mlp = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, model_first(a)), ensemble_params["mlp"]
+    )
+    keys = jax.device_put(keys, NamedSharding(mesh, P("model")))
+    x = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    y = jax.device_put(y, NamedSharding(mesh, P("data", None)))
+
+    def train_one(mlp_params, key):
+        res = train_dnn_stage(
+            mlp_params, x, y, key, n_iter=n_iter, lr=lr, dropout_p=dropout_p
+        )
+        return res.params, res.losses
+
+    mlps, losses = jax.vmap(train_one)(mlp, keys)
+    return {**ensemble_params, "mlp": mlps}, losses
+
+
 def train_pinn_ensemble(
     ensemble_params,
     x: jnp.ndarray,

@@ -113,6 +113,31 @@ class TestEnsemble:
         assert float(np.std(np.asarray(losses[:, -1]))) > 0
         assert (np.asarray(losses[:, -1]) <= np.asarray(losses[:, 0])).all()
 
+    def test_ensemble_2d_mesh_matches_unsharded(self, dp_data):
+        """('model','data') hybrid: members over one axis, rows over the
+        other — trajectory equals the unsharded ensemble to f32 noise."""
+        from pinnfc_tpu.parallel import make_mesh, train_dnn_ensemble_2d
+
+        x, y, *_ = dp_data
+        mesh2d = make_mesh(8, axis_names=("model", "data"), shape=(4, 2))
+        ens = init_ensemble(jax.random.PRNGKey(0), 4, layers=(8, 16, 1))
+        ens_ref, losses_ref = train_dnn_ensemble(
+            ens, x, y, jax.random.PRNGKey(1), n_iter=25
+        )
+        ens_2d, losses_2d = train_dnn_ensemble_2d(
+            ens, x, y, jax.random.PRNGKey(1), n_iter=25, mesh=mesh2d
+        )
+        np.testing.assert_allclose(
+            np.asarray(losses_2d), np.asarray(losses_ref), rtol=2e-4, atol=1e-5
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ens_2d["mlp"]),
+            jax.tree_util.tree_leaves(ens_ref["mlp"]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
+            )
+
     def test_ensemble_predict_shape(self, dp_data):
         x, *_ = dp_data
         from pinnfc_tpu.parallel import ensemble_predict
