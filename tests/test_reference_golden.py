@@ -272,6 +272,32 @@ class TestTrainingStepParity:
         np.testing.assert_allclose(np.asarray(got), lam_ref, rtol=2e-4, atol=1e-8)
 
 
+class TestResidualTrainerParity:
+    @pytest.mark.parametrize(
+        "group,method,lr",
+        [("lam_t", "train_thermal", 1.0), ("lam_h", "train_hydrogen", 0.1),
+         ("lam_o", "train_oxygen", 1e-2)],
+    )
+    def test_residual_stage_trajectories(self, pair, group, method, lr):
+        """5 reference Adam steps of the thermal/hydrogen/oxygen trainers
+        (01:1060-1399) vs our generic λ scan stage."""
+        from pinnfc_tpu.training.stages import train_residual_stage
+
+        pinn, params, (x, _, sx, _) = pair
+        getattr(pinn, method)(5)
+        names = {
+            "lam_t": ["lambda_T1", "lambda_T2", "lambda_T3", "lambda_T4", "lambda_T5"],
+            "lam_h": ["lambda_H1", "lambda_H2", "lambda_H3", "lambda_H4"],
+            "lam_o": ["lambda_O1", "lambda_O2", "lambda_O3", "lambda_O4"],
+        }[group]
+        lam_ref = np.array([getattr(pinn, n).item() for n in names])
+        gamma = 0.8 if group == "lam_t" else 0.9  # 01:1102, 01:1195, 01:1348
+        got = train_residual_stage(
+            params[group], x, sx, group, n_iter=5, lr=lr, lr_gamma=gamma
+        ).params
+        np.testing.assert_allclose(np.asarray(got), lam_ref, rtol=5e-4, atol=1e-6)
+
+
 class TestMCSamplesParity:
     def test_phase_semantics_deterministic(self, pair):
         """dropout=0 removes the stochastic part; the two-phase structure
@@ -293,3 +319,27 @@ class TestMCSamplesParity:
         np.testing.assert_allclose(np.asarray(mc.aleatoric_std), au_ref, atol=2e-6)
         np.testing.assert_allclose(np.asarray(mc.epistemic_std), eu_ref, atol=2e-6)
         assert float(np.max(np.asarray(mc.epistemic_std))) < 1e-6
+
+    def test_epistemic_statistics_with_dropout(self, pair):
+        """dropout=0.3: different RNG streams, but the per-row epistemic std
+        must agree in distribution (the MC estimator targets the same
+        quantity; mc=600 bounds the estimator noise to a few %)."""
+        import jax
+
+        from pinnfc_tpu.uq.mc_dropout import mc_dropout_samples
+
+        pinn, params, (x, _, _, _) = pair
+        ref01_mod = sys.modules["ref01_golden"]
+        torch.manual_seed(0)
+        _, _, eu_ref = ref01_mod.get_MC_samples(
+            pinn, pinn.X, pinn.x_scal, mc_times=600, dropout=0.3
+        )
+        mc = mc_dropout_samples(
+            params["mlp"], x, jax.random.PRNGKey(7), mc_times=600, dropout=0.3,
+            chunk=100,
+        )
+        ours = np.asarray(mc.epistemic_std)
+        # mean epistemic level within 10%, per-row correlation strong
+        assert np.mean(ours) == pytest.approx(np.mean(eu_ref), rel=0.10)
+        corr = np.corrcoef(ours, eu_ref)[0, 1]
+        assert corr > 0.9
