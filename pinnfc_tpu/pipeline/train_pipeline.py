@@ -37,14 +37,28 @@ class PipelineResult:
     timings: Dict[str, float]
 
 
+@jax.jit
+def _metrics_device(params: PinnParams, x_test, y_test, sx, sy):
+    """One program for the whole metric forward: eval prediction,
+    de-normalization, residual bundle (avoids per-op remote dispatches)."""
+    pred_norm, _ = mlp_forward(params["mlp"], x_test, train=False)
+    y_real = sy.inverse(y_test)[:, 0]
+    p_real = sy.inverse(pred_norm)[:, 0]
+    bundle = all_residuals(params, x_test, pred_norm, sx, sy)
+    return y_real, p_real, bundle
+
+
 def evaluate_voltage_metrics(
     params: PinnParams, dataset: FuelCellDataset
 ) -> Dict[str, float]:
     """MAE / RMSE / R² / max-abs-err of the de-normalized voltage prediction
     plus physics-residual MAEs (reference metric block, 01:1765-1818)."""
-    pred_norm, _ = mlp_forward(params["mlp"], dataset.x_test, train=False)
-    y_real = np.asarray(dataset.scaler_y.inverse(dataset.y_test))[:, 0]
-    p_real = np.asarray(dataset.scaler_y.inverse(pred_norm))[:, 0]
+    y_real, p_real, bundle = _metrics_device(
+        params, dataset.x_test, dataset.y_test, dataset.scaler_x, dataset.scaler_y
+    )
+    y_real = np.asarray(y_real)
+    p_real = np.asarray(p_real)
+    bundle = jax.tree_util.tree_map(np.asarray, bundle)
     err = y_real - p_real
     ss_res = float(np.sum(err**2))
     ss_tot = float(np.sum((y_real - y_real.mean()) ** 2))
@@ -56,13 +70,9 @@ def evaluate_voltage_metrics(
     y_n = y_real[:n_norm]
     ss_tot_n = float(np.sum((y_n - y_n.mean()) ** 2))
 
-    bundle = all_residuals(
-        params, dataset.x_test, pred_norm, dataset.scaler_x, dataset.scaler_y
-    )
-
     # smoothed temperature residual (reference uses np.convolve 'same' with
     # window 100 purely for this statistic, 01:1776-1782, default 01:2197)
-    f_t = np.asarray(bundle.f_t)[:, 0]
+    f_t = bundle.f_t[:, 0]
     w = 100
     f_t_smooth = np.convolve(f_t, np.ones(w) / w, mode="same") if len(f_t) >= w else f_t
 
@@ -75,17 +85,17 @@ def evaluate_voltage_metrics(
         "voltage_r2_normal": (
             1.0 - float(np.sum(e_n**2)) / ss_tot_n if ss_tot_n > 0 else float("nan")
         ),
-        "physics_v_mae": float(jnp.mean(jnp.abs(bundle.f_v))),
-        "physics_v_rmse": float(jnp.sqrt(jnp.mean(bundle.f_v**2))),
-        "temp_mae": float(jnp.mean(jnp.abs(bundle.f_t))),
+        "physics_v_mae": float(np.mean(np.abs(bundle.f_v))),
+        "physics_v_rmse": float(np.sqrt(np.mean(bundle.f_v**2))),
+        "temp_mae": float(np.mean(np.abs(bundle.f_t))),
         "temp_mae_smooth": float(np.mean(np.abs(f_t_smooth))),
-        "hydrogen_mae": float(jnp.mean(jnp.abs(bundle.f_h))),
-        "oxygen_mae": float(jnp.mean(jnp.abs(bundle.f_o))),
+        "hydrogen_mae": float(np.mean(np.abs(bundle.f_h))),
+        "oxygen_mae": float(np.mean(np.abs(bundle.f_o))),
         # excess-ratio ranges, printed by the reference (01:1810-1816)
-        "ratio_h_min": float(jnp.min(bundle.ratio_h)),
-        "ratio_h_max": float(jnp.max(bundle.ratio_h)),
-        "ratio_o_min": float(jnp.min(bundle.ratio_o)),
-        "ratio_o_max": float(jnp.max(bundle.ratio_o)),
+        "ratio_h_min": float(np.min(bundle.ratio_h)),
+        "ratio_h_max": float(np.max(bundle.ratio_h)),
+        "ratio_o_min": float(np.min(bundle.ratio_o)),
+        "ratio_o_max": float(np.max(bundle.ratio_o)),
     }
 
 

@@ -56,6 +56,11 @@ class StageResult(NamedTuple):
     losses: jnp.ndarray  # per-step loss trace (n_iter,)
 
 
+@jax.jit
+def _eval_forward(mlp_params, x):
+    return mlp_forward(mlp_params, x, train=False)
+
+
 def _adam(lr: float, step_size: int, gamma: float) -> optax.GradientTransformation:
     schedule = optax.exponential_decay(
         init_value=lr,
@@ -310,8 +315,10 @@ def run_schedule(
             )
             params = {**params, "mlp": res.params}
         elif stage.name == "lambda_v":
-            # eval-mode prediction is constant through this stage (01:967)
-            u_pred, _ = mlp_forward(params["mlp"], x_train, train=False)
+            # eval-mode prediction is constant through this stage (01:967);
+            # jitted: one program instead of an eager op chain (expensive
+            # through a remote-dispatch relay)
+            u_pred, _ = _eval_forward(params["mlp"], x_train)
             res = train_lambda_v_stage(
                 params["lam_v"], x_train, y_train, u_pred, scaler_x, scaler_y,
                 n_iter=stage.n_iter, lr=stage.lr, lr_step=stage.lr_step,
