@@ -83,15 +83,25 @@ def cmd_train(args) -> int:
         mesh = make_mesh(jax.device_count())
         print(f"data-parallel over {jax.device_count()} devices")
 
-    res = run_training_pipeline(
-        cfg,
-        campaign=campaign,
-        mat_path=args.mat_out,
-        n_normal=n_normal,
-        n_fault=n_fault,
-        verbose=True,
-        mesh=mesh,
-    )
+    import contextlib
+
+    if getattr(args, "profile_dir", None):
+        from pinnfc_tpu.utils.observability import profile_trace
+
+        trace_cm = profile_trace(args.profile_dir)
+        print(f"capturing jax.profiler trace → {args.profile_dir}")
+    else:
+        trace_cm = contextlib.nullcontext()
+    with trace_cm:
+        res = run_training_pipeline(
+            cfg,
+            campaign=campaign,
+            mat_path=args.mat_out,
+            n_normal=n_normal,
+            n_fault=n_fault,
+            verbose=True,
+            mesh=mesh,
+        )
     print(json.dumps({"metrics": res.metrics, "timings": res.timings}, indent=2))
     if args.ckpt:
         save_checkpoint(
@@ -300,6 +310,11 @@ def cmd_run_all(args) -> int:
         # tsne=True: the reference always draws the script-03 t-SNE (03:587)
         fn(argparse.Namespace(mat=mat_path, plot_dir=plot_dir, methods=None,
                               tsne=fn is cmd_gmm))
+    # serving demo: stream fault segment 1 through the OnlineMonitor from
+    # the checkpoint the train stage just wrote
+    cmd_monitor(argparse.Namespace(
+        mat=mat_path, ckpt=ns.ckpt, block=256, fault_label=1, lead=200,
+    ))
     print(f"run-all complete → {args.out_dir}")
     return 0
 
@@ -441,6 +456,8 @@ def main(argv: Optional[list] = None) -> int:
                    help="synthetic normal rows (default 6000; 1500 with --small)")
     t.add_argument("--n-fault", type=int, default=None,
                    help="rows per fault segment (default 800; 200 with --small)")
+    t.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the pipeline")
     t.add_argument("--normal-mat", default=None,
                    help="real campaign: normal-operation .mat (e.g. Polar-1.mat)")
     t.add_argument("--fault-dir", default=None,
