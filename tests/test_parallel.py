@@ -23,7 +23,10 @@ from pinnfc_tpu.parallel import (
 
 @pytest.fixture(scope="module")
 def mesh8():
-    assert jax.device_count() >= 8, "conftest must provide 8 simulated devices"
+    if jax.device_count() < 8:
+        # PINNFC_TEST_TPU=1 runs on the single real chip — multi-device
+        # coverage comes from the CPU-simulation run (conftest default)
+        pytest.skip("needs 8 devices (CPU simulation run)")
     return make_mesh(8)
 
 
@@ -118,6 +121,8 @@ class TestEnsemble:
         other — trajectory equals the unsharded ensemble to f32 noise."""
         from pinnfc_tpu.parallel import make_mesh, train_dnn_ensemble_2d
 
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 devices (CPU simulation run)")
         x, y, *_ = dp_data
         mesh2d = make_mesh(8, axis_names=("model", "data"), shape=(4, 2))
         ens = init_ensemble(jax.random.PRNGKey(0), 4, layers=(8, 16, 1))
