@@ -25,6 +25,20 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+def _is_tpu():
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+# Strict last-ulp / f64 parity anchors vs torch-CPU: meaningful only where
+# the math unit matches (CPU).  TPU-tolerance coverage comes from the
+# residual/λ-trajectory/statistical tests, which do run on hardware.
+CPU_ONLY = pytest.mark.skipif(
+    _is_tpu(), reason="CPU-only parity anchor (sub-1e-6 / f64 tolerance)"
+)
+
+
 @pytest.fixture(scope="module")
 def ref01():
     import matplotlib
@@ -123,6 +137,7 @@ def _np(t):
 
 
 class TestForwardParity:
+    @CPU_ONLY
     def test_net_u_eval(self, pair):
         from pinnfc_tpu.models.mlp import mlp_forward
 
@@ -133,6 +148,7 @@ class TestForwardParity:
         np.testing.assert_allclose(np.asarray(u_jnp), _np(u_ref), atol=2e-6)
         np.testing.assert_allclose(np.asarray(lv_jnp), _np(lv_ref), atol=2e-5)
 
+    @CPU_ONLY
     def test_aleatoric_loss(self, pair):
         from pinnfc_tpu.models.mlp import aleatoric_loss, mlp_forward
 
@@ -201,6 +217,7 @@ class TestResidualParity:
 
 
 class TestTrainingStepParity:
+    @CPU_ONLY
     def test_train_dnn_steps_f64(self, pair):
         """3 reference Adam steps (p=0 → deterministic) must reproduce our
         scan-stage weights (train_dnn, 01:929-963).  Run in f64 on both
@@ -299,6 +316,7 @@ class TestResidualTrainerParity:
 
 
 class TestMCSamplesParity:
+    @CPU_ONLY
     def test_phase_semantics_deterministic(self, pair):
         """dropout=0 removes the stochastic part; the two-phase structure
         (pred_mean from eval phase 01:1480, aleatoric from the override
