@@ -63,11 +63,14 @@ def cmd_train(args) -> int:
     n_fault = getattr(args, "n_fault", None) or (200 if args.small else 800)
 
     campaign = None
-    if getattr(args, "normal_mat", None):
+    if getattr(args, "normal_mat", None) or getattr(args, "fault_dir", None):
         from pinnfc_tpu.data import CampaignConfig
 
-        if not getattr(args, "fault_dir", None):
-            print("--normal-mat requires --fault-dir", file=sys.stderr)
+        if not (getattr(args, "normal_mat", None) and getattr(args, "fault_dir", None)):
+            print(
+                "real campaigns need BOTH --normal-mat and --fault-dir",
+                file=sys.stderr,
+            )
             return 2
         campaign = CampaignConfig.from_dir(
             args.normal_mat, args.fault_dir, seed=args.seed
@@ -305,16 +308,22 @@ def cmd_run_all(args) -> int:
         fault_dir=getattr(args, "fault_dir", None),
         steps_scale=getattr(args, "steps_scale", None),
     )
-    cmd_train(ns)
+    rc = cmd_train(ns)
+    if rc:
+        return rc
     for fn in (cmd_auc, cmd_gmm, cmd_risk, cmd_compare):
         # tsne=True: the reference always draws the script-03 t-SNE (03:587)
-        fn(argparse.Namespace(mat=mat_path, plot_dir=plot_dir, methods=None,
-                              tsne=fn is cmd_gmm))
+        rc = fn(argparse.Namespace(mat=mat_path, plot_dir=plot_dir, methods=None,
+                                   tsne=fn is cmd_gmm))
+        if rc:
+            return rc
     # serving demo: stream fault segment 1 through the OnlineMonitor from
     # the checkpoint the train stage just wrote
-    cmd_monitor(argparse.Namespace(
+    rc = cmd_monitor(argparse.Namespace(
         mat=mat_path, ckpt=ns.ckpt, block=256, fault_label=1, lead=200,
     ))
+    if rc:
+        return rc
     print(f"run-all complete → {args.out_dir}")
     return 0
 

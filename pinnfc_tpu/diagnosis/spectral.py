@@ -46,9 +46,12 @@ def spectral_fit(
     x = jnp.asarray(x, jnp.float32)
     n = x.shape[0]
 
-    # pairwise squared distances via the ‖a‖²+‖b‖²−2ab expansion (matmul)
+    # pairwise squared distances via the ‖a‖²+‖b‖²−2ab expansion; the
+    # expansion cancels catastrophically for near neighbors, so the matmul
+    # must run full-f32 (repo convention: 'highest' where numerics matter)
     sq = jnp.sum(x**2, axis=1)
-    d2 = sq[:, None] + sq[None, :] - 2.0 * (x @ x.T)
+    gram = jnp.matmul(x, x.T, precision="highest")
+    d2 = sq[:, None] + sq[None, :] - 2.0 * gram
 
     # kNN graph, self included (sklearn kneighbors_graph(include_self=True))
     _, idx = jax.lax.top_k(-d2, n_neighbors)

@@ -49,16 +49,34 @@ def _metrics_device(params: PinnParams, x_test, y_test, sx, sy):
 
 
 def evaluate_voltage_metrics(
-    params: PinnParams, dataset: FuelCellDataset
+    params: PinnParams,
+    dataset: FuelCellDataset,
+    results: Optional[ComprehensiveResults] = None,
 ) -> Dict[str, float]:
     """MAE / RMSE / R² / max-abs-err of the de-normalized voltage prediction
-    plus physics-residual MAEs (reference metric block, 01:1765-1818)."""
-    y_real, p_real, bundle = _metrics_device(
-        params, dataset.x_test, dataset.y_test, dataset.scaler_x, dataset.scaler_y
-    )
-    y_real = np.asarray(y_real)
-    p_real = np.asarray(p_real)
-    bundle = jax.tree_util.tree_map(np.asarray, bundle)
+    plus physics-residual MAEs (reference metric block, 01:1765-1818).
+
+    With ``results`` (a freshly built ComprehensiveResults for the same
+    params/dataset), everything derives from the already-materialized
+    columns — the exporter's MC pred_mean IS the eval-mode prediction
+    (01:1480) — avoiding a redundant full-N forward + residual device
+    program."""
+    if results is not None:
+        arr = results.array
+        y_real, p_real = arr[:, 8], arr[:, 9]
+        f_v, f_t_col, f_h, f_o = arr[:, 13], arr[:, 14], arr[:, 15], arr[:, 16]
+        ratio_h, ratio_o = arr[:, 20], arr[:, 21]
+    else:
+        y_real, p_real, bundle = _metrics_device(
+            params, dataset.x_test, dataset.y_test,
+            dataset.scaler_x, dataset.scaler_y,
+        )
+        y_real = np.asarray(y_real)
+        p_real = np.asarray(p_real)
+        bundle = jax.tree_util.tree_map(np.asarray, bundle)
+        f_v, f_t_col = bundle.f_v[:, 0], bundle.f_t[:, 0]
+        f_h, f_o = bundle.f_h[:, 0], bundle.f_o[:, 0]
+        ratio_h, ratio_o = bundle.ratio_h[:, 0], bundle.ratio_o[:, 0]
     err = y_real - p_real
     ss_res = float(np.sum(err**2))
     ss_tot = float(np.sum((y_real - y_real.mean()) ** 2))
@@ -72,9 +90,12 @@ def evaluate_voltage_metrics(
 
     # smoothed temperature residual (reference uses np.convolve 'same' with
     # window 100 purely for this statistic, 01:1776-1782, default 01:2197)
-    f_t = bundle.f_t[:, 0]
     w = 100
-    f_t_smooth = np.convolve(f_t, np.ones(w) / w, mode="same") if len(f_t) >= w else f_t
+    f_t_smooth = (
+        np.convolve(f_t_col, np.ones(w) / w, mode="same")
+        if len(f_t_col) >= w
+        else f_t_col
+    )
 
     return {
         "voltage_mae": float(np.mean(np.abs(err))),
@@ -85,17 +106,17 @@ def evaluate_voltage_metrics(
         "voltage_r2_normal": (
             1.0 - float(np.sum(e_n**2)) / ss_tot_n if ss_tot_n > 0 else float("nan")
         ),
-        "physics_v_mae": float(np.mean(np.abs(bundle.f_v))),
-        "physics_v_rmse": float(np.sqrt(np.mean(bundle.f_v**2))),
-        "temp_mae": float(np.mean(np.abs(bundle.f_t))),
+        "physics_v_mae": float(np.mean(np.abs(f_v))),
+        "physics_v_rmse": float(np.sqrt(np.mean(f_v**2))),
+        "temp_mae": float(np.mean(np.abs(f_t_col))),
         "temp_mae_smooth": float(np.mean(np.abs(f_t_smooth))),
-        "hydrogen_mae": float(np.mean(np.abs(bundle.f_h))),
-        "oxygen_mae": float(np.mean(np.abs(bundle.f_o))),
+        "hydrogen_mae": float(np.mean(np.abs(f_h))),
+        "oxygen_mae": float(np.mean(np.abs(f_o))),
         # excess-ratio ranges, printed by the reference (01:1810-1816)
-        "ratio_h_min": float(np.min(bundle.ratio_h)),
-        "ratio_h_max": float(np.max(bundle.ratio_h)),
-        "ratio_o_min": float(np.min(bundle.ratio_o)),
-        "ratio_o_max": float(np.max(bundle.ratio_o)),
+        "ratio_h_min": float(np.min(ratio_h)),
+        "ratio_h_max": float(np.max(ratio_h)),
+        "ratio_o_min": float(np.min(ratio_o)),
+        "ratio_o_max": float(np.max(ratio_o)),
     }
 
 
@@ -172,7 +193,7 @@ def run_training_pipeline(
     )
     timings["export_s"] = time.perf_counter() - t0
 
-    metrics = evaluate_voltage_metrics(params, dataset)
+    metrics = evaluate_voltage_metrics(params, dataset, results=results)
     metrics.update({f"final_loss/{k}": v for k, v in log.final_losses().items()})
 
     if mat_path is not None:

@@ -99,7 +99,9 @@ def plot_uncertainty(
     ale = arr[:, INDEX["ale"]]
     epi = arr[:, INDEX["epi"]]
     base, ext = os.path.splitext(save_path)
-    normal_end = int(boundary_lines[0]) if boundary_lines else n
+    # clamp like the reference (01:1538-1543); without boundaries there is
+    # no normal region to label and the baseline is the whole-series mean
+    normal_end = min(int(boundary_lines[0]), n) if boundary_lines else 0
     normal_mean = float(np.mean(epi[:normal_end])) if normal_end > 0 else float(np.mean(epi))
 
     # figure A — aleatoric scatter (01:1547-1580)

@@ -112,21 +112,12 @@ class TestDataParallelCli:
         from pinnfc_tpu.data.contract import load_comprehensive_results
 
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        base_env = dict(os.environ)
-        base_env.pop("PALLAS_AXON_POOL_IPS", None)
-        base_env["JAX_PLATFORMS"] = "cpu"
-        base_env["PYTHONPATH"] = repo
+        sys.path.insert(0, repo)
+        from __graft_entry__ import cpu_sim_env
 
         def run(extra, n_dev, out):
-            env = dict(base_env)
-            flags = [
-                f
-                for f in env.get("XLA_FLAGS", "").split()
-                if "xla_force_host_platform_device_count" not in f
-            ]
-            env["XLA_FLAGS"] = " ".join(
-                flags + [f"--xla_force_host_platform_device_count={n_dev}"]
-            )
+            env = cpu_sim_env(n_dev)
+            env["PYTHONPATH"] = repo
             cmd = [
                 sys.executable, "-m", "pinnfc_tpu.cli", "train",
                 "--small", "--steps-scale", "0.02",

@@ -45,10 +45,12 @@ def test_dryrun_survives_preinitialized_1device_backend():
     already initialized with ONE device (the driver's situation — the
     sitecustomize axon init) must still pass dryrun_multichip(8) via the
     subprocess re-exec."""
-    env = dict(os.environ)
+    sys.path.insert(0, REPO)
+    import __graft_entry__ as g
+
     # 1-device CPU backend, no force-host-platform flag: mirrors the
     # driver's "backend initialized before dryrun, too few devices" state.
-    env["JAX_PLATFORMS"] = "cpu"
+    env = g.cpu_sim_env(1)
     env["XLA_FLAGS"] = " ".join(
         f
         for f in env.get("XLA_FLAGS", "").split()
