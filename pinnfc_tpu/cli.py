@@ -123,7 +123,9 @@ def cmd_train(args) -> int:
         os.makedirs(args.plot_dir, exist_ok=True)
         bl = res.dataset.info.boundary_lines
         plot_uncertainty(res.results, bl, os.path.join(args.plot_dir, "uncertainty.png"))
-        plot_detailed_results(res.results, os.path.join(args.plot_dir, "detailed.png"))
+        plot_detailed_results(
+            res.results, os.path.join(args.plot_dir, "detailed.png"), bl
+        )
         plot_split_overview(res.results, bl, os.path.join(args.plot_dir, "split.png"))
         print("training figures →", args.plot_dir)
     return 0

@@ -150,21 +150,46 @@ def plot_uncertainty(
     return path_a, path_b
 
 
-def plot_detailed_results(results, save_path: str):
-    """Measured vs predicted stack voltage + physics residual (01:1626-1828)."""
+def plot_detailed_results(results, save_path: str, boundary_lines=()):
+    """Dual-axis detailed figure, reference
+    plot_model_results_detailed_split (01:1626-1828): measured voltage
+    (blue) vs model output (red dashed) on an upper-shifted left axis, the
+    model residual in green on a lower-shifted right axis with a green zero
+    line/spine, thick frame, fault-boundary vlines, merged legend."""
     arr = _arr(results)
     n = len(arr)
-    fig, ax1 = plt.subplots(figsize=(11, 4))
-    ax1.plot(arr[:, INDEX["y_true"]], lw=0.6, label="measured V", c="k")
-    ax1.plot(arr[:, INDEX["y_pred"]], lw=0.6, label="predicted V", c="tab:blue")
-    ax1.set_ylabel("stack voltage [V]")
-    ax1.set_xlabel("sample")
-    ax2 = ax1.twinx()
-    ax2.plot(arr[:, INDEX["pV"]], lw=0.4, alpha=0.6, c="tab:orange", label="physics residual")
-    ax2.set_ylabel("voltage physics residual [V]")
-    lines, labels = ax1.get_legend_handles_labels()
-    l2, lab2 = ax2.get_legend_handles_labels()
-    ax1.legend(lines + l2, labels + lab2, fontsize=8)
+    idx = np.arange(n)
+    y = arr[:, INDEX["y_true"]]
+    p = arr[:, INDEX["y_pred"]]
+    err = y - p  # model residual (01:1665)
+
+    fig, ax_l = plt.subplots(figsize=(14, 6))
+    ln1 = ax_l.plot(idx, y, "b-", lw=3.5, alpha=0.9, label="Measured voltage")
+    ln2 = ax_l.plot(idx, p, "r--", lw=3.5, alpha=0.9, label="Model output")
+    ax_l.set_xlabel("Sample index")
+    ax_l.set_ylabel("Voltage (V)")
+    # voltage band shifted to the upper half (01:1705-1708)
+    v_min, v_max = min(y.min(), p.min()), max(y.max(), p.max())
+    v_margin = 0.05 * (v_max - v_min + 1e-6)
+    ax_l.set_ylim(v_min - v_margin - (v_max - v_min), v_max + v_margin)
+
+    ax_r = ax_l.twinx()
+    ln3 = ax_r.plot(idx, err, color="green", lw=3.5, alpha=0.9, label="Model residual")
+    ax_r.set_ylabel("Model residual (V)", color="green")
+    ax_r.tick_params(axis="y", colors="green")
+    ax_r.spines["right"].set_color("green")
+    err_abs_max = float(np.max(np.abs(err))) + 1e-6
+    ax_r.set_ylim(-1.2 * err_abs_max, 3.2 * err_abs_max)  # 01:1726-1728
+    ax_r.axhline(0.0, color="green", ls="--", lw=2.0, alpha=0.7)
+
+    for side in ("left", "right", "top", "bottom"):
+        ax_l.spines[side].set_linewidth(2.5)
+        ax_r.spines[side].set_linewidth(2.5)
+    for b in list(boundary_lines)[:-1]:
+        ax_l.axvline(b, color="gray", ls="--", alpha=0.5, lw=2)
+
+    lines = ln1 + ln2 + ln3
+    ax_l.legend(lines, [l.get_label() for l in lines], loc="center left", fontsize=10)
     return _finish(fig, save_path)
 
 
