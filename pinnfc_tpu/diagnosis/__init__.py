@@ -32,6 +32,7 @@ from pinnfc_tpu.diagnosis.logreg import (
 )
 from pinnfc_tpu.diagnosis.isoforest import IsoForest, isoforest_fit, isoforest_score
 from pinnfc_tpu.diagnosis.spectral import SpectralResult, spectral_fit
+from pinnfc_tpu.diagnosis.ward import WardResult, ward_fit
 from pinnfc_tpu.diagnosis.svm import SVMModel, svm_fit, svm_predict
 from pinnfc_tpu.diagnosis.auc import AucPipelineResult, GroupAucResult, run_auc_pipeline
 from pinnfc_tpu.diagnosis.gmm_pipeline import GmmDiagnosisResult, run_gmm_pipeline
@@ -72,6 +73,8 @@ __all__ = [
     "isoforest_score",
     "SpectralResult",
     "spectral_fit",
+    "WardResult",
+    "ward_fit",
     "SVMModel",
     "svm_fit",
     "svm_predict",

@@ -9,15 +9,15 @@ Methods, each wrapped with the shared posterior label calibration
                           reference's "RBF" docstring is wrong, kernel IS
                           linear — quirk preserved)
 4. KMeans posterior     — on-device Lloyd, hard calibration (05:346-393)
-5. Agglomerative (Ward) — CPU sklearn; synthetic centers = cluster means,
-                          nearest-center test assignment (05:398-450)
+5. Agglomerative (Ward) — on-device by default (fixed-trip fori_loop over
+                          masked (N,N) merge costs, diagnosis/ward.py —
+                          merge order identical to sklearn); sklearn via
+                          ``device_ward=False`` (05:398-450)
 6. Spectral             — on-device by default (kNN affinity + Laplacian
                           eigh + vmapped k-means, diagnosis/spectral.py);
                           sklearn via ``device_spectral=False`` (05:455-512)
 
-Ward linkage stays a CPU fallback by design (SURVEY §7.6): sequential
-greedy merges with a mutating heap — no fixed-shape tensor inner loop to
-put on the MXU — and it runs exactly once per comparison.
+With the defaults, every one of the six methods runs on device.
 """
 
 from __future__ import annotations
@@ -93,6 +93,7 @@ def run_compare_pipeline(
     gmm_config: GmmConfig = GmmConfig(),
     methods: Optional[List[str]] = None,
     device_spectral: bool = True,
+    device_ward: bool = True,
 ) -> CompareResult:
     """Script-05 main (05:614-707)."""
     arr = results.array if isinstance(results, ComprehensiveResults) else np.asarray(results)
@@ -153,11 +154,16 @@ def run_compare_pipeline(
         add("KMeans", y_pred)
 
     if "agglomerative" in todo:
-        from sklearn.cluster import AgglomerativeClustering
-
         n_clusters = config.agglo_clusters_factor * k
-        agg = AgglomerativeClustering(n_clusters=n_clusters, linkage="ward")
-        assign_tr = agg.fit_predict(x_tr)
+        if device_ward:
+            from pinnfc_tpu.diagnosis.ward import ward_fit
+
+            assign_tr = np.asarray(ward_fit(x_tr, n_clusters).assignments)
+        else:
+            from sklearn.cluster import AgglomerativeClustering
+
+            agg = AgglomerativeClustering(n_clusters=n_clusters, linkage="ward")
+            assign_tr = agg.fit_predict(x_tr)
         centers = _centers_from_assignments(x_tr, assign_tr, n_clusters)
         cal = calibrate_components(
             hard_responsibilities(assign_tr, n_clusters), y_tr, k

@@ -264,6 +264,58 @@ class TestSpectral:
         assert accs[True] == pytest.approx(accs[False], abs=0.15)
 
 
+class TestWard:
+    """On-device Ward agglomerative vs sklearn (05:398-450)."""
+
+    def test_exact_sklearn_merge_order(self, blobs):
+        from sklearn.cluster import AgglomerativeClustering
+        from sklearn.metrics import adjusted_rand_score
+
+        from pinnfc_tpu.diagnosis import ward_fit
+
+        x, _ = blobs
+        for k in (4, 16):
+            ours = np.asarray(ward_fit(x, k).assignments)
+            sk = AgglomerativeClustering(n_clusters=k, linkage="ward").fit_predict(x)
+            assert adjusted_rand_score(ours, sk) == 1.0
+
+    def test_centers_are_cluster_means(self, blobs):
+        from pinnfc_tpu.diagnosis import ward_fit
+
+        x, _ = blobs
+        res = ward_fit(x[:200], 5)
+        assign = np.asarray(res.assignments)
+        centers = np.asarray(res.centers)
+        assert set(np.unique(assign)) == set(range(5))
+        for c in range(5):
+            np.testing.assert_allclose(
+                centers[c], x[:200][assign == c].mean(axis=0), rtol=1e-4, atol=1e-5
+            )
+
+    def test_compare_pipeline_backends_agree(self, blobs):
+        from pinnfc_tpu.data.contract import INDEX
+        from pinnfc_tpu.diagnosis import run_compare_pipeline
+
+        rng = np.random.RandomState(0)
+        n_fault = 40
+        n = 50 + 12 * n_fault
+        arr = np.zeros((n, 22))
+        for key in ("pV", "pT", "pH", "pO"):
+            arr[:, INDEX[key]] = 0.05 * rng.randn(n)
+        for seg in range(12):
+            sl = slice(50 + seg * n_fault, 50 + (seg + 1) * n_fault)
+            arr[sl, INDEX["label"]] = seg + 1
+            arr[sl, INDEX[("pV", "pT", "pH", "pO")[seg // 3]]] += 1.0
+        accs = {}
+        for dev in (True, False):
+            out = run_compare_pipeline(
+                arr, methods=["agglomerative"], device_ward=dev
+            )
+            accs[dev] = out.methods[0].metrics["accuracy"]
+        # identical merge order → identical accuracy
+        assert accs[True] == pytest.approx(accs[False], abs=1e-9)
+
+
 class TestIsoForest:
     """On-device isolation forest vs sklearn (02:571-611; VERDICT #5)."""
 
