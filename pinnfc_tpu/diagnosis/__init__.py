@@ -34,6 +34,7 @@ from pinnfc_tpu.diagnosis.isoforest import IsoForest, isoforest_fit, isoforest_s
 from pinnfc_tpu.diagnosis.spectral import SpectralResult, spectral_fit
 from pinnfc_tpu.diagnosis.ward import WardResult, ward_fit
 from pinnfc_tpu.diagnosis.svm import SVMModel, svm_fit, svm_predict
+from pinnfc_tpu.diagnosis.tsne import TsneResult, tsne_fit
 from pinnfc_tpu.diagnosis.auc import AucPipelineResult, GroupAucResult, run_auc_pipeline
 from pinnfc_tpu.diagnosis.gmm_pipeline import GmmDiagnosisResult, run_gmm_pipeline
 from pinnfc_tpu.diagnosis.compare import CompareResult, MethodResult, run_compare_pipeline
@@ -78,6 +79,8 @@ __all__ = [
     "SVMModel",
     "svm_fit",
     "svm_predict",
+    "TsneResult",
+    "tsne_fit",
     "AucPipelineResult",
     "GroupAucResult",
     "run_auc_pipeline",

@@ -273,13 +273,33 @@ def plot_res_vs_epi(results, save_path: str):
     return _finish(fig, save_path)
 
 
-def tsne_embed(x: np.ndarray, perplexity: float = 30.0, random_state: int = 42):
-    """t-SNE to 2-D (CPU sklearn — one-off visualization; 02:316-321)."""
-    from sklearn.manifold import TSNE
+def tsne_embed(
+    x: np.ndarray,
+    perplexity: float = 30.0,
+    random_state: int = 42,
+    backend: str = "device",
+):
+    """t-SNE to 2-D (02:316-321, TSNE_PARAMS 02:63; 03:451-460).
 
-    return TSNE(
-        n_components=2, perplexity=perplexity, init="pca", random_state=random_state
-    ).fit_transform(np.asarray(x, np.float64))
+    backend="device" (default) runs the on-device exact t-SNE
+    (`diagnosis.tsne.tsne_fit` — sklearn-matching P matrix, optimizer, and
+    PCA init, one jit); backend="sklearn" keeps the reference's CPU
+    estimator for cross-checks.
+    """
+    if backend == "sklearn":
+        from sklearn.manifold import TSNE
+
+        return TSNE(
+            n_components=2, perplexity=perplexity, init="pca",
+            random_state=random_state,
+        ).fit_transform(np.asarray(x, np.float64))
+    import jax
+
+    from pinnfc_tpu.diagnosis.tsne import tsne_fit
+
+    out = tsne_fit(np.asarray(x, np.float32),
+                   jax.random.key(random_state), perplexity=perplexity)
+    return np.asarray(out.embedding, np.float64)
 
 
 # script-03 probability-figure style constants (03:36-48)
