@@ -323,6 +323,7 @@ def cmd_run_all(args) -> int:
     # the checkpoint the train stage just wrote
     rc = cmd_monitor(argparse.Namespace(
         mat=mat_path, ckpt=ns.ckpt, block=256, fault_label=1, lead=200,
+        diagnose=True,
     ))
     if rc:
         return rc
@@ -402,7 +403,15 @@ def cmd_monitor(args) -> int:
     arr = results.array
     cfg = RiskConfig()
     mu, sigma = estimate_mu_sigma_normal(arr)
-    monitor = OnlineMonitor.from_checkpoint(args.ckpt, mu, sigma, cfg)
+    head = None
+    if getattr(args, "diagnose", False):
+        # fit script 03's calibrated GMM on the artifact, then classify the
+        # stream's fault type online from the same residual channels
+        from pinnfc_tpu.diagnosis import run_gmm_pipeline
+        from pinnfc_tpu.serving import DiagnosisHead
+
+        head = DiagnosisHead.from_gmm_result(run_gmm_pipeline(results))
+    monitor = OnlineMonitor.from_checkpoint(args.ckpt, mu, sigma, cfg, head)
 
     rows = arr
     if args.fault_label is not None:
@@ -414,6 +423,7 @@ def cmd_monitor(args) -> int:
     x_raw = rows[:, 0:8]
     v_meas = rows[:, INDEX["y_true"]]
     first = {"warn": None, "danger": None, "v_alarm": None}
+    diag_counts = None
     pos = 0
     while pos < len(rows):
         out = monitor.observe(
@@ -424,6 +434,11 @@ def cmd_monitor(args) -> int:
         ):
             if first[name] is None and flags.any():
                 first[name] = pos + int(np.argmax(flags))
+        if head is not None and out.warn.any():
+            # accumulate the online fault-type votes while the RF warns
+            votes = np.bincount(out.fault_pred[out.warn],
+                                minlength=len(head.class_names))
+            diag_counts = votes if diag_counts is None else diag_counts + votes
         pos += args.block
     print(
         f"streamed {len(rows)} samples in blocks of {args.block}: "
@@ -432,6 +447,10 @@ def cmd_monitor(args) -> int:
     )
     if first["warn"] is not None and first["v_alarm"] is not None:
         print(f"RF lead over voltage alarm: {first['v_alarm'] - first['warn']} samples")
+    if diag_counts is not None:
+        name = head.class_names[int(np.argmax(diag_counts))]
+        share = diag_counts.max() / max(diag_counts.sum(), 1)
+        print(f"online diagnosis while warned: {name} ({share:.0%} of votes)")
     return 0
 
 
@@ -533,6 +552,9 @@ def main(argv: Optional[list] = None) -> int:
                    help="replay only this fault segment (1..12) after a lead-in")
     m.add_argument("--lead", type=int, default=200,
                    help="normal lead-in rows before the fault segment")
+    m.add_argument("--diagnose", action="store_true",
+                   help="attach the script-03 GMM head: classify the fault "
+                        "type online while the RF warns")
     m.set_defaults(fn=cmd_monitor)
 
     b = sub.add_parser("bench", help="headline benchmark (one JSON line)")

@@ -22,7 +22,7 @@ from pinnfc_tpu.diagnosis.features import (
     parse_features,
     parse_group_spec,
 )
-from pinnfc_tpu.diagnosis.gmm import gmm_fit, gmm_predict_proba
+from pinnfc_tpu.diagnosis.gmm import GMMParams, gmm_fit, gmm_predict_proba
 from pinnfc_tpu.diagnosis.metrics import (
     accuracy_score,
     classification_report_dict,
@@ -43,6 +43,7 @@ class GmmDiagnosisResult:
     test_full_indices: np.ndarray  # test rows → full-array positions (03:562-569)
     comp_fault_prob: np.ndarray
     class_names: List[str]
+    model: GMMParams  # the fitted mixture (reused by serving.DiagnosisHead)
 
 
 def run_gmm_pipeline(
@@ -89,4 +90,5 @@ def run_gmm_pipeline(
         test_full_indices=full_idx[idx_te],
         comp_fault_prob=comp_fault_prob,
         class_names=class_names,
+        model=model,
     )

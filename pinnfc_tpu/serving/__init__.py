@@ -1,3 +1,8 @@
-from pinnfc_tpu.serving.monitor import MonitorOutput, MonitorState, OnlineMonitor
+from pinnfc_tpu.serving.monitor import (
+    DiagnosisHead,
+    MonitorOutput,
+    MonitorState,
+    OnlineMonitor,
+)
 
-__all__ = ["MonitorOutput", "MonitorState", "OnlineMonitor"]
+__all__ = ["DiagnosisHead", "MonitorOutput", "MonitorState", "OnlineMonitor"]

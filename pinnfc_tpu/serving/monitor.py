@@ -12,7 +12,15 @@ arrive, O(1) state per step:
    (04:276-279) continue exactly where the previous block ended, so feeding
    one row at a time or a thousand at a time produces the identical series;
 3. alarms follow script 04's semantics: RF warn/danger thresholds plus the
-   dynamic voltage threshold V(0) − 0.1 V captured from the first sample.
+   dynamic voltage threshold V(0) − 0.1 V captured from the first sample;
+4. optionally, a ``DiagnosisHead`` (script 03's calibrated-GMM posterior,
+   03:360-426) classifies the fault *type* of every incoming sample from
+   the same residual features, fully on device in the same jitted step.
+   The head is stateless per sample, so streaming probabilities are
+   block-size invariant and identical to the batch pipeline's on the same
+   residual rows (the batch pipeline consumes the *exported, segment-
+   smoothed* residual columns; a live stream has no future samples to
+   smooth with — same policy as the RF path above).
 
 Normal-operation statistics (μ/σ of the residual channels) come from the
 training campaign (`estimate_mu_sigma_normal`), and model parameters +
@@ -36,6 +44,40 @@ from pinnfc_tpu.ops.recurrences import linear_recurrence_scan
 from pinnfc_tpu.physics.residuals import all_residuals
 
 
+# monitor residual-stack columns (matches RiskConfig.res_keys order, 04:88)
+_R_COLUMN = {"res": 0, "pV": 1, "pT": 2, "pH": 3, "pO": 4}
+
+
+class DiagnosisHead(NamedTuple):
+    """Calibrated-GMM fault-type classifier applied to the monitor's
+    residual stack (script 03 semantics, streaming)."""
+
+    gmm: "GMMParams"  # fitted mixture (diagnosis.gmm)
+    comp_fault_prob: jnp.ndarray  # (C, K) P(fault | component)
+    class_names: tuple  # K class names (calibration order)
+    feature_indices: tuple  # columns of the residual stack r fed to the GMM
+
+    @classmethod
+    def from_gmm_result(cls, result, features: str = "pV,pT,pH,pO"):
+        """Build from a ``run_gmm_pipeline`` result. ``features`` must match
+        the GmmConfig the result was fitted with and name only channels the
+        monitor computes live (res/pV/pT/pH/pO — epi/x* need the MC sampler
+        or raw inputs and are not streamed)."""
+        names = [f.strip() for f in features.split(",") if f.strip()]
+        unknown = [f for f in names if f not in _R_COLUMN]
+        if unknown:
+            raise ValueError(
+                f"features {unknown} are not streamable monitor channels "
+                f"(available: {sorted(_R_COLUMN)})"
+            )
+        return cls(
+            gmm=result.model,
+            comp_fault_prob=jnp.asarray(result.comp_fault_prob, jnp.float32),
+            class_names=tuple(result.class_names),
+            feature_indices=tuple(_R_COLUMN[f] for f in names),
+        )
+
+
 class MonitorState(NamedTuple):
     """Carry between blocks: risk integral, EMA value, first-sample voltage."""
 
@@ -54,6 +96,8 @@ class MonitorOutput:
     warn: np.ndarray  # (B,) bool — RF ≥ warn threshold
     danger: np.ndarray  # (B,) bool — RF ≥ danger threshold
     v_alarm: np.ndarray  # (B,) bool — measured V ≤ V(0) − drop
+    fault_probs: np.ndarray | None = None  # (B, K) — with a DiagnosisHead
+    fault_pred: np.ndarray | None = None  # (B,) argmax class index
 
 
 def _rf_block(s_tot, state: MonitorState, cfg: RiskConfig):
@@ -96,6 +140,7 @@ class OnlineMonitor:
         mu: np.ndarray,
         sigma: np.ndarray,
         config: RiskConfig = RiskConfig(),
+        diagnosis: DiagnosisHead | None = None,
     ):
         self.params = params
         self.scaler_x = scaler_x
@@ -103,6 +148,7 @@ class OnlineMonitor:
         self.mu = jnp.asarray(mu, jnp.float32)
         self.sigma = jnp.asarray(sigma, jnp.float32)
         self.config = config
+        self.diagnosis = diagnosis
         self.state = MonitorState(
             c=jnp.asarray(0.0),
             rf_smooth=jnp.asarray(0.0),
@@ -116,6 +162,7 @@ class OnlineMonitor:
         w_feat = jnp.asarray(cfg.feature_weights, jnp.float32)
         key_to_idx = {k: i for i, k in enumerate(cfg.res_keys)}
         layer_w = dict(cfg.layer_weights)
+        head = self.diagnosis
 
         @jax.jit
         def step(params, state: MonitorState, x_raw, v_meas, mu, sigma):
@@ -161,7 +208,19 @@ class OnlineMonitor:
                 n_seen=state.n_seen + s_tot.shape[0],
             )
             v_alarm = v_meas <= (v_first - cfg.voltage_drop)
-            return new_state, (rf_inst, rf_smooth, r, v_pred, v_alarm)
+
+            if head is not None:
+                # script-03 posterior mapping (03:417-425), fully on device
+                from pinnfc_tpu.diagnosis.gmm import gmm_predict_proba
+
+                feats = r[:, jnp.asarray(head.feature_indices)]
+                resp = gmm_predict_proba(head.gmm, feats)
+                probs = jnp.clip(resp @ head.comp_fault_prob, 1e-12, 1.0)
+                probs = probs / jnp.sum(probs, axis=1, keepdims=True)
+                fault = (probs, jnp.argmax(probs, axis=1))
+            else:
+                fault = (None, None)
+            return new_state, (rf_inst, rf_smooth, r, v_pred, v_alarm, fault)
 
         return step
 
@@ -169,10 +228,11 @@ class OnlineMonitor:
         """Score a block of raw measurements (B, 8) + measured voltage (B,)."""
         x_raw = jnp.asarray(np.atleast_2d(np.asarray(x_raw, np.float32)))
         v_meas = jnp.asarray(np.atleast_1d(np.asarray(v_measured, np.float32)))
-        self.state, (rf_inst, rf_smooth, r, v_pred, v_alarm) = self._step(
+        self.state, (rf_inst, rf_smooth, r, v_pred, v_alarm, fault) = self._step(
             self.params, self.state, x_raw, v_meas, self.mu, self.sigma
         )
         rf_smooth = np.asarray(rf_smooth)
+        probs, pred = fault
         return MonitorOutput(
             rf_smooth=rf_smooth,
             rf_inst=np.asarray(rf_inst),
@@ -181,6 +241,8 @@ class OnlineMonitor:
             warn=rf_smooth >= self.config.warn_threshold,
             danger=rf_smooth >= self.config.danger_threshold,
             v_alarm=np.asarray(v_alarm),
+            fault_probs=None if probs is None else np.asarray(probs),
+            fault_pred=None if pred is None else np.asarray(pred),
         )
 
     def reset(self) -> None:
@@ -193,12 +255,18 @@ class OnlineMonitor:
 
     @classmethod
     def from_checkpoint(
-        cls, path: str, mu, sigma, config: RiskConfig = RiskConfig()
+        cls,
+        path: str,
+        mu,
+        sigma,
+        config: RiskConfig = RiskConfig(),
+        diagnosis: DiagnosisHead | None = None,
     ) -> "OnlineMonitor":
         """Restore params + scalers saved by utils.checkpoint.save_checkpoint."""
         from pinnfc_tpu.utils.checkpoint import load_checkpoint
 
         ckpt = load_checkpoint(path)
         return cls(
-            ckpt["params"], ckpt["scaler_x"], ckpt["scaler_y"], mu, sigma, config
+            ckpt["params"], ckpt["scaler_x"], ckpt["scaler_y"], mu, sigma,
+            config, diagnosis,
         )

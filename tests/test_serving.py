@@ -135,3 +135,131 @@ class TestOnlineMonitor:
         a = mon.observe(x_raw[:50], v_meas[:50])
         b = direct.observe(x_raw[:50], v_meas[:50])
         np.testing.assert_allclose(a.rf_smooth, b.rf_smooth, rtol=1e-6)
+
+
+class TestStreamingDiagnosis:
+    """DiagnosisHead: script 03's calibrated-GMM posterior applied online."""
+
+    @pytest.fixture(scope="class")
+    def head_and_feats(self, setup):
+        import jax.numpy as jnp
+
+        from pinnfc_tpu.diagnosis import calibrate_components, gmm_fit
+        from pinnfc_tpu.serving import DiagnosisHead
+
+        params, d, mu, sigma, x_raw, v_meas = setup
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        feats = mon.observe(x_raw, v_meas).residuals[:, 1:5]  # pV,pT,pH,pO
+        y = (np.arange(len(feats)) >= len(feats) // 2).astype(int)
+        model = gmm_fit(jnp.asarray(feats), jax.random.key(3), n_components=4)
+        from pinnfc_tpu.diagnosis import gmm_predict_proba
+
+        comp = calibrate_components(
+            np.asarray(gmm_predict_proba(model, jnp.asarray(feats))), y, 2
+        )
+        head = DiagnosisHead(
+            gmm=model,
+            comp_fault_prob=np.asarray(comp, np.float32),
+            class_names=("normalish", "faultish"),
+            feature_indices=(1, 2, 3, 4),
+        )
+        return head, feats
+
+    def test_matches_batch_posterior(self, setup, head_and_feats):
+        """Streaming probabilities == the batch script-03 posterior mapping
+        on the same residual rows."""
+        import jax.numpy as jnp
+
+        from pinnfc_tpu.diagnosis import gmm_predict_proba, posterior_probabilities
+
+        params, d, mu, sigma, x_raw, v_meas = setup
+        head, feats = head_and_feats
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma,
+                            diagnosis=head)
+        out = mon.observe(x_raw, v_meas)
+        assert out.fault_probs.shape == (len(x_raw), 2)
+        resp = np.asarray(gmm_predict_proba(head.gmm, jnp.asarray(feats)))
+        want_prob, want_pred = posterior_probabilities(
+            resp, np.asarray(head.comp_fault_prob)
+        )
+        np.testing.assert_allclose(out.fault_probs, want_prob, rtol=2e-4, atol=1e-6)
+        np.testing.assert_array_equal(out.fault_pred, want_pred)
+        # probabilities are normalized
+        np.testing.assert_allclose(out.fault_probs.sum(axis=1), 1.0, rtol=1e-5)
+
+    def test_block_size_invariance(self, setup, head_and_feats):
+        """The head is stateless per sample: 1×400 == 8×50 exactly."""
+        params, d, mu, sigma, x_raw, v_meas = setup
+        head, _ = head_and_feats
+        mon_a = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma,
+                              diagnosis=head)
+        full = mon_a.observe(x_raw, v_meas)
+        mon_b = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma,
+                              diagnosis=head)
+        stream = np.concatenate([
+            mon_b.observe(x_raw[s : s + 50], v_meas[s : s + 50]).fault_probs
+            for s in range(0, 400, 50)
+        ])
+        np.testing.assert_array_equal(stream, full.fault_probs)
+
+    def test_without_head_fields_are_none(self, setup):
+        params, d, mu, sigma, x_raw, v_meas = setup
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        out = mon.observe(x_raw[:10], v_meas[:10])
+        assert out.fault_probs is None and out.fault_pred is None
+
+    def test_from_gmm_result_and_feature_validation(self, setup):
+        """Build the head from a real run_gmm_pipeline result (the product
+        path used by `cli monitor --diagnose`)."""
+        from pinnfc_tpu.data.contract import INDEX
+        from pinnfc_tpu.diagnosis import run_gmm_pipeline
+        from pinnfc_tpu.serving import DiagnosisHead
+
+        params, d, mu, sigma, x_raw, v_meas = setup
+        rng = np.random.RandomState(0)
+        n = 400
+        arr = np.zeros((n, 22))
+        for i, k in enumerate(("pV", "pT", "pH", "pO")):
+            arr[:, INDEX[k]] = 0.1 * rng.randn(n)
+        arr[n // 2 :, INDEX["label"]] = rng.choice([1, 4], n // 2)
+        arr[: n // 2, INDEX["label"]] = rng.choice([2, 5], n // 2)
+        arr[n // 2 :, INDEX["pV"]] += 3.0  # separate the classes
+        res = run_gmm_pipeline(arr)
+        head = DiagnosisHead.from_gmm_result(res)
+        assert head.feature_indices == (1, 2, 3, 4)
+        assert head.class_names == tuple(res.class_names)
+
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma,
+                            diagnosis=head)
+        out = mon.observe(x_raw[:20], v_meas[:20])
+        assert out.fault_probs.shape == (20, len(res.class_names))
+
+        with pytest.raises(ValueError, match="not streamable"):
+            DiagnosisHead.from_gmm_result(res, features="epi,res")
+
+    def test_cli_monitor_diagnose(self, setup, tmp_path, capsys):
+        from pinnfc_tpu.cli import main
+        from pinnfc_tpu.data.contract import INDEX, save_comprehensive_results
+        from pinnfc_tpu.utils import save_checkpoint
+
+        params, d, mu, sigma, x_raw, v_meas = setup
+        ckpt = str(tmp_path / "ckpt_diag")
+        save_checkpoint(ckpt, params, d.scaler_x, d.scaler_y)
+        n = len(x_raw)
+        arr = np.zeros((n, 22))
+        arr[:, 0:8] = x_raw
+        arr[:, INDEX["y_true"]] = v_meas
+        rng = np.random.RandomState(1)
+        for k in ("pV", "pT", "pH", "pO"):
+            arr[:, INDEX[k]] = 0.1 * rng.randn(n)
+        arr[n // 2 :, INDEX["label"]] = 1
+        arr[n // 2 :, INDEX["y_true"]] -= np.linspace(0, 1.0, n - n // 2)
+        mat = str(tmp_path / "F01_diag.mat")
+        save_comprehensive_results(arr, mat)
+
+        rc = main(["monitor", "--mat", mat, "--ckpt", ckpt, "--block", "64",
+                   "--diagnose"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "streamed" in out
+        assert "online diagnosis while warned:" in out

