@@ -12,12 +12,23 @@ assign_labels='kmeans'):
    u = D^{-1/2}·v) and sign-fixed deterministically;
 4. k-means on the embedding (pinnfc_tpu.diagnosis.kmeans, vmapped restarts).
 
-A full eigh computes all N eigenpairs where sklearn's ARPACK/LOBPCG finds
-only n_clusters — but eigh is ONE fused dense kernel the TPU compiler
-pipelines well at these N (≤ tens of thousands), whereas iterative sparse
-solvers are scalar-heavy and host-bound.  Labels agree with sklearn up to
-clustering-seed noise; cluster IDs are arbitrary in both (the comparison
-pipeline calibrates them away).
+Eigensolver choice is size-dependent (``solver="auto"``):
+
+- small N: full ``jnp.linalg.eigh`` — ONE fused dense kernel the TPU
+  compiler pipelines well, and sklearn-exact eigenvectors;
+- large N: full eigh only needs the bottom n_clusters eigenvectors but
+  computes all N, and its QDWH factorization materializes O(N²) temps that
+  blow past HBM around N ≈ 10k (measured: OOM at N = 11,700 on one v5e).
+  Instead, block orthogonal iteration on ``2I − L`` (eigenvalues of L lie
+  in [0, 2], so the bottom-k of L are the top-k of 2I − L): each step is an
+  (N,N)×(N,k) matmul — pure MXU work — plus a tiny (N,k) QR.  k-means on
+  the converged subspace is EXACTLY equivalent to k-means on the true
+  eigenvectors: any basis of the invariant subspace differs by a k×k
+  rotation, which preserves all pairwise row distances (the row rescale by
+  D^{-1/2} commutes with the rotation).
+
+Labels agree with sklearn up to clustering-seed noise; cluster IDs are
+arbitrary in both (the comparison pipeline calibrates them away).
 """
 
 from __future__ import annotations
@@ -30,18 +41,40 @@ import jax.numpy as jnp
 
 from pinnfc_tpu.diagnosis.kmeans import kmeans_fit
 
+# above this N the dense-eigh temps no longer fit in HBM; flip to subspace
+# iteration (measured: eigh OOMs at N=11,700, benchmarks/diagnosis_bench.py)
+_EIGH_MAX_N = 4096
+
 
 class SpectralResult(NamedTuple):
     assignments: jnp.ndarray  # (N,) int cluster labels
     embedding: jnp.ndarray  # (N, n_clusters) spectral embedding
 
 
-@partial(jax.jit, static_argnames=("n_clusters", "n_neighbors"))
+def _bottom_k_subspace(lap, k, key, n_iter=300):
+    """Orthonormal basis of the bottom-k eigenspace of ``lap`` via block
+    orthogonal iteration on 2I − lap; columns sorted by Rayleigh quotient
+    (ascending in lap's spectrum, matching eigh's ordering convention)."""
+    n = lap.shape[0]
+    a = 2.0 * jnp.eye(n, dtype=lap.dtype) - lap
+    q0 = jnp.linalg.qr(jax.random.normal(key, (n, k), lap.dtype))[0]
+
+    def body(_, q):
+        z = jnp.matmul(a, q, precision="highest")
+        return jnp.linalg.qr(z)[0]
+
+    q = jax.lax.fori_loop(0, n_iter, body, q0)
+    theta = jnp.sum(q * jnp.matmul(lap, q, precision="highest"), axis=0)
+    return q[:, jnp.argsort(theta)]
+
+
+@partial(jax.jit, static_argnames=("n_clusters", "n_neighbors", "solver"))
 def spectral_fit(
     x: jnp.ndarray,
     key: jax.Array,
     n_clusters: int,
     n_neighbors: int = 10,
+    solver: str = "auto",
 ) -> SpectralResult:
     x = jnp.asarray(x, jnp.float32)
     n = x.shape[0]
@@ -64,10 +97,18 @@ def spectral_fit(
     d_isqrt = 1.0 / jnp.sqrt(jnp.maximum(d, 1e-12))
     lap = jnp.eye(n) - (d_isqrt[:, None] * a) * d_isqrt[None, :]
 
-    # ascending eigenvalues → first n_clusters eigenvectors span the
-    # smallest-eigenvalue subspace
-    _, vecs = jnp.linalg.eigh(lap)
-    emb = vecs[:, :n_clusters] * d_isqrt[:, None]  # u = D^{-1/2} v
+    # bottom-n_clusters eigenspace of the Laplacian
+    if solver not in ("auto", "eigh", "subspace"):
+        raise ValueError(f"unknown solver {solver!r}")
+    use_eigh = solver == "eigh" or (solver == "auto" and n <= _EIGH_MAX_N)
+    if use_eigh:
+        # ascending eigenvalues → first n_clusters columns
+        _, vecs_full = jnp.linalg.eigh(lap)
+        vecs = vecs_full[:, :n_clusters]
+    else:
+        key, sub_key = jax.random.split(key)
+        vecs = _bottom_k_subspace(lap, n_clusters, sub_key)
+    emb = vecs * d_isqrt[:, None]  # u = D^{-1/2} v
 
     # deterministic sign flip (sklearn _deterministic_vector_sign_flip)
     flip = jnp.sign(emb[jnp.argmax(jnp.abs(emb), axis=0), jnp.arange(n_clusters)])

@@ -252,6 +252,26 @@ class TestSpectral:
         ).fit_predict(x)
         assert adjusted_rand_score(ours, sk) > 0.9
 
+    def test_subspace_solver_matches_eigh(self, blobs):
+        """The large-N solver (block orthogonal iteration on 2I−L) must give
+        the same clustering as the exact eigh path: the converged subspace
+        differs from the true bottom-k eigenvectors only by a rotation,
+        which k-means is invariant to."""
+        from sklearn.metrics import adjusted_rand_score
+
+        from pinnfc_tpu.diagnosis import spectral_fit
+
+        x, _ = blobs
+        a = np.asarray(
+            spectral_fit(x, jax.random.PRNGKey(0), 4, solver="eigh").assignments
+        )
+        b = np.asarray(
+            spectral_fit(x, jax.random.PRNGKey(0), 4, solver="subspace").assignments
+        )
+        assert adjusted_rand_score(a, b) == 1.0
+        with pytest.raises(ValueError, match="unknown solver"):
+            spectral_fit(x, jax.random.PRNGKey(0), 4, solver="arnoldi")
+
     def test_compare_pipeline_backends_agree(self, fake_results):
         from pinnfc_tpu.diagnosis import run_compare_pipeline
 
@@ -278,6 +298,40 @@ class TestWard:
             ours = np.asarray(ward_fit(x, k).assignments)
             sk = AgglomerativeClustering(n_clusters=k, linkage="ward").fit_predict(x)
             assert adjusted_rand_score(ours, sk) == 1.0
+
+    def test_nn_chain_matches_global_and_sklearn(self, blobs):
+        """The large-N NN-chain algorithm builds the same dendrogram as the
+        global greedy search (Ward is reducible), so the k-cluster cut must
+        agree with both our global path and sklearn."""
+        from sklearn.cluster import AgglomerativeClustering
+        from sklearn.metrics import adjusted_rand_score
+
+        from pinnfc_tpu.diagnosis import ward_fit
+
+        x, _ = blobs
+        for k in (2, 4, 9):
+            a = np.asarray(ward_fit(x, k, algorithm="global").assignments)
+            b = np.asarray(ward_fit(x, k, algorithm="nn-chain").assignments)
+            assert adjusted_rand_score(a, b) == 1.0
+            sk = AgglomerativeClustering(n_clusters=k, linkage="ward").fit_predict(x)
+            assert adjusted_rand_score(b, sk) == 1.0
+        with pytest.raises(ValueError, match="unknown algorithm"):
+            ward_fit(x, 4, algorithm="slink")
+
+    def test_nn_chain_unstructured_data(self, rng):
+        """No cluster structure at all — near-ties everywhere; the chain
+        walk and sorted replay must still reproduce sklearn's partition."""
+        from sklearn.cluster import AgglomerativeClustering
+        from sklearn.metrics import adjusted_rand_score
+
+        from pinnfc_tpu.diagnosis import ward_fit
+
+        x = rng.randn(180, 3).astype(np.float32)
+        ours = np.asarray(ward_fit(x, 6, algorithm="nn-chain").assignments)
+        sk = AgglomerativeClustering(n_clusters=6, linkage="ward").fit_predict(
+            x.astype(np.float64)
+        )
+        assert adjusted_rand_score(ours, sk) > 0.99
 
     def test_centers_are_cluster_means(self, blobs):
         from pinnfc_tpu.diagnosis import ward_fit
