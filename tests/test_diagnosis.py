@@ -460,6 +460,27 @@ class TestKMeans:
 
 
 class TestLogReg:
+    def test_newton_matches_lbfgs(self, blobs):
+        """Both solvers minimize the same strictly-convex objective, so the
+        optima must coincide (Newton is the small-problem default)."""
+        from pinnfc_tpu.diagnosis.logreg import logreg_fit as fit
+
+        x, y = blobs
+        m_n = fit(x, y, n_classes=4, balanced=True, solver="newton")
+        m_l = fit(x, y, n_classes=4, balanced=True, solver="lbfgs")
+        np.testing.assert_allclose(
+            np.asarray(m_n.coef), np.asarray(m_l.coef), rtol=1e-3, atol=2e-4
+        )
+        # intercepts are identified only up to a common shift (softmax
+        # invariance) — Newton pins the mean to zero, L-BFGS may drift
+        b_n = np.asarray(m_n.intercept)
+        b_l = np.asarray(m_l.intercept)
+        np.testing.assert_allclose(b_n - b_n.mean(), b_l - b_l.mean(), atol=2e-3)
+        # quadratic convergence: an order of magnitude fewer steps
+        assert int(m_n.n_iter) < 30 < int(m_l.n_iter)
+        with pytest.raises(ValueError, match="unknown solver"):
+            fit(x, y, n_classes=4, solver="sgd")
+
     def test_close_to_sklearn(self, blobs):
         from sklearn.linear_model import LogisticRegression
         from sklearn.pipeline import Pipeline
