@@ -210,6 +210,7 @@ def cmd_gmm(args) -> int:
 
     results = load_comprehensive_results(args.mat)
     out = run_gmm_pipeline(results)
+    args.gmm_result = out  # run-all reuses the fit for the monitor's head
     print(f"GMM 4-class accuracy: {out.accuracy:.4f}")
     print("confusion:\n", out.confusion)
     if args.plot_dir:
@@ -313,17 +314,22 @@ def cmd_run_all(args) -> int:
     rc = cmd_train(ns)
     if rc:
         return rc
+    gmm_result = None
     for fn in (cmd_auc, cmd_gmm, cmd_risk, cmd_compare):
         # tsne=True: the reference always draws the script-03 t-SNE (03:587)
-        rc = fn(argparse.Namespace(mat=mat_path, plot_dir=plot_dir, methods=None,
-                                   tsne=fn is cmd_gmm))
+        stage_ns = argparse.Namespace(mat=mat_path, plot_dir=plot_dir,
+                                      methods=None, tsne=fn is cmd_gmm)
+        rc = fn(stage_ns)
         if rc:
             return rc
+        if fn is cmd_gmm:
+            gmm_result = getattr(stage_ns, "gmm_result", None)
     # serving demo: stream fault segment 1 through the OnlineMonitor from
-    # the checkpoint the train stage just wrote
+    # the checkpoint the train stage just wrote, reusing the gmm stage's
+    # fit for the online-diagnosis head
     rc = cmd_monitor(argparse.Namespace(
         mat=mat_path, ckpt=ns.ckpt, block=256, fault_label=1, lead=200,
-        diagnose=True,
+        diagnose=True, gmm_result=gmm_result,
     ))
     if rc:
         return rc
@@ -405,12 +411,17 @@ def cmd_monitor(args) -> int:
     mu, sigma = estimate_mu_sigma_normal(arr)
     head = None
     if getattr(args, "diagnose", False):
-        # fit script 03's calibrated GMM on the artifact, then classify the
-        # stream's fault type online from the same residual channels
-        from pinnfc_tpu.diagnosis import run_gmm_pipeline
+        # classify the stream's fault type online with script 03's
+        # calibrated GMM; reuse a fit handed in by run-all (its gmm stage
+        # already ran on this artifact) instead of refitting
         from pinnfc_tpu.serving import DiagnosisHead
 
-        head = DiagnosisHead.from_gmm_result(run_gmm_pipeline(results))
+        gmm_result = getattr(args, "gmm_result", None)
+        if gmm_result is None:
+            from pinnfc_tpu.diagnosis import run_gmm_pipeline
+
+            gmm_result = run_gmm_pipeline(results)
+        head = DiagnosisHead.from_gmm_result(gmm_result)
     monitor = OnlineMonitor.from_checkpoint(args.ckpt, mu, sigma, cfg, head)
 
     rows = arr

@@ -44,6 +44,7 @@ class GmmDiagnosisResult:
     comp_fault_prob: np.ndarray
     class_names: List[str]
     model: GMMParams  # the fitted mixture (reused by serving.DiagnosisHead)
+    features: str  # the feature spec the mixture was fitted on
 
 
 def run_gmm_pipeline(
@@ -91,4 +92,5 @@ def run_gmm_pipeline(
         comp_fault_prob=comp_fault_prob,
         class_names=class_names,
         model=model,
+        features=config.features,
     )

@@ -51,19 +51,35 @@ class SpectralResult(NamedTuple):
     embedding: jnp.ndarray  # (N, n_clusters) spectral embedding
 
 
-def _bottom_k_subspace(lap, k, key, n_iter=300):
+def _bottom_k_subspace(lap, k, key, tol=1e-5, max_iter=3000):
     """Orthonormal basis of the bottom-k eigenspace of ``lap`` via block
     orthogonal iteration on 2I − lap; columns sorted by Rayleigh quotient
-    (ascending in lap's spectrum, matching eigh's ordering convention)."""
+    (ascending in lap's spectrum, matching eigh's ordering convention).
+
+    Converges at rate ((2−μ_{k+1})/(2−μ_k)) per step, so a small eigengap
+    needs many steps — the loop therefore runs to an explicit invariance
+    criterion (max Rayleigh-Ritz residual ‖A·q − q·(qᵀAq)‖∞ ≤ tol) instead
+    of a fixed trip count, with a generous iteration cap.  Each step is one
+    (N,N)×(N,k) MXU matmul + a tiny QR; the residual check reuses the same
+    product, so checking every step is free.
+    """
     n = lap.shape[0]
     a = 2.0 * jnp.eye(n, dtype=lap.dtype) - lap
     q0 = jnp.linalg.qr(jax.random.normal(key, (n, k), lap.dtype))[0]
 
-    def body(_, q):
-        z = jnp.matmul(a, q, precision="highest")
-        return jnp.linalg.qr(z)[0]
+    def cond(carry):
+        _, res, it = carry
+        return (it < max_iter) & (res > tol)
 
-    q = jax.lax.fori_loop(0, n_iter, body, q0)
+    def body(carry):
+        q, _, it = carry
+        z = jnp.matmul(a, q, precision="highest")
+        # Rayleigh-Ritz residual of the CURRENT q, from the same product
+        h = jnp.matmul(q.T, z, precision="highest")  # (k, k)
+        res = jnp.max(jnp.abs(z - jnp.matmul(q, h, precision="highest")))
+        return jnp.linalg.qr(z)[0], res, it + 1
+
+    q, _, _ = jax.lax.while_loop(cond, body, (q0, jnp.asarray(jnp.inf), 0))
     theta = jnp.sum(q * jnp.matmul(lap, q, precision="highest"), axis=0)
     return q[:, jnp.argsort(theta)]
 

@@ -211,9 +211,10 @@ def tsne_fit(
     if init not in ("pca", "random"):
         raise ValueError(f"init must be 'pca' or 'random', got {init!r}")
     n = np.shape(x)[0]
-    if n - 1 < 3 * perplexity:
-        # sklearn raises for perplexity >= n_samples; its guidance is
-        # perplexity < n/3 — clamp instead of failing a one-off figure
+    if perplexity >= n:
+        # exactly sklearn's validity domain (it raises for perplexity >=
+        # n_samples); clamp instead of failing a one-off figure.  Any
+        # perplexity sklearn accepts is left untouched for parity.
         perplexity = max((n - 1) / 3.0, 2.0)
     if learning_rate == "auto":  # sklearn TSNE._fit
         learning_rate = max(n / early_exaggeration / 4.0, 50.0)

@@ -25,7 +25,11 @@ Two exact algorithms, chosen by size (``algorithm="auto"``):
   guarantees sorted replay reconstructs the dendrogram).
 
 Cluster IDs are arbitrary (as in sklearn) — the comparison pipeline's
-posterior calibration absorbs permutations.
+posterior calibration absorbs permutations.  Exact cost TIES (duplicate
+rows, symmetric configurations) may resolve differently than sklearn's
+tie rule — in the global path at the argmin, in the NN-chain at the
+sorted-replay boundary — giving a different but equally-valid dendrogram;
+for distinct costs the result is identical (ARI = 1.0 tests).
 """
 
 from __future__ import annotations

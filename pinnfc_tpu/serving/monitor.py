@@ -58,11 +58,22 @@ class DiagnosisHead(NamedTuple):
     feature_indices: tuple  # columns of the residual stack r fed to the GMM
 
     @classmethod
-    def from_gmm_result(cls, result, features: str = "pV,pT,pH,pO"):
-        """Build from a ``run_gmm_pipeline`` result. ``features`` must match
-        the GmmConfig the result was fitted with and name only channels the
-        monitor computes live (res/pV/pT/pH/pO — epi/x* need the MC sampler
-        or raw inputs and are not streamed)."""
+    def from_gmm_result(cls, result, features: str | None = None):
+        """Build from a ``run_gmm_pipeline`` result. The feature spec is
+        taken from the result itself (what the mixture was actually fitted
+        on); pass ``features`` only to override, and it must then equal the
+        fitted spec. Only channels the monitor computes live are streamable
+        (res/pV/pT/pH/pO — epi/x* need the MC sampler or raw inputs)."""
+        fitted = getattr(result, "features", None)
+        if features is None:
+            features = fitted or "pV,pT,pH,pO"
+        elif fitted is not None and [f.strip() for f in features.split(",")] != [
+            f.strip() for f in fitted.split(",")
+        ]:
+            raise ValueError(
+                f"features {features!r} do not match the spec the mixture "
+                f"was fitted on ({fitted!r})"
+            )
         names = [f.strip() for f in features.split(",") if f.strip()]
         unknown = [f for f in names if f not in _R_COLUMN]
         if unknown:
@@ -215,7 +226,10 @@ class OnlineMonitor:
 
                 feats = r[:, jnp.asarray(head.feature_indices)]
                 resp = gmm_predict_proba(head.gmm, feats)
-                probs = jnp.clip(resp @ head.comp_fault_prob, 1e-12, 1.0)
+                probs = jnp.clip(
+                    jnp.matmul(resp, head.comp_fault_prob, precision="highest"),
+                    1e-12, 1.0,
+                )
                 probs = probs / jnp.sum(probs, axis=1, keepdims=True)
                 fault = (probs, jnp.argmax(probs, axis=1))
             else:

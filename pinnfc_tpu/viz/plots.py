@@ -286,6 +286,8 @@ def tsne_embed(
     PCA init, one jit); backend="sklearn" keeps the reference's CPU
     estimator for cross-checks.
     """
+    if backend not in ("device", "sklearn"):
+        raise ValueError(f"backend must be 'device' or 'sklearn', got {backend!r}")
     if backend == "sklearn":
         from sklearn.manifold import TSNE
 

@@ -240,8 +240,17 @@ class TestStreamingDiagnosis:
         out = mon.observe(x_raw[:20], v_meas[:20])
         assert out.fault_probs.shape == (20, len(res.class_names))
 
-        with pytest.raises(ValueError, match="not streamable"):
+        # overriding with a spec different from the fitted one is an error
+        with pytest.raises(ValueError, match="do not match the spec"):
             DiagnosisHead.from_gmm_result(res, features="epi,res")
+        # a mixture fitted on non-streamable channels cannot go online
+        from pinnfc_tpu.config import GmmConfig
+
+        arr2 = arr.copy()
+        arr2[:, INDEX["epi"]] = 0.01 + 0.01 * rng.rand(n)
+        res2 = run_gmm_pipeline(arr2, GmmConfig(features="epi,res"))
+        with pytest.raises(ValueError, match="not streamable"):
+            DiagnosisHead.from_gmm_result(res2)
 
     def test_cli_monitor_diagnose(self, setup, tmp_path, capsys):
         from pinnfc_tpu.cli import main
