@@ -1,0 +1,95 @@
+"""Streaming-monitor serving latency/throughput on the real chip.
+
+Measures ``OnlineMonitor.observe`` end-to-end (host → device → host, the
+deployed scorer's request path): DNN forward + four physics residuals +
+RF(t) recurrence continuation + (optionally) the online GMM fault-type
+posterior, per block size.  The per-block latency through the axon tunnel
+is an upper bound — a production v5e with a local host removes the relay
+round trip.
+
+Run on TPU: ``python benchmarks/serving_bench.py``
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BLOCKS = (1, 64, 256, 1024)
+N_REPEAT = 20
+LAYERS = (8, 256, 256, 256, 1)
+
+
+def build_monitor(with_head: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from pinnfc_tpu.data.scaling import AffineScaler
+    from pinnfc_tpu.models.pinn import init_pinn
+    from pinnfc_tpu.serving import DiagnosisHead, OnlineMonitor
+
+    params = init_pinn(jax.random.PRNGKey(0), LAYERS)
+    rs0 = np.random.RandomState(2)
+    sx = AffineScaler.fit(rs0.uniform(-1, 1, (100, 8)))
+    sy = AffineScaler.fit(rs0.uniform(3, 4, (100, 1)))
+    mu = np.zeros(5)
+    sigma = np.full(5, 0.1)
+    head = None
+    if with_head:
+        from pinnfc_tpu.diagnosis import calibrate_components, gmm_fit, gmm_predict_proba
+
+        rs = np.random.RandomState(0)
+        feats = rs.randn(2000, 4).astype(np.float32)
+        y = rs.randint(0, 4, 2000)
+        model = gmm_fit(jnp.asarray(feats), jax.random.key(0), n_components=20)
+        comp = calibrate_components(
+            np.asarray(gmm_predict_proba(model, jnp.asarray(feats))), y, 4
+        )
+        head = DiagnosisHead(
+            gmm=model, comp_fault_prob=jnp.asarray(comp, jnp.float32),
+            class_names=("a", "b", "c", "d"), feature_indices=(1, 2, 3, 4),
+        )
+    return OnlineMonitor(params, sx, sy, mu, sigma, diagnosis=head)
+
+
+def bench(monitor, block: int) -> float:
+    rs = np.random.RandomState(1)
+    x = rs.uniform(-1, 1, (block, 8)).astype(np.float32)
+    v = rs.uniform(3, 4, block).astype(np.float32)
+    monitor.observe(x, v)  # compile
+    times = []
+    for i in range(N_REPEAT):
+        # vary the data each call (defeats relay memoization); observe()
+        # already reads results back to numpy
+        x2 = x + 1e-3 * i
+        t0 = time.perf_counter()
+        monitor.observe(x2, v)
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]
+
+
+def main():
+    from pinnfc_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    out = {"metric": "serving_observe_latency_ms"}
+    for with_head in (False, True):
+        mon = build_monitor(with_head)
+        key = "with_diagnosis" if with_head else "rf_only"
+        out[key] = {}
+        for b in BLOCKS:
+            dt = bench(mon, b)
+            out[key][str(b)] = round(dt * 1e3, 2)
+            print(f"  {key} block={b}: {dt*1e3:.2f} ms "
+                  f"({b/dt:.0f} samples/s)", flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -411,3 +411,50 @@ class TestScript05Methods:
         assign_te = self._centers_nearest(x_tr, assign_tr, x_te, 4)
         pred = self._hard_posterior_pred(assign_tr, y_tr, assign_te, 4)
         np.testing.assert_array_equal(pred, pred_ref)
+
+
+class TestScript02AucMain:
+    def test_group_auc_golden(self, ref02, fake_results):
+        """Replicate script 02's main per-group computation (02:444-569:
+        seed-49 stratified 0.9 split, Pipeline classifier, ROC from
+        1 − P(normal)) with the REFERENCE's own pieces and compare the
+        resulting AUC/accuracy against run_auc_pipeline on the same
+        artifact."""
+        from sklearn.linear_model import LogisticRegression
+        from sklearn.metrics import accuracy_score, auc, roc_curve
+        from sklearn.model_selection import train_test_split
+
+        from pinnfc_tpu.config import AucConfig
+        from pinnfc_tpu.diagnosis import run_auc_pipeline
+
+        # the image's sklearn (1.9) removed `multi_class` (02:200); the
+        # multinomial behavior is the 1.9 default for lbfgs
+        def _lr_shim(*args, **kw):
+            kw.pop("multi_class", None)
+            return LogisticRegression(*args, **kw)
+
+        ref02.LogisticRegression = _lr_shim
+
+        cfg = AucConfig()
+        ours = run_auc_pipeline(fake_results, cfg)
+
+        groups = ref02.parse_group_spec(cfg.group_spec)
+        label_map, class_names = ref02.build_label_mapper(groups)
+        for gid, spec in enumerate(cfg.feature_groups, start=1):
+            fidx = ref02.parse_features(spec)
+            x, y = ref02.extract_X_y(fake_results, fidx, label_map)
+            x_tr, x_te, y_tr, y_te = train_test_split(
+                x, y, test_size=cfg.test_size,
+                random_state=cfg.random_state, stratify=y,
+            )
+            clf = ref02.build_classifier(balanced=cfg.balanced)
+            clf.fit(x_tr, y_tr)
+            prob = clf.predict_proba(x_te)
+            acc_ref = accuracy_score(y_te, clf.predict(x_te))
+            y_bin = (y_te != 0).astype(int)
+            fpr, tpr, _ = roc_curve(y_bin, 1.0 - prob[:, 0], pos_label=1)
+            auc_ref = auc(fpr, tpr)
+
+            g = ours.groups[gid - 1]
+            assert g.auc == pytest.approx(auc_ref, abs=5e-3)
+            assert g.accuracy == pytest.approx(acc_ref, abs=0.02)
