@@ -242,21 +242,23 @@ class OnlineMonitor:
         """Score a block of raw measurements (B, 8) + measured voltage (B,)."""
         x_raw = jnp.asarray(np.atleast_2d(np.asarray(x_raw, np.float32)))
         v_meas = jnp.asarray(np.atleast_1d(np.asarray(v_measured, np.float32)))
-        self.state, (rf_inst, rf_smooth, r, v_pred, v_alarm, fault) = self._step(
+        self.state, out = self._step(
             self.params, self.state, x_raw, v_meas, self.mu, self.sigma
         )
-        rf_smooth = np.asarray(rf_smooth)
-        probs, pred = fault
+        # ONE batched device→host fetch: each separate np.asarray costs a
+        # full relay round trip on remote-attached TPUs (measured ~23 ms
+        # apiece through the axon tunnel, benchmarks/serving_bench.py)
+        rf_inst, rf_smooth, r, v_pred, v_alarm, (probs, pred) = jax.device_get(out)
         return MonitorOutput(
             rf_smooth=rf_smooth,
-            rf_inst=np.asarray(rf_inst),
-            residuals=np.asarray(r),
-            v_pred=np.asarray(v_pred),
+            rf_inst=rf_inst,
+            residuals=r,
+            v_pred=v_pred,
             warn=rf_smooth >= self.config.warn_threshold,
             danger=rf_smooth >= self.config.danger_threshold,
-            v_alarm=np.asarray(v_alarm),
-            fault_probs=None if probs is None else np.asarray(probs),
-            fault_pred=None if pred is None else np.asarray(pred),
+            v_alarm=v_alarm,
+            fault_probs=probs,
+            fault_pred=pred,
         )
 
     def reset(self) -> None:
