@@ -468,14 +468,21 @@ class TestLogReg:
         x, y = blobs
         m_n = fit(x, y, n_classes=4, balanced=True, solver="newton")
         m_l = fit(x, y, n_classes=4, balanced=True, solver="lbfgs")
+        # the L-BFGS path's loss runs default-precision matmuls, which on
+        # the TPU math unit are bf16 — ITS optimum carries ~1e-2 noise
+        # there (Newton forces 'highest'); tight anchor stays on CPU
+        on_tpu = jax.default_backend() == "tpu"
+        rtol, atol = (2e-2, 5e-3) if on_tpu else (1e-3, 2e-4)
         np.testing.assert_allclose(
-            np.asarray(m_n.coef), np.asarray(m_l.coef), rtol=1e-3, atol=2e-4
+            np.asarray(m_n.coef), np.asarray(m_l.coef), rtol=rtol, atol=atol
         )
         # intercepts are identified only up to a common shift (softmax
         # invariance) — Newton pins the mean to zero, L-BFGS may drift
         b_n = np.asarray(m_n.intercept)
         b_l = np.asarray(m_l.intercept)
-        np.testing.assert_allclose(b_n - b_n.mean(), b_l - b_l.mean(), atol=2e-3)
+        np.testing.assert_allclose(
+            b_n - b_n.mean(), b_l - b_l.mean(), atol=1e-2 if on_tpu else 2e-3
+        )
         # quadratic convergence: an order of magnitude fewer steps
         assert int(m_n.n_iter) < 30 < int(m_l.n_iter)
         with pytest.raises(ValueError, match="unknown solver"):
