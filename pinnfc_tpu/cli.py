@@ -416,12 +416,18 @@ def cmd_monitor(args) -> int:
         # already ran on this artifact) instead of refitting
         from pinnfc_tpu.serving import DiagnosisHead
 
-        gmm_result = getattr(args, "gmm_result", None)
-        if gmm_result is None:
-            from pinnfc_tpu.diagnosis import run_gmm_pipeline
+        if getattr(args, "head", None):
+            head = DiagnosisHead.load(args.head)
+        else:
+            gmm_result = getattr(args, "gmm_result", None)
+            if gmm_result is None:
+                from pinnfc_tpu.diagnosis import run_gmm_pipeline
 
-            gmm_result = run_gmm_pipeline(results)
-        head = DiagnosisHead.from_gmm_result(gmm_result)
+                gmm_result = run_gmm_pipeline(results)
+            head = DiagnosisHead.from_gmm_result(gmm_result)
+        if getattr(args, "save_head", None):
+            head.save(args.save_head)
+            print(f"diagnosis head → {args.save_head}")
     monitor = OnlineMonitor.from_checkpoint(args.ckpt, mu, sigma, cfg, head)
 
     rows = arr
@@ -566,6 +572,11 @@ def main(argv: Optional[list] = None) -> int:
     m.add_argument("--diagnose", action="store_true",
                    help="attach the script-03 GMM head: classify the fault "
                         "type online while the RF warns")
+    m.add_argument("--head", default=None,
+                   help="load a saved diagnosis head (.npz) instead of "
+                        "fitting one from the artifact")
+    m.add_argument("--save-head", default=None,
+                   help="persist the fitted diagnosis head (.npz)")
     m.set_defaults(fn=cmd_monitor)
 
     b = sub.add_parser("bench", help="headline benchmark (one JSON line)")

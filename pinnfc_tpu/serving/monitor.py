@@ -88,6 +88,44 @@ class DiagnosisHead(NamedTuple):
             feature_indices=tuple(_R_COLUMN[f] for f in names),
         )
 
+    def save(self, path: str) -> None:
+        """Persist the head (npz) so a restarted scorer diagnoses without
+        refitting — the production companion to `utils.checkpoint` for the
+        model weights."""
+        g = self.gmm
+        np.savez(
+            path if path.endswith(".npz") else path + ".npz",
+            gmm_weights=np.asarray(g.weights),
+            gmm_means=np.asarray(g.means),
+            gmm_covariances=np.asarray(g.covariances),
+            gmm_converged=np.asarray(g.converged),
+            gmm_n_iter=np.asarray(g.n_iter),
+            gmm_lower_bound=np.asarray(g.lower_bound),
+            comp_fault_prob=np.asarray(self.comp_fault_prob),
+            class_names=np.asarray(self.class_names),
+            feature_indices=np.asarray(self.feature_indices, np.int32),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "DiagnosisHead":
+        from pinnfc_tpu.diagnosis.gmm import GMMParams
+
+        d = np.load(path if path.endswith(".npz") else path + ".npz")
+        gmm = GMMParams(
+            weights=jnp.asarray(d["gmm_weights"]),
+            means=jnp.asarray(d["gmm_means"]),
+            covariances=jnp.asarray(d["gmm_covariances"]),
+            converged=jnp.asarray(d["gmm_converged"]),
+            n_iter=jnp.asarray(d["gmm_n_iter"]),
+            lower_bound=jnp.asarray(d["gmm_lower_bound"]),
+        )
+        return cls(
+            gmm=gmm,
+            comp_fault_prob=jnp.asarray(d["comp_fault_prob"], jnp.float32),
+            class_names=tuple(str(c) for c in d["class_names"]),
+            feature_indices=tuple(int(i) for i in d["feature_indices"]),
+        )
+
 
 class MonitorState(NamedTuple):
     """Carry between blocks: risk integral, EMA value, first-sample voltage."""

@@ -77,6 +77,10 @@ def save_checkpoint(
         payload["scaler_x"] = scaler_x.to_numpy()
     if scaler_y is not None:
         payload["scaler_y"] = scaler_y.to_numpy()
+    # materialize to host numpy first: otherwise orbax records the SAVING
+    # platform's sharding and a checkpoint written on the TPU cannot be
+    # restored in a CPU process ("sharding ... Got None")
+    payload = jax.tree_util.tree_map(np.asarray, payload)
     try:
         import orbax.checkpoint as ocp
 
@@ -88,12 +92,25 @@ def save_checkpoint(
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
-    """Load an Orbax (or npz-fallback) checkpoint."""
+    """Load an Orbax (or npz-fallback) checkpoint; arrays come back as host
+    numpy regardless of the platform that wrote them."""
     try:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.PyTreeCheckpointer()
-        payload = ckptr.restore(os.path.abspath(path))
+        abspath = os.path.abspath(path)
+        try:
+            payload = ckptr.restore(abspath)
+        except Exception:
+            # checkpoints written on an accelerator carry that device's
+            # sharding, which a CPU process cannot reconstruct; force
+            # plain-numpy deserialization instead
+            meta = ckptr.metadata(abspath).item_metadata
+            tree = meta.tree if hasattr(meta, "tree") else meta
+            restore_args = jax.tree_util.tree_map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
+            )
+            payload = ckptr.restore(abspath, restore_args=restore_args)
     except Exception:
         payload = load_params_npz(path + ".npz")
     out = dict(payload)

@@ -278,3 +278,48 @@ class TestStreamingDiagnosis:
         out = capsys.readouterr().out
         assert "streamed" in out
         assert "online diagnosis while warned:" in out
+
+    def test_head_save_load_roundtrip(self, setup, head_and_feats, tmp_path):
+        """A restarted scorer with a loaded head produces identical output."""
+        from pinnfc_tpu.serving import DiagnosisHead
+
+        params, d, mu, sigma, x_raw, v_meas = setup
+        head, _ = head_and_feats
+        path = str(tmp_path / "head.npz")
+        head.save(path)
+        head2 = DiagnosisHead.load(path)
+        assert head2.class_names == head.class_names
+        assert head2.feature_indices == head.feature_indices
+
+        a = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma,
+                          diagnosis=head).observe(x_raw[:80], v_meas[:80])
+        b = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma,
+                          diagnosis=head2).observe(x_raw[:80], v_meas[:80])
+        np.testing.assert_array_equal(a.fault_probs, b.fault_probs)
+
+    def test_cli_head_save_and_load(self, setup, tmp_path, capsys):
+        from pinnfc_tpu.cli import main
+        from pinnfc_tpu.data.contract import INDEX, save_comprehensive_results
+        from pinnfc_tpu.utils import save_checkpoint
+
+        params, d, mu, sigma, x_raw, v_meas = setup
+        ckpt = str(tmp_path / "ckpt_h")
+        save_checkpoint(ckpt, params, d.scaler_x, d.scaler_y)
+        n = len(x_raw)
+        arr = np.zeros((n, 22))
+        arr[:, 0:8] = x_raw
+        arr[:, INDEX["y_true"]] = v_meas
+        rng = np.random.RandomState(3)
+        for k in ("pV", "pT", "pH", "pO"):
+            arr[:, INDEX[k]] = 0.1 * rng.randn(n)
+        arr[n // 2 :, INDEX["label"]] = 4
+        mat = str(tmp_path / "F01_h.mat")
+        save_comprehensive_results(arr, mat)
+        head_path = str(tmp_path / "head_cli.npz")
+
+        rc = main(["monitor", "--mat", mat, "--ckpt", ckpt, "--diagnose",
+                   "--save-head", head_path])
+        assert rc == 0 and "diagnosis head" in capsys.readouterr().out
+        rc = main(["monitor", "--mat", mat, "--ckpt", ckpt, "--diagnose",
+                   "--head", head_path])
+        assert rc == 0

@@ -17,6 +17,25 @@ from pinnfc_tpu.utils import (
 
 
 class TestCheckpoint:
+    def test_saved_arrays_are_host_numpy(self, tmp_path):
+        """save_checkpoint must materialize device arrays to host numpy
+        before writing: orbax otherwise records the saving platform's
+        sharding and a TPU-written checkpoint cannot be restored in a CPU
+        process (found driving a TPU-trained checkpoint from the CLI)."""
+        from pinnfc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+        params = init_pinn(jax.random.PRNGKey(2), (8, 16, 1))
+        params = jax.device_put(params)  # arrays live on a device
+        path = str(tmp_path / "xplat_ckpt")
+        save_checkpoint(path, params)
+        ck = load_checkpoint(path)
+        leaves = jax.tree_util.tree_leaves(ck["params"])
+        assert all(isinstance(l, np.ndarray) for l in leaves)
+        np.testing.assert_allclose(
+            np.asarray(leaves[0]),
+            np.asarray(jax.tree_util.tree_leaves(params)[0]),
+        )
+
     def test_npz_roundtrip(self, tmp_path):
         params = init_pinn(jax.random.PRNGKey(0), (8, 16, 16, 1))
         path = str(tmp_path / "params.npz")
