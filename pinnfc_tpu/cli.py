@@ -410,7 +410,10 @@ def cmd_monitor(args) -> int:
     cfg = RiskConfig()
     mu, sigma = estimate_mu_sigma_normal(arr)
     head = None
-    if getattr(args, "diagnose", False):
+    want_head = (getattr(args, "diagnose", False)
+                 or getattr(args, "head", None)
+                 or getattr(args, "save_head", None))
+    if want_head:  # --head/--save-head imply diagnosis
         # classify the stream's fault type online with script 03's
         # calibrated GMM; reuse a fit handed in by run-all (its gmm stage
         # already ran on this artifact) instead of refitting
@@ -426,8 +429,8 @@ def cmd_monitor(args) -> int:
                 gmm_result = run_gmm_pipeline(results)
             head = DiagnosisHead.from_gmm_result(gmm_result)
         if getattr(args, "save_head", None):
-            head.save(args.save_head)
-            print(f"diagnosis head → {args.save_head}")
+            written = head.save(args.save_head)
+            print(f"diagnosis head → {written}")
     monitor = OnlineMonitor.from_checkpoint(args.ckpt, mu, sigma, cfg, head)
 
     rows = arr

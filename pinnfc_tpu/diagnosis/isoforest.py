@@ -12,8 +12,10 @@ scoring pure fixed-shape tensor ops under ``jit``:
 - build: level-by-level — boolean membership masks (2^l, ψ) per level,
   per-node masked min/max over features, uniform random feature + uniform
   random threshold (the Extremely-Randomized split rule sklearn uses);
-- score: H gather-and-compare steps walk all N samples through all T trees
-  simultaneously; early-isolated samples freeze at their leaf.
+- score: a gather-free walk — one one-hot feature matmul evaluates every
+  node's decision, then H levels of one-hot node selection (multiply-sum +
+  interleave) route all N samples through all T trees simultaneously;
+  early-isolated samples freeze at their leaf.
 
 Anomaly score s(x) = 2^{−E[h(x)]/c(ψ)} (Liu et al.; identical to sklearn's
 ``-score_samples``), with the same average-path-length correction c(n).
@@ -167,7 +169,9 @@ def _score_jit(features, thresholds, sizes, x, depth, psi):
         done = jnp.zeros((n,), bool)
         for lvl in range(depth):
             lo, cnt = 2**lvl - 1, 2**lvl
-            sz = oh @ jax.lax.dynamic_slice(size, (lo,), (cnt,))  # (N,)
+            sz = jnp.matmul(  # full f32: bf16 rounds node sizes > 256
+                oh, jax.lax.dynamic_slice(size, (lo,), (cnt,)),
+                precision="highest")
             leaf = sz <= 1.0
             h = jnp.where(~done & leaf, lvl + _avg_path_length(sz), h)
             done = done | leaf
@@ -179,7 +183,9 @@ def _score_jit(features, thresholds, sizes, x, depth, psi):
             oh = jnp.stack(
                 [oh * (1.0 - bit[:, None]), oh * bit[:, None]], axis=2
             ).reshape(n, 2 * cnt)
-        sz_ext = oh @ jax.lax.dynamic_slice(size, (2**depth - 1,), (2**depth,))
+        sz_ext = jnp.matmul(
+            oh, jax.lax.dynamic_slice(size, (2**depth - 1,), (2**depth,)),
+            precision="highest")
         h = jnp.where(done, h, depth + _avg_path_length(sz_ext))
         return h
 

@@ -88,13 +88,14 @@ class DiagnosisHead(NamedTuple):
             feature_indices=tuple(_R_COLUMN[f] for f in names),
         )
 
-    def save(self, path: str) -> None:
+    def save(self, path: str) -> str:
         """Persist the head (npz) so a restarted scorer diagnoses without
         refitting — the production companion to `utils.checkpoint` for the
-        model weights."""
+        model weights.  Returns the path actually written."""
         g = self.gmm
+        path = path if path.endswith(".npz") else path + ".npz"
         np.savez(
-            path if path.endswith(".npz") else path + ".npz",
+            path,
             gmm_weights=np.asarray(g.weights),
             gmm_means=np.asarray(g.means),
             gmm_covariances=np.asarray(g.covariances),
@@ -105,12 +106,31 @@ class DiagnosisHead(NamedTuple):
             class_names=np.asarray(self.class_names),
             feature_indices=np.asarray(self.feature_indices, np.int32),
         )
+        return path
 
     @classmethod
     def load(cls, path: str) -> "DiagnosisHead":
         from pinnfc_tpu.diagnosis.gmm import GMMParams
 
         d = np.load(path if path.endswith(".npz") else path + ".npz")
+        feature_indices = tuple(int(i) for i in d["feature_indices"])
+        bad = [i for i in feature_indices if not 0 <= i < len(_R_COLUMN)]
+        if bad:
+            raise ValueError(
+                f"head file has feature indices {bad} outside the monitor's "
+                f"residual channels 0..{len(_R_COLUMN) - 1}"
+            )
+        comp = d["comp_fault_prob"]
+        if comp.shape[1] != len(d["class_names"]):
+            raise ValueError(
+                f"comp_fault_prob has {comp.shape[1]} classes but "
+                f"{len(d['class_names'])} class names"
+            )
+        if d["gmm_means"].shape != (comp.shape[0], len(feature_indices)):
+            raise ValueError(
+                "gmm means shape does not match components/features: "
+                f"{d['gmm_means'].shape} vs ({comp.shape[0]}, {len(feature_indices)})"
+            )
         gmm = GMMParams(
             weights=jnp.asarray(d["gmm_weights"]),
             means=jnp.asarray(d["gmm_means"]),
@@ -121,9 +141,9 @@ class DiagnosisHead(NamedTuple):
         )
         return cls(
             gmm=gmm,
-            comp_fault_prob=jnp.asarray(d["comp_fault_prob"], jnp.float32),
+            comp_fault_prob=jnp.asarray(comp, jnp.float32),
             class_names=tuple(str(c) for c in d["class_names"]),
-            feature_indices=tuple(int(i) for i in d["feature_indices"]),
+            feature_indices=feature_indices,
         )
 
 

@@ -87,7 +87,7 @@ def save_checkpoint(
         path = os.path.abspath(path)
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(path, payload, force=True)
-    except Exception:
+    except ImportError:
         save_params_npz(path + ".npz", payload)
 
 
@@ -111,7 +111,10 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
                 lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
             )
             payload = ckptr.restore(abspath, restore_args=restore_args)
-    except Exception:
+    except ImportError:
+        payload = load_params_npz(path + ".npz")
+    except FileNotFoundError:
+        # saved by the npz fallback (no orbax at save time)
         payload = load_params_npz(path + ".npz")
     out = dict(payload)
     if "scaler_x" in out:

@@ -336,8 +336,12 @@ class TestScript05Methods:
             kw.pop("multi_class", None)
             return LogisticRegression(*args, **kw)
 
+        orig = ref05.LogisticRegression
         ref05.LogisticRegression = _lr_shim
-        pred_ref = ref05.run_supervised_lr(x_tr, y_tr, x_te)
+        try:
+            pred_ref = ref05.run_supervised_lr(x_tr, y_tr, x_te)
+        finally:
+            ref05.LogisticRegression = orig
         model = logreg_fit(x_tr, y_tr, n_classes=4, balanced=True)
         np.testing.assert_array_equal(
             np.asarray(logreg_predict(model, x_te)), pred_ref
@@ -433,7 +437,9 @@ class TestScript02AucMain:
             kw.pop("multi_class", None)
             return LogisticRegression(*args, **kw)
 
+        orig = ref02.LogisticRegression
         ref02.LogisticRegression = _lr_shim
+        self._orig = (ref02, orig)  # restored at the end of the test
 
         cfg = AucConfig()
         ours = run_auc_pipeline(fake_results, cfg)
@@ -458,3 +464,5 @@ class TestScript02AucMain:
             g = ours.groups[gid - 1]
             assert g.auc == pytest.approx(auc_ref, abs=5e-3)
             assert g.accuracy == pytest.approx(acc_ref, abs=0.02)
+        mod, orig = self._orig
+        mod.LogisticRegression = orig
