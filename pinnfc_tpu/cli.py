@@ -474,6 +474,26 @@ def cmd_monitor(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """HTTP scoring endpoint: OnlineMonitor behind POST /observe
+    (serving/server.py). Normal statistics come from the artifact, model
+    weights from the checkpoint, and optionally a saved diagnosis head."""
+    from pinnfc_tpu.config import RiskConfig
+    from pinnfc_tpu.data import load_comprehensive_results
+    from pinnfc_tpu.risk import estimate_mu_sigma_normal
+    from pinnfc_tpu.serving import DiagnosisHead, OnlineMonitor, serve
+
+    arr = load_comprehensive_results(args.mat).array
+    mu, sigma = estimate_mu_sigma_normal(arr)
+    head = DiagnosisHead.load(args.head) if args.head else None
+    monitor = OnlineMonitor.from_checkpoint(
+        args.ckpt, mu, sigma, RiskConfig(), head
+    )
+    serve(monitor, host=args.host, port=args.port,
+          max_requests=args.max_requests)
+    return 0
+
+
 def cmd_bench(args) -> int:
     try:
         import bench
@@ -581,6 +601,18 @@ def main(argv: Optional[list] = None) -> int:
     m.add_argument("--save-head", default=None,
                    help="persist the fitted diagnosis head (.npz)")
     m.set_defaults(fn=cmd_monitor)
+
+    sv = sub.add_parser("serve", help="HTTP scoring endpoint (POST /observe)")
+    sv.add_argument("--mat", default="F01_output.mat",
+                    help="artifact for the normal-operation μ/σ statistics")
+    sv.add_argument("--ckpt", required=True, help="checkpoint from `train --ckpt`")
+    sv.add_argument("--head", default=None,
+                    help="saved diagnosis head (.npz) for online fault typing")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8787)
+    sv.add_argument("--max-requests", type=int, default=None,
+                    help="stop after N requests (bounded demos/tests)")
+    sv.set_defaults(fn=cmd_serve)
 
     b = sub.add_parser("bench", help="headline benchmark (one JSON line)")
     b.set_defaults(fn=cmd_bench)

@@ -4,5 +4,13 @@ from pinnfc_tpu.serving.monitor import (
     MonitorState,
     OnlineMonitor,
 )
+from pinnfc_tpu.serving.server import make_server, serve
 
-__all__ = ["DiagnosisHead", "MonitorOutput", "MonitorState", "OnlineMonitor"]
+__all__ = [
+    "DiagnosisHead",
+    "MonitorOutput",
+    "MonitorState",
+    "OnlineMonitor",
+    "make_server",
+    "serve",
+]

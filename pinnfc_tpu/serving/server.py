@@ -1,0 +1,129 @@
+"""Minimal HTTP scoring endpoint around ``OnlineMonitor`` (stdlib only).
+
+The reference is a batch research pipeline; a deployed stack monitor needs
+a network surface. This keeps it deliberately small: one JSON endpoint on
+``http.server`` whose handler funnels every request through the monitor's
+single jitted step (the monitor itself carries the O(1) RF(t) state, so
+request granularity does not change the series — the same block-size
+invariance the streaming tests prove).
+
+    POST /observe   {"x": [[... 8 raw channels ...], ...], "v": [...]}
+        → {"rf_smooth": [...], "rf_inst": [...], "v_pred": [...],
+           "warn": [...], "danger": [...], "v_alarm": [...],
+           "fault_probs": [[...]], "fault_pred": [...],     (with a head)
+           "fault_names": [...], "n_seen": int}
+    POST /reset     → {"ok": true}
+    GET  /health    → {"ok": true, "n_seen": int}
+
+Threading note: ``http.server`` handles requests serially by default,
+which is exactly right here — the monitor's recurrence state makes
+``observe`` order-dependent, so one in-flight request at a time is the
+correct concurrency model (scale-out is per-stack, one monitor each).
+
+Start from the CLI: ``pinnfc serve --ckpt ck --mat F01_output.mat
+[--head head.npz] [--port 8787]``.
+"""
+
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from typing import Optional
+
+import numpy as np
+
+from pinnfc_tpu.serving.monitor import OnlineMonitor
+
+
+def _json_payload(out, monitor: OnlineMonitor) -> dict:
+    payload = {
+        "rf_smooth": out.rf_smooth.tolist(),
+        "rf_inst": out.rf_inst.tolist(),
+        "v_pred": out.v_pred.tolist(),
+        "warn": out.warn.tolist(),
+        "danger": out.danger.tolist(),
+        "v_alarm": out.v_alarm.tolist(),
+        "n_seen": int(np.asarray(monitor.state.n_seen)),
+    }
+    if out.fault_probs is not None:
+        payload["fault_probs"] = np.round(out.fault_probs, 6).tolist()
+        payload["fault_pred"] = out.fault_pred.tolist()
+        payload["fault_names"] = [
+            monitor.diagnosis.class_names[int(i)] for i in out.fault_pred
+        ]
+    return payload
+
+
+def make_server(
+    monitor: OnlineMonitor, host: str = "127.0.0.1", port: int = 8787
+) -> HTTPServer:
+    """Build (but do not start) the HTTP server; call ``serve_forever()``
+    or drive it with ``handle_request()`` in tests."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet by default
+            pass
+
+        def _reply(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._reply(200, {
+                    "ok": True,
+                    "n_seen": int(np.asarray(monitor.state.n_seen)),
+                })
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path == "/reset":
+                monitor.reset()
+                self._reply(200, {"ok": True})
+                return
+            if self.path != "/observe":
+                self._reply(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                x = np.asarray(req["x"], np.float32)
+                v = np.asarray(req["v"], np.float32)
+                if x.ndim != 2 or x.shape[1] != 8:
+                    raise ValueError(f"x must be (B, 8), got {x.shape}")
+                if v.shape != (x.shape[0],):
+                    raise ValueError(
+                        f"v must be ({x.shape[0]},), got {v.shape}"
+                    )
+            except (KeyError, ValueError, TypeError) as e:
+                self._reply(400, {"error": str(e)})
+                return
+            out = monitor.observe(x, v)
+            self._reply(200, _json_payload(out, monitor))
+
+    return HTTPServer((host, port), Handler)
+
+
+def serve(
+    monitor: OnlineMonitor,
+    host: str = "127.0.0.1",
+    port: int = 8787,
+    max_requests: Optional[int] = None,
+) -> None:
+    """Run the endpoint. ``max_requests`` bounds the loop (tests/demos)."""
+    server = make_server(monitor, host, port)
+    print(f"serving OnlineMonitor on http://{host}:{port} "
+          f"(POST /observe, POST /reset, GET /health)")
+    try:
+        if max_requests is None:
+            server.serve_forever()
+        else:
+            for _ in range(max_requests):
+                server.handle_request()
+    finally:
+        server.server_close()

@@ -323,3 +323,87 @@ class TestStreamingDiagnosis:
         rc = main(["monitor", "--mat", mat, "--ckpt", ckpt, "--diagnose",
                    "--head", head_path])
         assert rc == 0
+
+
+class TestHttpServer:
+    """HTTP scoring endpoint (serving/server.py): request/response contract,
+    state carry across requests, reset, validation."""
+
+    @pytest.fixture()
+    def client(self, setup, head_and_feats):
+        import threading
+        from pinnfc_tpu.serving import make_server
+
+        params, d, mu, sigma, x_raw, v_meas = setup
+        head, _ = head_and_feats
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma,
+                            diagnosis=head)
+        server = make_server(mon, port=0)  # auto-assign port
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        yield port, mon
+        server.shutdown()
+        server.server_close()
+
+    # reuse the class-scoped head fixture from TestStreamingDiagnosis
+    head_and_feats = TestStreamingDiagnosis.head_and_feats
+
+    @staticmethod
+    def _post(port, path, obj):
+        import json as j
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=j.dumps(obj).encode(), method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, j.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, j.loads(e.read())
+
+    def test_observe_matches_direct_monitor(self, setup, head_and_feats, client):
+        import json as j
+        import urllib.request
+
+        params, d, mu, sigma, x_raw, v_meas = setup
+        head, _ = head_and_feats
+        port, _mon = client
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
+            assert j.loads(r.read())["ok"] is True
+
+        # two requests must continue the recurrence exactly like one direct
+        # observe over the concatenation
+        s1, out1 = self._post(port, "/observe",
+                              {"x": x_raw[:60].tolist(), "v": v_meas[:60].tolist()})
+        s2, out2 = self._post(port, "/observe",
+                              {"x": x_raw[60:120].tolist(), "v": v_meas[60:120].tolist()})
+        assert s1 == s2 == 200
+        ref = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma,
+                            diagnosis=head).observe(x_raw[:120], v_meas[:120])
+        got = np.asarray(out1["rf_smooth"] + out2["rf_smooth"])
+        np.testing.assert_allclose(got, ref.rf_smooth, rtol=1e-5, atol=1e-7)
+        assert out2["n_seen"] == 120
+        assert len(out1["fault_probs"]) == 60
+        assert out1["fault_names"][0] in ("normalish", "faultish")
+
+        # reset restarts the series
+        assert self._post(port, "/reset", {})[0] == 200
+        _, out3 = self._post(port, "/observe",
+                             {"x": x_raw[:60].tolist(), "v": v_meas[:60].tolist()})
+        np.testing.assert_allclose(out3["rf_smooth"], out1["rf_smooth"],
+                                   rtol=1e-6)
+
+    def test_validation_errors(self, client):
+        port, _ = client
+        code, body = self._post(port, "/observe", {"x": [[1.0, 2.0]], "v": [3.0]})
+        assert code == 400 and "x must be (B, 8)" in body["error"]
+        code, body = self._post(port, "/observe",
+                                {"x": [[0.0] * 8], "v": [1.0, 2.0]})
+        assert code == 400 and "v must be" in body["error"]
+        code, body = self._post(port, "/nope", {})
+        assert code == 404
