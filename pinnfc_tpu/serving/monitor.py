@@ -266,10 +266,16 @@ class OnlineMonitor:
                 (state.n_seen == 0) & (jnp.arange(s_tot.shape[0]) == 0),
                 0.0, s_tot,
             )
+            # sensor-glitch guard: a non-finite row would poison the carried
+            # C[t]/EMA state FOREVER (the recurrence never forgets a NaN).
+            # Treat such samples as contributing zero risk for the integral;
+            # their own rf/v_pred outputs still reflect the bad input.
+            s_tot = jnp.where(jnp.isfinite(s_tot), s_tot, 0.0)
 
             rf_inst, rf_smooth, c_series = _rf_block(s_tot, state, cfg)
 
-            v_first = jnp.where(state.n_seen == 0, v_meas[0], state.v_first)
+            v_first0 = jnp.where(jnp.isfinite(v_meas[0]), v_meas[0], 0.0)
+            v_first = jnp.where(state.n_seen == 0, v_first0, state.v_first)
             new_state = MonitorState(
                 c=c_series[-1],
                 rf_smooth=rf_smooth[-1],

@@ -407,3 +407,31 @@ class TestHttpServer:
         assert code == 400 and "v must be" in body["error"]
         code, body = self._post(port, "/nope", {})
         assert code == 404
+
+
+class TestSensorGlitchGuard:
+    def test_nan_row_does_not_poison_state(self, setup):
+        """A non-finite sensor row must not corrupt the carried RF state:
+        the recurrence would otherwise propagate the NaN forever."""
+        params, d, mu, sigma, x_raw, v_meas = setup
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        x_bad = x_raw[:100].copy()
+        v_bad = v_meas[:100].copy()
+        x_bad[40] = np.nan  # one glitched sample mid-stream
+        out = mon.observe(x_bad, v_bad)
+        # the stream after the glitch stays finite
+        assert np.isfinite(out.rf_smooth[41:]).all()
+        # and later blocks are untouched
+        out2 = mon.observe(x_raw[100:200], v_meas[100:200])
+        assert np.isfinite(out2.rf_smooth).all()
+
+    def test_clean_streams_unchanged(self, setup):
+        """The guard is a no-op on finite data (same series as before)."""
+        params, d, mu, sigma, x_raw, v_meas = setup
+        cfg = RiskConfig()
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma, cfg)
+        out = mon.observe(x_raw, v_meas)
+        want = _offline_rf(params, d, mu, sigma, x_raw, v_meas, cfg)
+        np.testing.assert_allclose(
+            out.rf_smooth, np.asarray(want["rf_smooth"]), rtol=1e-4, atol=1e-5
+        )
