@@ -154,6 +154,8 @@ class MonitorState(NamedTuple):
     rf_smooth: jnp.ndarray  # () EMA value
     v_first: jnp.ndarray  # () V(0) for the dynamic threshold
     n_seen: jnp.ndarray  # () samples consumed
+    v_first_set: jnp.ndarray  # () bool — baseline captured from a FINITE sample
+    glitch_run: jnp.ndarray  # () consecutive non-finite samples ending the stream
 
 
 @dataclasses.dataclass
@@ -165,6 +167,8 @@ class MonitorOutput:
     warn: np.ndarray  # (B,) bool — RF ≥ warn threshold
     danger: np.ndarray  # (B,) bool — RF ≥ danger threshold
     v_alarm: np.ndarray  # (B,) bool — measured V ≤ V(0) − drop
+    glitch: np.ndarray | None = None  # (B,) bool — sample excluded from risk
+    sensor_alarm: np.ndarray | None = None  # (B,) bool — glitch run ≥ limit
     fault_probs: np.ndarray | None = None  # (B, K) — with a DiagnosisHead
     fault_pred: np.ndarray | None = None  # (B,) argmax class index
 
@@ -210,6 +214,7 @@ class OnlineMonitor:
         sigma: np.ndarray,
         config: RiskConfig = RiskConfig(),
         diagnosis: DiagnosisHead | None = None,
+        glitch_alarm_n: int = 25,
     ):
         self.params = params
         self.scaler_x = scaler_x
@@ -218,13 +223,23 @@ class OnlineMonitor:
         self.sigma = jnp.asarray(sigma, jnp.float32)
         self.config = config
         self.diagnosis = diagnosis
-        self.state = MonitorState(
+        # sensor-outage alarm: fire after this many CONSECUTIVE non-finite
+        # samples (glitched rows contribute zero risk, so a dead sensor would
+        # otherwise decay RF toward "healthy" silently)
+        self.glitch_alarm_n = int(glitch_alarm_n)
+        self.state = self._fresh_state()
+        self._step = self._build_step()
+
+    @staticmethod
+    def _fresh_state() -> MonitorState:
+        return MonitorState(
             c=jnp.asarray(0.0),
             rf_smooth=jnp.asarray(0.0),
             v_first=jnp.asarray(0.0),
             n_seen=jnp.asarray(0),
+            v_first_set=jnp.asarray(False),
+            glitch_run=jnp.asarray(0.0),
         )
-        self._step = self._build_step()
 
     def _build_step(self):
         cfg = self.config
@@ -261,28 +276,51 @@ class OnlineMonitor:
                     jnp.sum(w_l * jnp.power(a_l, cfg.p_layer), axis=1),
                     1.0 / cfg.p_layer,
                 )
+            # sensor-glitch guard: a non-finite row would poison the carried
+            # C[t]/EMA state FOREVER (the recurrence never forgets a NaN).
+            # Treat such samples as contributing zero risk for the integral
+            # and surface them per-sample via the ``glitch`` flag; their own
+            # rf/v_pred outputs still reflect the bad input.
+            glitch = ~jnp.isfinite(s_tot)
             # first-ever sample contributes no risk (C[0]=0 semantics, 04:262)
             s_tot = jnp.where(
                 (state.n_seen == 0) & (jnp.arange(s_tot.shape[0]) == 0),
                 0.0, s_tot,
             )
-            # sensor-glitch guard: a non-finite row would poison the carried
-            # C[t]/EMA state FOREVER (the recurrence never forgets a NaN).
-            # Treat such samples as contributing zero risk for the integral;
-            # their own rf/v_pred outputs still reflect the bad input.
-            s_tot = jnp.where(jnp.isfinite(s_tot), s_tot, 0.0)
+            s_tot = jnp.where(glitch, 0.0, s_tot)
 
             rf_inst, rf_smooth, c_series = _rf_block(s_tot, state, cfg)
 
-            v_first0 = jnp.where(jnp.isfinite(v_meas[0]), v_meas[0], 0.0)
-            v_first = jnp.where(state.n_seen == 0, v_first0, state.v_first)
+            # consecutive-glitch run length: run[i] = glitch[i]·(run[i-1]+1),
+            # the same first-order recurrence as C[t] → same associative scan
+            gf = glitch.astype(jnp.float32)
+            glitch_series = linear_recurrence_scan(gf, gf, state.glitch_run)
+            sensor_alarm = glitch_series >= self.glitch_alarm_n
+
+            # dynamic-threshold baseline: captured from the FIRST FINITE
+            # voltage sample ever seen (a glitched first sample must not
+            # permanently zero the alarm baseline — it defers capture)
+            finite_v = jnp.isfinite(v_meas)
+            has_finite = jnp.any(finite_v)
+            cand = v_meas[jnp.argmax(finite_v)]
+            v_first = jnp.where(
+                state.v_first_set,
+                state.v_first,
+                jnp.where(has_finite, cand, 0.0),
+            )
+            v_first_set = state.v_first_set | has_finite
             new_state = MonitorState(
                 c=c_series[-1],
                 rf_smooth=rf_smooth[-1],
                 v_first=v_first,
                 n_seen=state.n_seen + s_tot.shape[0],
+                v_first_set=v_first_set,
+                glitch_run=glitch_series[-1],
             )
-            v_alarm = v_meas <= (v_first - cfg.voltage_drop)
+            # NaN comparisons are False, so pre-baseline (non-finite) samples
+            # in the capturing block never alarm; the flag guards the
+            # no-baseline-yet stream entirely
+            v_alarm = v_first_set & (v_meas <= (v_first - cfg.voltage_drop))
 
             if head is not None:
                 # script-03 posterior mapping (03:417-425), fully on device
@@ -298,7 +336,10 @@ class OnlineMonitor:
                 fault = (probs, jnp.argmax(probs, axis=1))
             else:
                 fault = (None, None)
-            return new_state, (rf_inst, rf_smooth, r, v_pred, v_alarm, fault)
+            return new_state, (
+                rf_inst, rf_smooth, r, v_pred, v_alarm, glitch, sensor_alarm,
+                fault,
+            )
 
         return step
 
@@ -312,7 +353,8 @@ class OnlineMonitor:
         # ONE batched device→host fetch: each separate np.asarray costs a
         # full relay round trip on remote-attached TPUs (measured ~23 ms
         # apiece through the axon tunnel, benchmarks/serving_bench.py)
-        rf_inst, rf_smooth, r, v_pred, v_alarm, (probs, pred) = jax.device_get(out)
+        (rf_inst, rf_smooth, r, v_pred, v_alarm, glitch, sensor_alarm,
+         (probs, pred)) = jax.device_get(out)
         return MonitorOutput(
             rf_smooth=rf_smooth,
             rf_inst=rf_inst,
@@ -321,17 +363,14 @@ class OnlineMonitor:
             warn=rf_smooth >= self.config.warn_threshold,
             danger=rf_smooth >= self.config.danger_threshold,
             v_alarm=v_alarm,
+            glitch=glitch,
+            sensor_alarm=sensor_alarm,
             fault_probs=probs,
             fault_pred=pred,
         )
 
     def reset(self) -> None:
-        self.state = MonitorState(
-            c=jnp.asarray(0.0),
-            rf_smooth=jnp.asarray(0.0),
-            v_first=jnp.asarray(0.0),
-            n_seen=jnp.asarray(0),
-        )
+        self.state = self._fresh_state()
 
     @classmethod
     def from_checkpoint(

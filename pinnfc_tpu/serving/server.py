@@ -34,6 +34,10 @@ import numpy as np
 
 from pinnfc_tpu.serving.monitor import OnlineMonitor
 
+# bound request memory: 32 MiB of JSON ≈ 10^5+ samples per block, far above
+# any sane streaming block size
+MAX_REQUEST_BYTES = 32 * 1024 * 1024
+
 
 def _json_payload(out, monitor: OnlineMonitor) -> dict:
     payload = {
@@ -43,6 +47,8 @@ def _json_payload(out, monitor: OnlineMonitor) -> dict:
         "warn": out.warn.tolist(),
         "danger": out.danger.tolist(),
         "v_alarm": out.v_alarm.tolist(),
+        "glitch": out.glitch.tolist(),
+        "sensor_alarm": out.sensor_alarm.tolist(),
         "n_seen": int(np.asarray(monitor.state.n_seen)),
     }
     if out.fault_probs is not None:
@@ -91,6 +97,10 @@ def make_server(
                 return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
+                if n > MAX_REQUEST_BYTES:
+                    raise ValueError(
+                        f"request body {n} B exceeds limit {MAX_REQUEST_BYTES} B"
+                    )
                 req = json.loads(self.rfile.read(n) or b"{}")
                 x = np.asarray(req["x"], np.float32)
                 v = np.asarray(req["v"], np.float32)
@@ -103,8 +113,15 @@ def make_server(
             except (KeyError, ValueError, TypeError) as e:
                 self._reply(400, {"error": str(e)})
                 return
-            out = monitor.observe(x, v)
-            self._reply(200, _json_payload(out, monitor))
+            # runtime failures (device errors, a head whose feature count
+            # mismatches the checkpoint, ...) must come back as a 500, not a
+            # dropped connection — note the monitor's recurrence state may
+            # already have advanced when observe fails mid-call
+            try:
+                out = monitor.observe(x, v)
+                self._reply(200, _json_payload(out, monitor))
+            except Exception as e:  # noqa: BLE001 — serving boundary
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
     return HTTPServer((host, port), Handler)
 

@@ -435,3 +435,70 @@ class TestSensorGlitchGuard:
         np.testing.assert_allclose(
             out.rf_smooth, np.asarray(want["rf_smooth"]), rtol=1e-4, atol=1e-5
         )
+
+    def test_glitch_flag_marks_discarded_samples(self, setup):
+        """Every sample excluded from the risk integral is surfaced via
+        MonitorOutput.glitch so operators can tell 'healthy' from
+        'sensors dead' (advisor round-2 finding)."""
+        params, d, mu, sigma, x_raw, v_meas = setup
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        x_bad = x_raw[:100].copy()
+        x_bad[30:35] = np.nan
+        out = mon.observe(x_bad, v_meas[:100])
+        want = np.zeros(100, bool)
+        want[30:35] = True
+        np.testing.assert_array_equal(np.asarray(out.glitch), want)
+        assert not np.asarray(out.sensor_alarm).any()  # run of 5 < default 25
+
+    def test_sensor_alarm_after_consecutive_glitches(self, setup):
+        """A sustained all-NaN stream decays RF toward 'healthy'; the
+        consecutive-glitch counter must raise sensor_alarm instead, and the
+        run must carry across blocks and reset on recovery."""
+        params, d, mu, sigma, x_raw, v_meas = setup
+        mon = OnlineMonitor(
+            params, d.scaler_x, d.scaler_y, mu, sigma, glitch_alarm_n=10
+        )
+        mon.observe(x_raw[:20], v_meas[:20])  # healthy warm-up
+        x_dead = np.full((6, 8), np.nan, np.float32)
+        v_dead = np.full(6, np.nan, np.float32)
+        out1 = mon.observe(x_dead, v_dead)  # run reaches 6
+        assert not np.asarray(out1.sensor_alarm).any()
+        out2 = mon.observe(x_dead, v_dead)  # run reaches 12 mid-block
+        alarm = np.asarray(out2.sensor_alarm)
+        assert not alarm[:3].any() and alarm[3:].all()  # fires at run == 10
+        out3 = mon.observe(x_raw[20:30], v_meas[20:30])  # sensors recover
+        assert not np.asarray(out3.sensor_alarm).any()
+        assert not np.asarray(out3.glitch).any()
+
+    def test_v_first_defers_to_first_finite_sample(self, setup):
+        """A glitched FIRST sample must not zero the dynamic-voltage-alarm
+        baseline forever (advisor round-2 medium): capture defers to the
+        first finite voltage, then V ≤ V(0) − 0.1 fires normally."""
+        params, d, mu, sigma, x_raw, v_meas = setup
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        v_bad = v_meas[:50].copy()
+        v_bad[:3] = np.nan  # glitched start of stream
+        out = mon.observe(x_raw[:50], v_bad)
+        assert not np.asarray(out.v_alarm)[:3].any()
+        assert float(np.asarray(mon.state.v_first)) == pytest.approx(
+            float(v_meas[3]), abs=1e-6
+        )
+        # a later collapse below V(0) - 0.1 must still alarm
+        v_drop = v_meas[50:100] - (float(v_meas[3]) - np.min(v_meas[50:100]) + 0.2)
+        out2 = mon.observe(x_raw[50:100], v_drop)
+        assert np.asarray(out2.v_alarm).any()
+
+    def test_v_first_capture_defers_across_blocks(self, setup):
+        """An entirely-glitched first block leaves the baseline unset; the
+        next block's first finite sample becomes V(0) — block-size
+        invariant with the in-block deferral above."""
+        params, d, mu, sigma, x_raw, v_meas = setup
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        out = mon.observe(x_raw[:4], np.full(4, np.nan, np.float32))
+        assert not np.asarray(out.v_alarm).any()
+        assert not bool(np.asarray(mon.state.v_first_set))
+        mon.observe(x_raw[4:8], v_meas[4:8])
+        assert bool(np.asarray(mon.state.v_first_set))
+        assert float(np.asarray(mon.state.v_first)) == pytest.approx(
+            float(v_meas[4]), abs=1e-6
+        )
