@@ -48,19 +48,43 @@ def _metrics_device(params: PinnParams, x_test, y_test, sx, sy):
     return y_real, p_real, bundle
 
 
+@jax.jit
+def _printed_stats_device(params: PinnParams, x_test, sx, sy):
+    """Quantities the reference's printed metric block uses but the export
+    array does not carry: the FULL Euler thermal residual (01:1670 calls
+    ``model.net_f_T``, not the simple model that feeds export column 14,
+    01:1953) and the target stoichiometric ratios (01:1810-1816)."""
+    from pinnfc_tpu.physics.hydrogen import hydrogen_residual
+    from pinnfc_tpu.physics.oxygen import oxygen_residual
+    from pinnfc_tpu.physics.thermal import thermal_residual_euler
+
+    pred_norm, _ = mlp_forward(params["mlp"], x_test, train=False)
+    t = thermal_residual_euler(params["lam_t"], x_test, pred_norm, sx, sy)
+    h = hydrogen_residual(params["lam_h"], x_test, sx)
+    o = oxygen_residual(params["lam_o"], x_test, sx)
+    return t.f[:, 0], h.target_ratio[:, 0], o.target_ratio[:, 0]
+
+
 def evaluate_voltage_metrics(
     params: PinnParams,
     dataset: FuelCellDataset,
     results: Optional[ComprehensiveResults] = None,
 ) -> Dict[str, float]:
     """MAE / RMSE / R² / max-abs-err of the de-normalized voltage prediction
-    plus physics-residual MAEs (reference metric block, 01:1765-1818).
+    plus physics-residual statistics (reference metric block, 01:1765-1818).
+
+    Temperature statistics (``temp_*``) come from the FULL Euler residual
+    ``net_f_T`` exactly as the reference's printed block does (01:1670 →
+    smoothed at 01:1776-1782); export column 14 intentionally stays the
+    simple model (01:1953) — the two deliberately differ upstream, so
+    ``temp_mae_simple`` reports that column's statistic separately.
 
     With ``results`` (a freshly built ComprehensiveResults for the same
-    params/dataset), everything derives from the already-materialized
-    columns — the exporter's MC pred_mean IS the eval-mode prediction
-    (01:1480) — avoiding a redundant full-N forward + residual device
-    program."""
+    params/dataset), the export-derivable columns come from the already-
+    materialized array — the exporter's MC pred_mean IS the eval-mode
+    prediction (01:1480) — avoiding a redundant full-N forward + residual
+    device program; only the Euler/target-ratio extras run a (cached)
+    device program of their own."""
     if results is not None:
         arr = results.array
         y_real, p_real = arr[:, 8], arr[:, 9]
@@ -77,6 +101,12 @@ def evaluate_voltage_metrics(
         f_v, f_t_col = bundle.f_v[:, 0], bundle.f_t[:, 0]
         f_h, f_o = bundle.f_h[:, 0], bundle.f_o[:, 0]
         ratio_h, ratio_o = bundle.ratio_h[:, 0], bundle.ratio_o[:, 0]
+    f_t_euler, target_h, target_o = (
+        np.asarray(a)
+        for a in _printed_stats_device(
+            params, dataset.x_test, dataset.scaler_x, dataset.scaler_y
+        )
+    )
     err = y_real - p_real
     ss_res = float(np.sum(err**2))
     ss_tot = float(np.sum((y_real - y_real.mean()) ** 2))
@@ -88,13 +118,14 @@ def evaluate_voltage_metrics(
     y_n = y_real[:n_norm]
     ss_tot_n = float(np.sum((y_n - y_n.mean()) ** 2))
 
-    # smoothed temperature residual (reference uses np.convolve 'same' with
-    # window 100 purely for this statistic, 01:1776-1782, default 01:2197)
+    # smoothed EULER temperature residual (reference uses np.convolve 'same'
+    # with window 100 purely for this statistic, 01:1776-1782, default
+    # 01:2197; shorter-than-window series pass through unsmoothed, 01:1777)
     w = 100
     f_t_smooth = (
-        np.convolve(f_t_col, np.ones(w) / w, mode="same")
-        if len(f_t_col) >= w
-        else f_t_col
+        np.convolve(f_t_euler, np.ones(w) / w, mode="same")
+        if len(f_t_euler) >= w
+        else f_t_euler
     )
 
     return {
@@ -108,15 +139,26 @@ def evaluate_voltage_metrics(
         ),
         "physics_v_mae": float(np.mean(np.abs(f_v))),
         "physics_v_rmse": float(np.sqrt(np.mean(f_v**2))),
-        "temp_mae": float(np.mean(np.abs(f_t_col))),
+        # printed temperature block = full Euler net_f_T (01:1670, 01:1786)
+        "temp_mae": float(np.mean(np.abs(f_t_euler))),
+        "temp_rmse": float(np.sqrt(np.mean(f_t_euler**2))),
         "temp_mae_smooth": float(np.mean(np.abs(f_t_smooth))),
+        "temp_rmse_smooth": float(np.sqrt(np.mean(f_t_smooth**2))),
+        # export-column (simple-model) statistic, kept for the artifact's sake
+        "temp_mae_simple": float(np.mean(np.abs(f_t_col))),
         "hydrogen_mae": float(np.mean(np.abs(f_h))),
+        "hydrogen_rmse": float(np.sqrt(np.mean(f_h**2))),
         "oxygen_mae": float(np.mean(np.abs(f_o))),
+        "oxygen_rmse": float(np.sqrt(np.mean(f_o**2))),
         # excess-ratio ranges, printed by the reference (01:1810-1816)
         "ratio_h_min": float(np.min(ratio_h)),
         "ratio_h_max": float(np.max(ratio_h)),
+        "ratio_h_target_min": float(np.min(target_h)),
+        "ratio_h_target_max": float(np.max(target_h)),
         "ratio_o_min": float(np.min(ratio_o)),
         "ratio_o_max": float(np.max(ratio_o)),
+        "ratio_o_target_min": float(np.min(target_o)),
+        "ratio_o_target_max": float(np.max(target_o)),
     }
 
 

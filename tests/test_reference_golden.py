@@ -361,3 +361,114 @@ class TestMCSamplesParity:
         assert np.mean(ours) == pytest.approx(np.mean(eu_ref), rel=0.10)
         corr = np.corrcoef(ours, eu_ref)[0, 1]
         assert corr > 0.9
+
+
+class TestPrintedMetricBlockParity:
+    """VERDICT r2 #1: the printed metric block must come from the FULL Euler
+    ``net_f_T`` (01:1670, smoothed at 01:1776-1782), not the simple thermal
+    model that feeds export column 14 — golden vs the reference's ACTUAL
+    ``plot_model_results_detailed_split`` on shared weights/data."""
+
+    def _build(self, ref01, n=256):
+        """Shared-weight pair on n rows ≥ the smoothing window (100) so the
+        np.convolve 'same' branch is actually exercised (01:1777)."""
+        from sklearn.preprocessing import MinMaxScaler
+
+        import jax.numpy as jnp
+
+        from pinnfc_tpu.data.scaling import AffineScaler
+        from pinnfc_tpu.models.pinn import LAMBDA_INIT
+
+        x_raw, y_raw = _tiny_raw(n=n, seed=3)
+        xs = MinMaxScaler((-1, 1)).fit(x_raw)
+        ys = MinMaxScaler((-1, 1)).fit(y_raw)
+        X = torch.tensor(xs.transform(x_raw), dtype=torch.float32)
+        u = torch.tensor(ys.transform(y_raw), dtype=torch.float32)
+        torch.manual_seed(0)
+        pinn = ref01.PhysicsInformedNN(
+            X, u, [8, 16, 16, 1], xs, ys, p=0.0, logvar=True
+        )
+        params = {"mlp": _torch_weights_to_pytree(pinn.dnn)}
+        for name, val in LAMBDA_INIT.items():
+            params[name] = jnp.asarray(val)
+        return pinn, params, X, u, xs, ys, x_raw, y_raw
+
+    def test_full_metric_dict_golden(self, ref01):
+        import matplotlib.pyplot as plt
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pinnfc_tpu.data.combine import DataInfo, FuelCellDataset
+        from pinnfc_tpu.data.scaling import AffineScaler
+        from pinnfc_tpu.pipeline import evaluate_voltage_metrics
+
+        pinn, params, X, u, xs, ys, x_raw, y_raw = self._build(ref01)
+        n = len(x_raw)
+
+        dataset_ref = (X, u, X, u, xs, ys, {})
+        ref_metrics = ref01.plot_model_results_detailed_split(
+            pinn, dataset_ref, data_info={}, windows=100
+        )
+        plt.close("all")
+
+        ds = FuelCellDataset(
+            x_train=jnp.asarray(xs.transform(x_raw), jnp.float32),
+            y_train=jnp.asarray(ys.transform(y_raw), jnp.float32),
+            x_test=jnp.asarray(xs.transform(x_raw), jnp.float32),
+            y_test=jnp.asarray(ys.transform(y_raw), jnp.float32),
+            scaler_x=AffineScaler.fit(x_raw),
+            scaler_y=AffineScaler.fit(y_raw),
+            info=DataInfo(
+                boundary_lines=[n],
+                segment_labels=[],
+                normal_samples=n,
+                fault_samples=0,
+                train_indices=np.arange(n),
+            ),
+        )
+        ours = evaluate_voltage_metrics(params, ds)
+
+        # the reference function's RETURNED dict (01:1820-1828)
+        for key, tol in [
+            ("voltage_mae", 3e-5), ("voltage_rmse", 3e-5), ("voltage_r2", 1e-4),
+            ("physics_v_mae", 1e-4), ("temp_mae_smooth", 5e-4),
+            ("hydrogen_mae", 1e-4), ("oxygen_mae", 1e-4),
+        ]:
+            assert ours[key] == pytest.approx(
+                float(ref_metrics[key]), rel=tol, abs=tol
+            ), key
+
+        # the PRINTED extras (01:1786-1816), recomputed from the actual
+        # reference model methods on the same inputs
+        f_T, _, _ = pinn.net_f_T(X, xs)
+        f_T = f_T.detach().cpu().numpy().flatten()
+        f_T_smooth = np.convolve(f_T, np.ones(100) / 100, mode="same")
+        f_H = pinn.net_f_H(X, xs)[0].detach().cpu().numpy().flatten()
+        f_O, a_O, t_O, *_ = pinn.net_f_O(X, xs)
+        f_O = f_O.detach().cpu().numpy().flatten()
+        _, a_H, t_H, *_ = pinn.net_f_H(X, xs)
+        want = {
+            "temp_mae": np.mean(np.abs(f_T)),
+            "temp_rmse": np.sqrt(np.mean(f_T**2)),
+            "temp_rmse_smooth": np.sqrt(np.mean(f_T_smooth**2)),
+            "hydrogen_rmse": np.sqrt(np.mean(f_H**2)),
+            "oxygen_rmse": np.sqrt(np.mean(f_O**2)),
+            "ratio_h_target_min": t_H.detach().numpy().min(),
+            "ratio_h_target_max": t_H.detach().numpy().max(),
+            "ratio_o_target_min": t_O.detach().numpy().min(),
+            "ratio_o_target_max": t_O.detach().numpy().max(),
+        }
+        for key, val in want.items():
+            assert ours[key] == pytest.approx(float(val), rel=5e-4, abs=5e-4), key
+
+    def test_euler_not_simple_source(self, ref01):
+        """The wired-in temperature statistic must track net_f_T (Euler), and
+        genuinely differ from the simple-model statistic on the same data —
+        guarding against a silent re-wire back to column 14's source."""
+        import numpy as np
+
+        pinn, params, X, u, xs, ys, x_raw, y_raw = self._build(ref01, n=128)
+        f_T = pinn.net_f_T(X, xs)[0].detach().numpy().flatten()
+        f_T_simple = pinn.net_f_T_simple(X, xs)[0].detach().numpy().flatten()
+        assert abs(np.mean(np.abs(f_T)) - np.mean(np.abs(f_T_simple))) > 1e-3
