@@ -104,6 +104,8 @@ def cmd_train(args) -> int:
             n_fault=n_fault,
             verbose=True,
             mesh=mesh,
+            checkpoint_dir=getattr(args, "resume_dir", None),
+            ckpt_every=getattr(args, "ckpt_every", None),
         )
     print(json.dumps({"metrics": res.metrics, "timings": res.timings}, indent=2))
     if args.ckpt:
@@ -528,6 +530,12 @@ def main(argv: Optional[list] = None) -> int:
                    help="rows per fault segment (default 800; 200 with --small)")
     t.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the pipeline")
+    t.add_argument("--resume-dir", default=None,
+                   help="schedule snapshot dir: a killed run restarted with "
+                        "the same flags resumes and reproduces the trajectory")
+    t.add_argument("--ckpt-every", type=int, default=None,
+                   help="with --resume-dir: snapshot every N steps WITHIN "
+                        "each stage (mid-stage preemption safety)")
     t.add_argument("--normal-mat", default=None,
                    help="real campaign: normal-operation .mat (e.g. Polar-1.mat)")
     t.add_argument("--fault-dir", default=None,

@@ -171,12 +171,17 @@ def run_training_pipeline(
     n_fault: int = 800,
     verbose: bool = False,
     mesh=None,
+    checkpoint_dir: Optional[str] = None,
+    ckpt_every: Optional[int] = None,
 ) -> PipelineResult:
     """Execute the full stage-01 pipeline.  Data source precedence:
     ``dataset`` (pre-built) > ``campaign`` (a ``CampaignConfig`` pointing at
     real .mat files, reference 01:2055-2135) > synthetic generator.  With
     ``mesh``, staged training runs data-parallel over the mesh's 'data'
-    axis (see run_schedule)."""
+    axis (see run_schedule).  ``checkpoint_dir``/``ckpt_every`` enable
+    preemption-safe training: snapshots per stage, or per ``ckpt_every``
+    steps within each stage (kill/resume reproduces the trajectory
+    bit-for-bit — see run_schedule)."""
     timings: Dict[str, float] = {}
 
     t0 = time.perf_counter()
@@ -219,6 +224,8 @@ def run_training_pipeline(
         dropout_p=config.model.dropout_p,
         verbose=verbose,
         mesh=mesh,
+        checkpoint_dir=checkpoint_dir,
+        ckpt_every=ckpt_every,
         precision=config.model.precision,
     )
     jax.block_until_ready(params)

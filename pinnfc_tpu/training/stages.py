@@ -75,6 +75,27 @@ def _adam(lr: float, step_size: int, gamma: float) -> optax.GradientTransformati
 # DNN stage (reference train_dnn, 01:929-964)
 # ---------------------------------------------------------------------------
 
+def _dnn_step(opt, x, y, dropout_p, precision):
+    """One Adam step on the MLP — shared by the monolithic stage scan and
+    the chunked (mid-stage-checkpointed) scan so both run the identical
+    per-step program."""
+
+    def loss_fn(p, key):
+        pred, log_var = mlp_forward(
+            p, x, dropout_p=dropout_p, train=True, rng=key, precision=precision
+        )
+        return aleatoric_loss(y, pred, log_var)
+
+    def step(carry, key):
+        p, s = carry
+        loss, grads = jax.value_and_grad(loss_fn)(p, key)
+        updates, s = opt.update(grads, s, p)
+        p = optax.apply_updates(p, updates)
+        return (p, s), loss
+
+    return step
+
+
 @partial(
     jax.jit,
     static_argnames=("n_iter", "lr", "lr_step", "lr_gamma", "dropout_p", "precision"),
@@ -97,29 +118,70 @@ def train_dnn_stage(
     default) or 'default' (single-pass bf16 MXU inputs — the throughput
     mode; parameters and accumulation stay f32)."""
     opt = _adam(lr, lr_step, lr_gamma)
-    opt_state = opt.init(mlp_params)
-
-    def loss_fn(p, key):
-        pred, log_var = mlp_forward(
-            p, x, dropout_p=dropout_p, train=True, rng=key, precision=precision
-        )
-        return aleatoric_loss(y, pred, log_var)
-
-    def step(carry, key):
-        p, s = carry
-        loss, grads = jax.value_and_grad(loss_fn)(p, key)
-        updates, s = opt.update(grads, s, p)
-        p = optax.apply_updates(p, updates)
-        return (p, s), loss
-
+    step = _dnn_step(opt, x, y, dropout_p, precision)
     keys = jax.random.split(rng, n_iter)
-    (mlp_params, _), losses = jax.lax.scan(step, (mlp_params, opt_state), keys)
+    (mlp_params, _), losses = jax.lax.scan(
+        step, (mlp_params, opt.init(mlp_params)), keys
+    )
     return StageResult(mlp_params, losses)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_iter", "length", "lr", "lr_step", "lr_gamma", "dropout_p", "precision",
+    ),
+)
+def train_dnn_chunk(
+    mlp_params,
+    opt_state,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    stage_key: jax.Array,
+    start,
+    n_iter: int,
+    length: int,
+    lr: float = 0.01,
+    lr_step: int = 1000,
+    lr_gamma: float = 0.8,
+    dropout_p: float = 0.2,
+    precision: str = "highest",
+):
+    """``length`` steps of the DNN stage starting at step ``start``, carrying
+    Adam + LR-schedule state across chunks.  The dropout key sequence is the
+    SAME split the monolithic stage uses (split the stage key ``n_iter``
+    ways, then slice), so chunked execution walks the identical trajectory.
+    ``start`` is traced (one compiled program serves every full chunk; the
+    tail chunk with a different static ``length`` compiles once more)."""
+    opt = _adam(lr, lr_step, lr_gamma)
+    keys = jax.lax.dynamic_slice_in_dim(
+        jax.random.split(stage_key, n_iter), start, length
+    )
+    step = _dnn_step(opt, x, y, dropout_p, precision)
+    (mlp_params, opt_state), losses = jax.lax.scan(
+        step, (mlp_params, opt_state), keys
+    )
+    return mlp_params, opt_state, losses
 
 
 # ---------------------------------------------------------------------------
 # Generic λ-vector stage (voltage / thermal / hydrogen / oxygen)
 # ---------------------------------------------------------------------------
+
+def _lambda_step(opt, loss_fn, lo, hi):
+    """One Adam + box-clamp step on a λ vector — shared by the monolithic
+    and chunked scans."""
+
+    def step(carry, _):
+        lam, s = carry
+        loss, grads = jax.value_and_grad(loss_fn)(lam)
+        updates, s = opt.update(grads, s, lam)
+        lam = optax.apply_updates(lam, updates)
+        lam = jnp.clip(lam, lo, hi)
+        return (lam, s), loss
+
+    return step
+
 
 def _fit_lambda(
     loss_fn: Callable[[jnp.ndarray], jnp.ndarray],
@@ -133,19 +195,35 @@ def _fit_lambda(
     """Adam + post-step box clamp over one λ vector, as a single scan."""
     opt = _adam(lr, lr_step, lr_gamma)
     lo, hi = jnp.asarray(bounds[0]), jnp.asarray(bounds[1])
-
-    def step(carry, _):
-        lam, s = carry
-        loss, grads = jax.value_and_grad(loss_fn)(lam)
-        updates, s = opt.update(grads, s, lam)
-        lam = optax.apply_updates(lam, updates)
-        lam = jnp.clip(lam, lo, hi)
-        return (lam, s), loss
-
+    step = _lambda_step(opt, loss_fn, lo, hi)
     (lam, _), losses = jax.lax.scan(
         step, (lam0, opt.init(lam0)), None, length=n_iter
     )
     return StageResult(lam, losses)
+
+
+def _scan_lambda_chunk(loss_fn, lam, opt_state, bounds, length, lr, lr_step, lr_gamma):
+    opt = _adam(lr, lr_step, lr_gamma)
+    lo, hi = jnp.asarray(bounds[0]), jnp.asarray(bounds[1])
+    step = _lambda_step(opt, loss_fn, lo, hi)
+    (lam, opt_state), losses = jax.lax.scan(
+        step, (lam, opt_state), None, length=length
+    )
+    return lam, opt_state, losses
+
+
+def _lambda_v_loss_fn(x_norm, y_norm, u_pred_norm, scaler_x, scaler_y, dnn_para):
+    """Voltage-λ stage loss (01:1025-1032), shared by both scan drivers."""
+    scale_y, min_y = scaler_y.loss_affine()
+
+    def loss_fn(lam):
+        v = voltage_residual(lam, x_norm, u_pred_norm, scaler_x, scaler_y)
+        if dnn_para:
+            return jnp.mean(v.f**2)
+        v_est_norm = v.v_out_est_stack * scale_y + min_y
+        return jnp.mean((y_norm - v_est_norm) ** 2)
+
+    return loss_fn
 
 
 @partial(jax.jit, static_argnames=("n_iter", "lr", "lr_step", "lr_gamma", "dnn_para"))
@@ -169,17 +247,40 @@ def train_lambda_v_stage(
     ``dnn_para=True``  → residual loss mean(f²) (01:1029).
     ``u_pred_norm`` is the eval-mode DNN prediction, a stage constant.
     """
-    scale_y, min_y = scaler_y.loss_affine()
-
-    def loss_fn(lam):
-        v = voltage_residual(lam, x_norm, u_pred_norm, scaler_x, scaler_y)
-        if dnn_para:
-            return jnp.mean(v.f**2)
-        v_est_norm = v.v_out_est_stack * scale_y + min_y
-        return jnp.mean((y_norm - v_est_norm) ** 2)
-
+    loss_fn = _lambda_v_loss_fn(
+        x_norm, y_norm, u_pred_norm, scaler_x, scaler_y, dnn_para
+    )
     return _fit_lambda(
         loss_fn, lam_v, LAMBDA_BOUNDS["lam_v"], n_iter, lr, lr_step, lr_gamma
+    )
+
+
+@partial(
+    jax.jit, static_argnames=("length", "lr", "lr_step", "lr_gamma", "dnn_para")
+)
+def train_lambda_v_chunk(
+    lam_v,
+    opt_state,
+    x_norm,
+    y_norm,
+    u_pred_norm,
+    scaler_x: AffineScaler,
+    scaler_y: AffineScaler,
+    length: int,
+    lr: float = 1e-3,
+    lr_step: int = 1000,
+    lr_gamma: float = 0.8,
+    dnn_para: bool = False,
+):
+    """``length`` steps of the voltage-λ stage from carried Adam state (the
+    LR-schedule step count lives in ``opt_state``, so StepLR decay continues
+    exactly across chunk boundaries)."""
+    loss_fn = _lambda_v_loss_fn(
+        x_norm, y_norm, u_pred_norm, scaler_x, scaler_y, dnn_para
+    )
+    return _scan_lambda_chunk(
+        loss_fn, lam_v, opt_state, LAMBDA_BOUNDS["lam_v"], length,
+        lr, lr_step, lr_gamma,
     )
 
 
@@ -208,6 +309,42 @@ def train_residual_stage(
     return _fit_lambda(
         loss_fn, lam, LAMBDA_BOUNDS[group], n_iter, lr, lr_step, lr_gamma
     )
+
+
+@partial(jax.jit, static_argnames=("group", "length", "lr", "lr_step", "lr_gamma"))
+def train_residual_chunk(
+    lam,
+    opt_state,
+    x_norm: jnp.ndarray,
+    scaler_x: AffineScaler,
+    group: str,
+    length: int,
+    lr: float,
+    lr_step: int = 1000,
+    lr_gamma: float = 0.8,
+):
+    """``length`` steps of a thermal/hydrogen/oxygen stage from carried
+    Adam state (chunked mid-stage checkpointing)."""
+    residual = {
+        "lam_t": thermal_residual_simple,
+        "lam_h": hydrogen_residual,
+        "lam_o": oxygen_residual,
+    }[group]
+
+    def loss_fn(l):
+        return jnp.mean(residual(l, x_norm, scaler_x).f ** 2)
+
+    return _scan_lambda_chunk(
+        loss_fn, lam, opt_state, LAMBDA_BOUNDS[group], length,
+        lr, lr_step, lr_gamma,
+    )
+
+
+@partial(jax.jit, static_argnames=("lr", "lr_step", "lr_gamma"))
+def _opt_init(params, lr: float, lr_step: int, lr_gamma: float):
+    """Fresh Adam + schedule state, under jit (an eager tree of zeros_like
+    would cost one remote dispatch per leaf on relay-attached TPUs)."""
+    return _adam(lr, lr_step, lr_gamma).init(params)
 
 
 # ---------------------------------------------------------------------------
@@ -242,6 +379,7 @@ def run_schedule(
     verbose: bool = False,
     mesh=None,
     checkpoint_dir: Optional[str] = None,
+    ckpt_every: Optional[int] = None,
     precision: str = "highest",
 ) -> Tuple[PinnParams, TrainLog]:
     """Run the staged schedule, mutating the params pytree stage by stage.
@@ -257,12 +395,20 @@ def run_schedule(
     restarted run resumes from the first incomplete stage (SURVEY §5:
     checkpoint-restart for long runs).  PRNG keys are derived per stage index
     so the resumed trajectory matches the uninterrupted one.
+
+    With ``ckpt_every=m``, each stage additionally runs as chunks of ``m``
+    steps with the Adam + LR-schedule state snapshotted after every chunk —
+    a run killed mid-stage resumes at the last chunk boundary and reproduces
+    the uninterrupted chunked trajectory bit-for-bit (the per-step program,
+    dropout key sequence, and optimizer state are identical; only the scan
+    is sliced).  Preemption-safe training for long schedules.
     """
     schedule = default_schedule() if schedule is None else schedule
     rng = jax.random.PRNGKey(0) if rng is None else rng
     log = TrainLog()
 
     start_stage = 0
+    mid_resume = None  # (step, opt pytree-of-lists, losses so far) for start_stage
     ckpt_path = None
     if checkpoint_dir is not None:
         import os
@@ -274,9 +420,22 @@ def run_schedule(
         if os.path.exists(ckpt_path):
             payload = load_params_npz(ckpt_path)
             params = payload["params"]
-            start_stage = int(jnp.asarray(payload["stage"])) + 1
+            k0 = int(jnp.asarray(payload["stage"]))
+            step_done = (
+                int(jnp.asarray(payload["step"])) if "step" in payload else None
+            )
+            if step_done is None or step_done >= schedule[k0].n_iter:
+                start_stage = k0 + 1
+            else:
+                start_stage = k0
+                mid_resume = (step_done, payload["opt"], payload["losses"])
             if verbose:
-                print(f"resuming schedule at stage {start_stage}")
+                where = (
+                    f"stage {start_stage}"
+                    if mid_resume is None
+                    else f"stage {k0} step {step_done}"
+                )
+                print(f"resuming schedule at {where}")
 
     if mesh is not None:
         import numpy as np
@@ -300,8 +459,82 @@ def run_schedule(
     lr_gamma_defaults = {"thermal": 0.8, "hydrogen": 0.9, "oxygen": 0.9}
     group_of = {"thermal": "lam_t", "hydrogen": "lam_h", "oxygen": "lam_o"}
 
+    def _run_stage_chunked(k, stage, params, resume):
+        """Execute one stage as ckpt_every-step chunks, snapshotting
+        (params, stage, step, opt state, loss trace) after each chunk."""
+        import numpy as np
+
+        name = stage.name
+        piece_key = (
+            "mlp" if name == "dnn"
+            else "lam_v" if name == "lambda_v"
+            else group_of[name]
+        )
+        piece = params[piece_key]
+        if name == "lambda_v":
+            u_pred, _ = _eval_forward(params["mlp"], x_train)
+        template = _opt_init(piece, stage.lr, stage.lr_step, stage.lr_gamma)
+        opt_state = template
+        start, losses_acc = 0, []
+        if resume is not None:
+            start, opt_nested, losses_prev = resume
+            opt_state = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(template),
+                jax.tree_util.tree_leaves(opt_nested),
+            )
+            losses_acc.append(np.asarray(losses_prev))
+        key = jax.random.fold_in(rng, k)
+        s = start
+        while s < stage.n_iter:
+            m = min(ckpt_every, stage.n_iter - s)
+            if name == "dnn":
+                piece, opt_state, losses = train_dnn_chunk(
+                    piece, opt_state, x_train, y_train, key, jnp.asarray(s),
+                    n_iter=stage.n_iter, length=m, lr=stage.lr,
+                    lr_step=stage.lr_step, lr_gamma=stage.lr_gamma,
+                    dropout_p=dropout_p, precision=precision,
+                )
+            elif name == "lambda_v":
+                piece, opt_state, losses = train_lambda_v_chunk(
+                    piece, opt_state, x_train, y_train, u_pred,
+                    scaler_x, scaler_y, length=m, lr=stage.lr,
+                    lr_step=stage.lr_step, lr_gamma=stage.lr_gamma,
+                    dnn_para=stage.dnn_para,
+                )
+            else:
+                piece, opt_state, losses = train_residual_chunk(
+                    piece, opt_state, x_train, scaler_x, piece_key,
+                    length=m, lr=stage.lr, lr_step=stage.lr_step,
+                    lr_gamma=stage.lr_gamma,
+                )
+            s += m
+            losses_acc.append(np.asarray(losses))
+            params = {**params, piece_key: piece}
+            if ckpt_path is not None:
+                save_params_npz(
+                    {
+                        "params": params,
+                        "stage": jnp.asarray(k),
+                        "step": jnp.asarray(s),
+                        "opt": opt_state,
+                        "losses": np.concatenate(losses_acc),
+                    },
+                    ckpt_path,
+                )
+        return params, np.concatenate(losses_acc)
+
     for k, stage in enumerate(schedule):
         if k < start_stage:
+            continue
+        if ckpt_every is not None:
+            resume = mid_resume if k == start_stage else None
+            params, losses = _run_stage_chunked(k, stage, params, resume)
+            log.add(f"{k}:{stage.name}", losses)
+            if verbose:
+                print(
+                    f"stage {k} [{stage.name:9s}] {stage.n_iter:6d} steps  "
+                    f"loss {float(losses[0]):.3e} → {float(losses[-1]):.3e}"
+                )
             continue
         if stage.name == "dnn":
             # per-stage key derived from the stage index so a resumed run

@@ -32,8 +32,14 @@ def _flatten(tree, prefix=""):
 
 
 def save_params_npz(params: Dict[str, Any], path: str) -> None:
-    """Flatten the params pytree to an .npz archive."""
-    np.savez(path, **_flatten(params))
+    """Flatten the params pytree to an .npz archive.  The write is atomic
+    (tmp file + rename) so a process killed mid-save — the whole point of
+    preemption checkpoints — can never leave a truncated archive behind."""
+    tmp = path + ".tmp"
+    np.savez(tmp, **_flatten(params))
+    # np.savez appends .npz when missing; normalize before the rename
+    tmp_written = tmp if os.path.exists(tmp) else tmp + ".npz"
+    os.replace(tmp_written, path)
 
 
 def load_params_npz(path: str) -> Dict[str, Any]:
@@ -88,7 +94,7 @@ def save_checkpoint(
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(path, payload, force=True)
     except ImportError:
-        save_params_npz(path + ".npz", payload)
+        save_params_npz(payload, path + ".npz")
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
