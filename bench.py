@@ -26,7 +26,10 @@ JAX_STEPS = 1001  # per timed run; per-step cost is length-independent (scan)
 TORCH_STEPS = 30
 
 
-def bench_jax() -> float:
+def bench_jax():
+    """Returns (steady_steps_per_sec, compile_s).  The first call pays
+    compile/cache-load; it is timed SEPARATELY so a cold persistent cache
+    can never masquerade as a throughput regression (VERDICT r2 #5)."""
     import jax
     import jax.numpy as jnp
 
@@ -43,8 +46,10 @@ def bench_jax() -> float:
 
     # warmup/compile at the SAME scan length (the trip count is part of the
     # compiled program — a different length would not hit the cache)
+    t0 = time.perf_counter()
     res = train_dnn_stage(params, x, y, key(0), n_iter=JAX_STEPS)
     assert np.isfinite(float(res.losses[-1]))
+    compile_s = time.perf_counter() - t0
 
     # time with a DIFFERENT key per repeat (defeats any result memoization in
     # the execution path) and force a real device→host readback each time
@@ -56,7 +61,7 @@ def bench_jax() -> float:
         times.append(time.perf_counter() - t0)
         assert np.isfinite(final_loss)
     dt = sorted(times)[len(times) // 2]  # median
-    return JAX_STEPS / dt
+    return JAX_STEPS / dt, compile_s
 
 
 def bench_torch_cpu() -> float:
@@ -119,10 +124,10 @@ def main():
     torch_sps = bench_torch_cpu()
     print(f"[bench] torch-cpu: {torch_sps:.1f} steps/s "
           f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
-    t0 = time.perf_counter()
-    jax_sps = bench_jax()
-    print(f"[bench] jax: {jax_sps:.1f} steps/s "
-          f"(incl. compile, {time.perf_counter()-t0:.1f}s)", file=sys.stderr)
+    jax_sps, compile_s = bench_jax()
+    print(f"[bench] jax: {jax_sps:.1f} steps/s steady-state "
+          f"(compile/cache-load {compile_s:.1f}s, timed separately)",
+          file=sys.stderr)
     print(
         json.dumps(
             {
@@ -130,6 +135,10 @@ def main():
                 "value": round(jax_sps, 2),
                 "unit": "steps/s",
                 "vs_baseline": round(jax_sps / torch_sps, 2),
+                # compile/cache-load time of the first stage launch, split
+                # out so cache state never contaminates the headline number
+                "compile_s": round(compile_s, 2),
+                "steady_steps_per_sec": round(jax_sps, 2),
             }
         )
     )
