@@ -211,7 +211,15 @@ def cmd_gmm(args) -> int:
     from pinnfc_tpu.diagnosis import run_gmm_pipeline
 
     results = load_comprehensive_results(args.mat)
-    out = run_gmm_pipeline(results)
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        import jax
+
+        from pinnfc_tpu.parallel import make_mesh
+
+        mesh = make_mesh(jax.device_count())
+        print(f"GMM EM data-parallel over {jax.device_count()} devices")
+    out = run_gmm_pipeline(results, mesh=mesh)
     args.gmm_result = out  # run-all reuses the fit for the monitor's head
     print(f"GMM 4-class accuracy: {out.accuracy:.4f}")
     print("confusion:\n", out.confusion)
@@ -566,6 +574,10 @@ def main(argv: Optional[list] = None) -> int:
                            help="print top-N LR coefficients per class")
             s.add_argument("--list-features", action="store_true")
         if extra.get("tsne"):
+            s.add_argument(
+                "--data-parallel", action="store_true",
+                help="row-shard the GMM EM fit over all visible devices",
+            )
             s.add_argument("--tsne", action="store_true",
                            help="also write a t-SNE figure (CPU, slow)")
         s.set_defaults(fn=fn)

@@ -46,17 +46,27 @@ def _log_gaussian_prob(x: jnp.ndarray, means: jnp.ndarray, covs: jnp.ndarray, re
     return (-0.5 * (d * jnp.log(2.0 * jnp.pi) + maha + log_det[:, None])).T  # (N, C)
 
 
-def _e_step(x, params, reg):
+def _e_step(x, params, reg, mask=None):
+    """``mask`` (N,) of 1/0 excludes padded rows from the mean
+    log-likelihood (row padding is how arbitrary N shards over a device
+    mesh — see parallel.diagnosis); their log_resp rows are garbage but
+    the masked M-step never reads them."""
     weights, means, covs = params
     log_prob = _log_gaussian_prob(x, means, covs, reg) + jnp.log(weights)[None, :]
     log_norm = jax.scipy.special.logsumexp(log_prob, axis=1, keepdims=True)
     log_resp = log_prob - log_norm
-    return jnp.mean(log_norm), log_resp
+    if mask is None:
+        lb = jnp.mean(log_norm)
+    else:
+        lb = jnp.sum(log_norm[:, 0] * mask) / jnp.sum(mask)
+    return lb, log_resp
 
 
-def _m_step(x, log_resp, reg):
-    n = x.shape[0]
+def _m_step(x, log_resp, reg, mask=None):
+    n = x.shape[0] if mask is None else jnp.sum(mask)
     resp = jnp.exp(log_resp)  # (N, C)
+    if mask is not None:
+        resp = resp * mask[:, None]
     nk = jnp.sum(resp, axis=0) + 10.0 * jnp.finfo(resp.dtype).eps  # (C,)
     means = (resp.T @ x) / nk[:, None]  # (C, D)
     diff = x[None, :, :] - means[:, None, :]  # (C, N, D)
@@ -78,20 +88,34 @@ def gmm_fit(
     tol: float = 1e-3,
     reg_covar: float = 1e-6,
     kmeans_iters: int = 50,
+    mask: jnp.ndarray | None = None,
+    init_resp: jnp.ndarray | None = None,
 ) -> GMMParams:
     """Fit by EM.  Matches sklearn's loop structure: converged when the mean
     per-sample log-likelihood improves by < tol between iterations
     (03:384-389).  The loop is a ``lax.while_loop`` so a fit that converges
     in k iterations runs k E/M steps, not max_iter (the round-1 freeze-scan
     burned all 100 regardless; results are numerically identical — the
-    converging iteration still applies its update, like sklearn's break)."""
+    converging iteration still applies its update, like sklearn's break).
+
+    ``mask`` (N,) of 1/0 excludes padded rows exactly (their responsibility
+    mass and log-likelihood contribution are zeroed) — row padding is how
+    arbitrary N shards over a device mesh (parallel.diagnosis.gmm_fit_dp).
+    A mask requires ``init_resp`` (the k-means initializer is unmasked and
+    would see the padded rows).  ``init_resp`` (N, C) replaces the k-means
+    one-hot initialization when given."""
     x = jnp.asarray(x, jnp.float32)
     n, d = x.shape
+    if mask is not None and init_resp is None:
+        raise ValueError("mask requires init_resp (k-means init is unmasked)")
 
-    # kmeans init → one-hot responsibilities → initial M-step (sklearn default)
-    km = kmeans_fit(x, key, n_components, max_iter=kmeans_iters)
-    resp0 = jax.nn.one_hot(km.assignments, n_components, dtype=x.dtype)
-    params0 = _m_step(x, jnp.log(resp0 + 1e-37), reg_covar)
+    if init_resp is None:
+        # kmeans init → one-hot resp → initial M-step (sklearn default)
+        km = kmeans_fit(x, key, n_components, max_iter=kmeans_iters)
+        resp0 = jax.nn.one_hot(km.assignments, n_components, dtype=x.dtype)
+    else:
+        resp0 = jnp.asarray(init_resp, x.dtype)
+    params0 = _m_step(x, jnp.log(resp0 + 1e-37), reg_covar, mask)
 
     def cond(carry):
         _params, _prev_lb, converged, n_iter = carry
@@ -99,8 +123,8 @@ def gmm_fit(
 
     def body(carry):
         params, prev_lb, _converged, n_iter = carry
-        lb, log_resp = _e_step(x, params, reg_covar)
-        new_params = _m_step(x, log_resp, reg_covar)
+        lb, log_resp = _e_step(x, params, reg_covar, mask)
+        new_params = _m_step(x, log_resp, reg_covar, mask)
         just_converged = jnp.abs(lb - prev_lb) < tol
         return (new_params, lb, just_converged, n_iter + 1)
 

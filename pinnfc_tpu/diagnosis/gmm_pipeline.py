@@ -51,8 +51,11 @@ def run_gmm_pipeline(
     results,
     config: GmmConfig = GmmConfig(),
     seed: Optional[int] = None,
+    mesh=None,
 ) -> GmmDiagnosisResult:
-    """Script-03 main (03:513-591)."""
+    """Script-03 main (03:513-591).  With ``mesh``, the EM fit row-shards
+    the training samples over the mesh's 'data' axis (padded rows at
+    exactly zero weight — parallel.diagnosis.gmm_fit_dp)."""
     arr = results.array if isinstance(results, ComprehensiveResults) else np.asarray(results)
     groups = parse_group_spec(config.group_spec)
     label_map, class_names = build_label_mapper(groups)
@@ -68,14 +71,27 @@ def run_gmm_pipeline(
 
     n_components = config.n_components_factor * n_classes  # 5×4 = 20 (03:548)
     key = jax.random.PRNGKey(config.random_state if seed is None else seed)
-    model = gmm_fit(
-        x_tr,
-        key,
-        n_components=n_components,
-        max_iter=config.max_iter,
-        tol=config.tol,
-        reg_covar=config.reg_covar,
-    )
+    if mesh is not None:
+        from pinnfc_tpu.parallel.diagnosis import gmm_fit_dp
+
+        model = gmm_fit_dp(
+            x_tr,
+            key,
+            n_components=n_components,
+            mesh=mesh,
+            max_iter=config.max_iter,
+            tol=config.tol,
+            reg_covar=config.reg_covar,
+        )
+    else:
+        model = gmm_fit(
+            x_tr,
+            key,
+            n_components=n_components,
+            max_iter=config.max_iter,
+            tol=config.tol,
+            reg_covar=config.reg_covar,
+        )
     resp_tr = np.asarray(gmm_predict_proba(model, x_tr))
     comp_fault_prob = calibrate_components(resp_tr, y_tr, n_classes)
     resp_te = np.asarray(gmm_predict_proba(model, x_te))

@@ -113,7 +113,12 @@ def logreg_fit(
     c_reg: float = 1.0,
     tol: float = 1e-6,
     solver: str = "auto",
+    mask: jnp.ndarray | None = None,
 ) -> LogRegModel:
+    """``mask`` (N,) of 1/0 gives padded rows zero weight everywhere
+    (standardization statistics, balanced class counts, loss, gradient,
+    Hessian) — the objective is EXACTLY the unpadded one, which is how
+    arbitrary N row-shards over a device mesh (parallel.diagnosis)."""
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.int32)
     n, d = x.shape
@@ -121,16 +126,29 @@ def logreg_fit(
         raise ValueError(f"unknown solver {solver!r}")
 
     # StandardScaler (population std, sklearn semantics)
-    x_mean = jnp.mean(x, axis=0)
-    x_std = jnp.std(x, axis=0)
+    if mask is None:
+        x_mean = jnp.mean(x, axis=0)
+        x_std = jnp.std(x, axis=0)
+    else:
+        n_eff = jnp.sum(mask)
+        x_mean = jnp.sum(x * mask[:, None], axis=0) / n_eff
+        x_std = jnp.sqrt(
+            jnp.sum(mask[:, None] * (x - x_mean) ** 2, axis=0) / n_eff
+        )
     x_scale = jnp.where(x_std == 0.0, 1.0, x_std)
     xs = (x - x_mean) / x_scale
 
     if balanced:
-        w_class = balanced_class_weights(y, n_classes)
+        if mask is None:
+            w_class = balanced_class_weights(y, n_classes)
+        else:
+            counts = jnp.bincount(y, weights=mask, length=n_classes)
+            w_class = jnp.sum(mask) / (n_classes * jnp.maximum(counts, 1.0))
         w = w_class[y]
     else:
         w = jnp.ones((n,), jnp.float32)
+    if mask is not None:
+        w = w * mask
 
     onehot = jax.nn.one_hot(y, n_classes, dtype=jnp.float32)
 

@@ -12,6 +12,10 @@ from pinnfc_tpu.parallel.data_parallel import (
     init_dp_state,
     make_dp_optimizers,
 )
+from pinnfc_tpu.parallel.diagnosis import (
+    gmm_fit_dp,
+    logreg_fit_dp,
+)
 from pinnfc_tpu.parallel.ensemble import (
     ensemble_predict,
     init_ensemble,
@@ -32,6 +36,8 @@ __all__ = [
     "full_train_step",
     "init_dp_state",
     "make_dp_optimizers",
+    "gmm_fit_dp",
+    "logreg_fit_dp",
     "ensemble_predict",
     "init_ensemble",
     "mc_dropout_sharded",

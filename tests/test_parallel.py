@@ -252,3 +252,131 @@ class TestFullPinnEnsemble:
             np.asarray(params["lam_t"][0]), np.asarray(params["lam_t"][1])
         )
         assert float(np.std(np.asarray(losses["0:dnn"][:, -1]))) > 0
+
+
+class TestShardedDiagnosis:
+    """VERDICT r2 #4: mesh-sharded GMM EM + Newton logreg vs the
+    single-device fits (03:360-426 / 02:195-207 semantics)."""
+
+    @pytest.fixture(scope="class")
+    def blobs(self):
+        rng = np.random.RandomState(0)
+        centers = np.array(
+            [[0, 0, 0, 0], [4, 0, 0, 0], [0, 4, 0, 0], [0, 0, 4, 0]], float
+        )
+        # N = 501: deliberately NOT divisible by 8 so the zero-weight row
+        # padding is on the tested path
+        sizes = [126, 125, 125, 125]
+        x = np.concatenate(
+            [c + 0.4 * rng.randn(m, 4) for c, m in zip(centers, sizes)]
+        ).astype(np.float32)
+        y = np.concatenate([np.full(m, i) for i, m in enumerate(sizes)])
+        return x, y.astype(np.int64)
+
+    def test_gmm_dp_matches_single_device(self, mesh8, blobs):
+        from pinnfc_tpu.diagnosis.gmm import gmm_fit, gmm_predict_proba
+        from pinnfc_tpu.parallel.diagnosis import gmm_fit_dp
+
+        x, _ = blobs
+        key = jax.random.PRNGKey(3)
+        single = gmm_fit(jnp.asarray(x), key, 4)
+        dp = gmm_fit_dp(x, key, 4, mesh8)
+        # same k-means init + same EM updates → same trajectory up to float
+        # reduction order (per-device partials + psum)
+        assert int(dp.n_iter) == int(single.n_iter)
+        np.testing.assert_allclose(
+            float(dp.lower_bound), float(single.lower_bound), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.sort(np.asarray(dp.means), axis=0),
+            np.sort(np.asarray(single.means), axis=0),
+            atol=1e-4,
+        )
+        # posterior responsibilities agree on every sample
+        r_single = np.asarray(gmm_predict_proba(single, jnp.asarray(x)))
+        r_dp = np.asarray(gmm_predict_proba(dp, jnp.asarray(x)))
+        assert (r_single.argmax(1) == r_dp.argmax(1)).mean() > 0.999
+
+    def test_logreg_dp_matches_single_device(self, mesh8, blobs):
+        from pinnfc_tpu.diagnosis.logreg import logreg_fit, logreg_predict
+        from pinnfc_tpu.parallel.diagnosis import logreg_fit_dp
+
+        x, y = blobs
+        single = logreg_fit(jnp.asarray(x), jnp.asarray(y, jnp.int32), 4)
+        dp = logreg_fit_dp(x, y, 4, mesh8)
+        # Newton converges to the unique optimum of the identical objective
+        np.testing.assert_allclose(
+            np.asarray(dp.coef), np.asarray(single.coef), atol=5e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(dp.intercept), np.asarray(single.intercept), atol=5e-5
+        )
+        p_single = np.asarray(logreg_predict(single, jnp.asarray(x)))
+        p_dp = np.asarray(logreg_predict(dp, jnp.asarray(x)))
+        np.testing.assert_array_equal(p_single, p_dp)
+
+    def test_mask_semantics_exact_single_device(self, blobs):
+        """The mask IS the semantics (not an approximation): padded-masked
+        fit on ONE device == unpadded fit from the same init, and a masked
+        logreg == sklearn-objective fit on the unpadded rows."""
+        from pinnfc_tpu.diagnosis.gmm import gmm_fit
+        from pinnfc_tpu.diagnosis.kmeans import kmeans_fit
+        from pinnfc_tpu.diagnosis.logreg import logreg_fit
+
+        x, y = blobs
+        key = jax.random.PRNGKey(3)
+        km = kmeans_fit(jnp.asarray(x), key, 4)
+        resp0 = jax.nn.one_hot(km.assignments, 4, dtype=jnp.float32)
+
+        plain = gmm_fit(jnp.asarray(x), key, 4, init_resp=resp0)
+        pad = 7
+        x_pad = np.concatenate([x, np.zeros((pad, 4), np.float32)])
+        resp0_pad = np.concatenate([np.asarray(resp0), np.zeros((pad, 4), np.float32)])
+        mask = np.concatenate([np.ones(len(x), np.float32), np.zeros(pad, np.float32)])
+        masked = gmm_fit(
+            jnp.asarray(x_pad), key, 4,
+            mask=jnp.asarray(mask), init_resp=jnp.asarray(resp0_pad),
+        )
+        np.testing.assert_allclose(
+            float(masked.lower_bound), float(plain.lower_bound), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(masked.means), np.asarray(plain.means), atol=1e-5
+        )
+
+        l_plain = logreg_fit(jnp.asarray(x), jnp.asarray(y, jnp.int32), 4)
+        y_pad = np.concatenate([y, np.zeros(pad, np.int64)])
+        l_masked = logreg_fit(
+            jnp.asarray(x_pad), jnp.asarray(y_pad, jnp.int32), 4,
+            mask=jnp.asarray(mask),
+        )
+        np.testing.assert_allclose(
+            np.asarray(l_masked.coef), np.asarray(l_plain.coef), atol=2e-5
+        )
+
+    def test_gmm_pipeline_mesh_parity(self, mesh8):
+        """run_gmm_pipeline(mesh=...) reproduces the single-device pipeline
+        on a realistic fake artifact (same accuracy/confusion)."""
+        from pinnfc_tpu.diagnosis import run_gmm_pipeline
+
+        rng = np.random.RandomState(5)
+        n_normal, n_fault = 200, 30
+        n = n_normal + 12 * n_fault
+        arr = np.zeros((n, 22))
+        from pinnfc_tpu.data.contract import INDEX
+
+        for k in ("res", "pV", "pT", "pH", "pO"):
+            arr[:, INDEX[k]] = 0.05 * rng.randn(n)
+        lab = np.zeros(n)
+        for k in range(12):
+            seg = slice(n_normal + k * n_fault, n_normal + (k + 1) * n_fault)
+            lab[seg] = k + 1
+            arr[seg, INDEX[("pV", "pT", "pH", "pO")[k // 3]]] += np.linspace(
+                0.5, 2.0, n_fault
+            )
+        arr[:, INDEX["label"]] = lab
+
+        single = run_gmm_pipeline(arr)
+        dp = run_gmm_pipeline(arr, mesh=mesh8)
+        assert dp.accuracy == pytest.approx(single.accuracy, abs=0.02)
+        assert (dp.y_pred == single.y_pred).mean() > 0.97
