@@ -51,6 +51,9 @@ def _train_config(args) -> TrainConfig:
                 for s in cfg.schedule
             ),
         )
+    precision = getattr(args, "precision", None)
+    if precision:
+        cfg = dc.replace(cfg, model=dc.replace(cfg.model, precision=precision))
     return cfg
 
 
@@ -441,7 +444,10 @@ def cmd_monitor(args) -> int:
         if getattr(args, "save_head", None):
             written = head.save(args.save_head)
             print(f"diagnosis head → {written}")
-    monitor = OnlineMonitor.from_checkpoint(args.ckpt, mu, sigma, cfg, head)
+    monitor = OnlineMonitor.from_checkpoint(
+        args.ckpt, mu, sigma, cfg, head,
+        glitch_alarm_n=getattr(args, "glitch_alarm_n", 25),
+    )
 
     rows = arr
     if args.fault_label is not None:
@@ -497,7 +503,8 @@ def cmd_serve(args) -> int:
     mu, sigma = estimate_mu_sigma_normal(arr)
     head = DiagnosisHead.load(args.head) if args.head else None
     monitor = OnlineMonitor.from_checkpoint(
-        args.ckpt, mu, sigma, RiskConfig(), head
+        args.ckpt, mu, sigma, RiskConfig(), head,
+        glitch_alarm_n=getattr(args, "glitch_alarm_n", 25),
     )
     serve(monitor, host=args.host, port=args.port,
           max_requests=args.max_requests)
@@ -538,6 +545,10 @@ def main(argv: Optional[list] = None) -> int:
                    help="rows per fault segment (default 800; 200 with --small)")
     t.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the pipeline")
+    t.add_argument("--precision", choices=("highest", "default"), default=None,
+                   help="MXU matmul precision: 'highest' = torch-parity f32 "
+                        "(the default); 'default' = bf16 throughput mode "
+                        "(~2.6x steps/s, PERFORMANCE.md)")
     t.add_argument("--resume-dir", default=None,
                    help="schedule snapshot dir: a killed run restarted with "
                         "the same flags resumes and reproduces the trajectory")
@@ -632,6 +643,8 @@ def main(argv: Optional[list] = None) -> int:
     sv.add_argument("--port", type=int, default=8787)
     sv.add_argument("--max-requests", type=int, default=None,
                     help="stop after N requests (bounded demos/tests)")
+    sv.add_argument("--glitch-alarm-n", type=int, default=25,
+                    help="sensor_alarm after N consecutive non-finite samples")
     sv.set_defaults(fn=cmd_serve)
 
     b = sub.add_parser("bench", help="headline benchmark (one JSON line)")

@@ -380,6 +380,7 @@ class OnlineMonitor:
         sigma,
         config: RiskConfig = RiskConfig(),
         diagnosis: DiagnosisHead | None = None,
+        glitch_alarm_n: int = 25,
     ) -> "OnlineMonitor":
         """Restore params + scalers saved by utils.checkpoint.save_checkpoint."""
         from pinnfc_tpu.utils.checkpoint import load_checkpoint
@@ -387,5 +388,5 @@ class OnlineMonitor:
         ckpt = load_checkpoint(path)
         return cls(
             ckpt["params"], ckpt["scaler_x"], ckpt["scaler_y"], mu, sigma,
-            config, diagnosis,
+            config, diagnosis, glitch_alarm_n=glitch_alarm_n,
         )

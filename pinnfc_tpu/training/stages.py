@@ -406,6 +406,8 @@ def run_schedule(
     schedule = default_schedule() if schedule is None else schedule
     rng = jax.random.PRNGKey(0) if rng is None else rng
     log = TrainLog()
+    if ckpt_every is not None and ckpt_every < 1:
+        raise ValueError(f"ckpt_every must be >= 1, got {ckpt_every}")
 
     start_stage = 0
     mid_resume = None  # (step, opt pytree-of-lists, losses so far) for start_stage
