@@ -380,3 +380,44 @@ class TestShardedDiagnosis:
         dp = run_gmm_pipeline(arr, mesh=mesh8)
         assert dp.accuracy == pytest.approx(single.accuracy, abs=0.02)
         assert (dp.y_pred == single.y_pred).mean() > 0.97
+
+
+class TestChunkedScheduleOnMesh:
+    def test_ckpt_every_composes_with_data_parallel(self, mesh8, tmp_path):
+        """Mid-stage checkpointing and mesh sharding together (the
+        `cli train --data-parallel --resume-dir --ckpt-every` combination):
+        chunked-on-mesh == monolithic-on-mesh, and the snapshot restores."""
+        from pinnfc_tpu.config import StageConfig
+        from pinnfc_tpu.training.stages import run_schedule
+
+        rng = np.random.RandomState(0)
+        n = 160  # divisible by 8 → exact mesh parity
+        x = jnp.asarray(rng.uniform(-1, 1, (n, 8)), jnp.float32)
+        y = jnp.asarray(rng.uniform(-1, 1, (n, 1)), jnp.float32)
+        from pinnfc_tpu.data.scaling import AffineScaler
+
+        sx = AffineScaler.fit(rng.uniform(0, 1, (n, 8)))
+        sy = AffineScaler.fit(rng.uniform(3, 5, (n, 1)))
+        sched = (
+            StageConfig("dnn", 9, lr=0.01),
+            StageConfig("thermal", 7, lr=1.0),
+        )
+        p0 = init_pinn(jax.random.PRNGKey(1), (8, 16, 1))
+        key = jax.random.PRNGKey(2)
+
+        mono, _ = run_schedule(p0, x, y, sx, sy, schedule=sched, rng=key,
+                               mesh=mesh8)
+        ck = str(tmp_path / "meshck")
+        chunked, _ = run_schedule(p0, x, y, sx, sy, schedule=sched, rng=key,
+                                  mesh=mesh8, checkpoint_dir=ck, ckpt_every=4)
+        for a, b in zip(jax.tree_util.tree_leaves(mono),
+                        jax.tree_util.tree_leaves(chunked)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-6, atol=1e-7)
+        # the final snapshot marks the schedule complete; a rerun is a no-op
+        rerun, log = run_schedule(p0, x, y, sx, sy, schedule=sched, rng=key,
+                                  mesh=mesh8, checkpoint_dir=ck, ckpt_every=4)
+        assert len(log.stages) == 0
+        for a, b in zip(jax.tree_util.tree_leaves(chunked),
+                        jax.tree_util.tree_leaves(rerun)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
