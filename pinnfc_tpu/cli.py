@@ -65,6 +65,13 @@ def cmd_train(args) -> int:
     n_normal = getattr(args, "n_normal", None) or (1500 if args.small else 6000)
     n_fault = getattr(args, "n_fault", None) or (200 if args.small else 800)
 
+    if getattr(args, "ckpt_every", None) and not getattr(args, "resume_dir", None):
+        # chunking without a snapshot dir pays the chunk overhead for zero
+        # preemption safety — certainly not what the user meant
+        print("--ckpt-every requires --resume-dir (nowhere to snapshot)",
+              file=sys.stderr)
+        return 2
+
     campaign = None
     if getattr(args, "normal_mat", None) or getattr(args, "fault_dir", None):
         from pinnfc_tpu.data import CampaignConfig
@@ -631,6 +638,8 @@ def main(argv: Optional[list] = None) -> int:
                         "fitting one from the artifact")
     m.add_argument("--save-head", default=None,
                    help="persist the fitted diagnosis head (.npz)")
+    m.add_argument("--glitch-alarm-n", type=int, default=25,
+                   help="sensor_alarm after N consecutive non-finite samples")
     m.set_defaults(fn=cmd_monitor)
 
     sv = sub.add_parser("serve", help="HTTP scoring endpoint (POST /observe)")

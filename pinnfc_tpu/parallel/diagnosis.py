@@ -74,10 +74,15 @@ def gmm_fit_dp(
     n_dev = _data_axis_size(mesh)
 
     km = kmeans_fit(jnp.asarray(x), key, n_components, max_iter=kmeans_iters)
-    resp0 = jax.nn.one_hot(km.assignments, n_components, dtype=jnp.float32)
+    # host-side one-hot: an eager device one_hot costs a multi-second
+    # remote compile per process on relay-attached TPUs (CLAUDE.md), and
+    # the result is immediately padded on host anyway
+    assignments = np.asarray(km.assignments)
+    resp0 = np.zeros((len(assignments), n_components), np.float32)
+    resp0[np.arange(len(assignments)), assignments] = 1.0
 
     x_pad, mask = _pad_rows(x, n_dev)
-    resp0_pad, _ = _pad_rows(np.asarray(resp0), n_dev)
+    resp0_pad, _ = _pad_rows(resp0, n_dev)
     return gmm_fit(
         _shard_rows(mesh, x_pad, 2),
         key,

@@ -40,12 +40,22 @@ class PipelineResult:
 @jax.jit
 def _metrics_device(params: PinnParams, x_test, y_test, sx, sy):
     """One program for the whole metric forward: eval prediction,
-    de-normalization, residual bundle (avoids per-op remote dispatches)."""
+    de-normalization, residual bundle, PLUS the printed-block extras
+    (Euler thermal residual, target stoich ratios) — a single full-N
+    forward serves everything (avoids per-op remote dispatches)."""
+    from pinnfc_tpu.physics.hydrogen import hydrogen_residual
+    from pinnfc_tpu.physics.oxygen import oxygen_residual
+    from pinnfc_tpu.physics.thermal import thermal_residual_euler
+
     pred_norm, _ = mlp_forward(params["mlp"], x_test, train=False)
     y_real = sy.inverse(y_test)[:, 0]
     p_real = sy.inverse(pred_norm)[:, 0]
     bundle = all_residuals(params, x_test, pred_norm, sx, sy)
-    return y_real, p_real, bundle
+    t = thermal_residual_euler(params["lam_t"], x_test, pred_norm, sx, sy)
+    h = hydrogen_residual(params["lam_h"], x_test, sx)
+    o = oxygen_residual(params["lam_o"], x_test, sx)
+    extras = (t.f[:, 0], h.target_ratio[:, 0], o.target_ratio[:, 0])
+    return y_real, p_real, bundle, extras
 
 
 @jax.jit
@@ -90,8 +100,14 @@ def evaluate_voltage_metrics(
         y_real, p_real = arr[:, 8], arr[:, 9]
         f_v, f_t_col, f_h, f_o = arr[:, 13], arr[:, 14], arr[:, 15], arr[:, 16]
         ratio_h, ratio_o = arr[:, 20], arr[:, 21]
+        f_t_euler, target_h, target_o = (
+            np.asarray(a)
+            for a in _printed_stats_device(
+                params, dataset.x_test, dataset.scaler_x, dataset.scaler_y
+            )
+        )
     else:
-        y_real, p_real, bundle = _metrics_device(
+        y_real, p_real, bundle, extras = _metrics_device(
             params, dataset.x_test, dataset.y_test,
             dataset.scaler_x, dataset.scaler_y,
         )
@@ -101,12 +117,7 @@ def evaluate_voltage_metrics(
         f_v, f_t_col = bundle.f_v[:, 0], bundle.f_t[:, 0]
         f_h, f_o = bundle.f_h[:, 0], bundle.f_o[:, 0]
         ratio_h, ratio_o = bundle.ratio_h[:, 0], bundle.ratio_o[:, 0]
-    f_t_euler, target_h, target_o = (
-        np.asarray(a)
-        for a in _printed_stats_device(
-            params, dataset.x_test, dataset.scaler_x, dataset.scaler_y
-        )
-    )
+        f_t_euler, target_h, target_o = (np.asarray(a) for a in extras)
     err = y_real - p_real
     ss_res = float(np.sum(err**2))
     ss_tot = float(np.sum((y_real - y_real.mean()) ** 2))

@@ -39,11 +39,19 @@ from pinnfc_tpu.serving.monitor import OnlineMonitor
 MAX_REQUEST_BYTES = 32 * 1024 * 1024
 
 
+def _finite_or_null(arr) -> list:
+    """JSON-safe float list: non-finite values (the glitched samples'
+    v_pred/rf outputs) become null — ``json.dumps`` would otherwise emit
+    the non-RFC-8259 token ``NaN`` that strict clients refuse to parse."""
+    a = np.asarray(arr, np.float64)
+    return [float(v) if np.isfinite(v) else None for v in a.ravel()]
+
+
 def _json_payload(out, monitor: OnlineMonitor) -> dict:
     payload = {
-        "rf_smooth": out.rf_smooth.tolist(),
-        "rf_inst": out.rf_inst.tolist(),
-        "v_pred": out.v_pred.tolist(),
+        "rf_smooth": _finite_or_null(out.rf_smooth),
+        "rf_inst": _finite_or_null(out.rf_inst),
+        "v_pred": _finite_or_null(out.v_pred),
         "warn": out.warn.tolist(),
         "danger": out.danger.tolist(),
         "v_alarm": out.v_alarm.tolist(),
@@ -52,7 +60,10 @@ def _json_payload(out, monitor: OnlineMonitor) -> dict:
         "n_seen": int(np.asarray(monitor.state.n_seen)),
     }
     if out.fault_probs is not None:
-        payload["fault_probs"] = np.round(out.fault_probs, 6).tolist()
+        probs = np.round(np.asarray(out.fault_probs, np.float64), 6)
+        payload["fault_probs"] = [
+            _finite_or_null(row) for row in probs
+        ]
         payload["fault_pred"] = out.fault_pred.tolist()
         payload["fault_names"] = [
             monitor.diagnosis.class_names[int(i)] for i in out.fault_pred

@@ -486,9 +486,12 @@ def run_schedule(
             )
             losses_acc.append(np.asarray(losses_prev))
         key = jax.random.fold_in(rng, k)
+        # a mid-stage snapshot must resume correctly even when the caller
+        # did not re-pass ckpt_every: finish the stage as one chunk
+        every = ckpt_every if ckpt_every is not None else stage.n_iter - start
         s = start
         while s < stage.n_iter:
-            m = min(ckpt_every, stage.n_iter - s)
+            m = min(every, stage.n_iter - s)
             if name == "dnn":
                 piece, opt_state, losses = train_dnn_chunk(
                     piece, opt_state, x_train, y_train, key, jnp.asarray(s),
@@ -528,8 +531,12 @@ def run_schedule(
     for k, stage in enumerate(schedule):
         if k < start_stage:
             continue
-        if ckpt_every is not None:
-            resume = mid_resume if k == start_stage else None
+        resume = mid_resume if k == start_stage else None
+        # chunked execution when requested — and ALWAYS for a stage resumed
+        # from a mid-stage snapshot, even if this run omitted ckpt_every:
+        # the monolithic path would silently retrain the stage from its
+        # half-trained params with a fresh optimizer (neither trajectory)
+        if ckpt_every is not None or resume is not None:
             params, losses = _run_stage_chunked(k, stage, params, resume)
             log.add(f"{k}:{stage.name}", losses)
             if verbose:

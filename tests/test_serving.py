@@ -502,3 +502,48 @@ class TestSensorGlitchGuard:
         assert float(np.asarray(mon.state.v_first)) == pytest.approx(
             float(v_meas[4]), abs=1e-6
         )
+
+
+class TestJsonSafety:
+    """Glitched samples must never produce invalid JSON: json.dumps would
+    emit the non-RFC-8259 token NaN for non-finite v_pred/rf outputs, which
+    strict clients (JSON.parse, serde, encoding/json) refuse to parse."""
+
+    def test_observe_with_nan_row_returns_strict_json(self, setup):
+        import json as j
+        import threading
+        import urllib.request
+
+        from pinnfc_tpu.serving import make_server
+
+        params, d, mu, sigma, x_raw, v_meas = setup
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        server = make_server(mon, port=0)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            x = x_raw[:4].tolist()
+            v = v_meas[:4].tolist()
+            x[2] = [None] * 8  # JSON null → NaN on parse via np.asarray
+            body = j.dumps({"x": x, "v": v}).replace("null", "NaN")
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/observe", data=body.encode(),
+                method="POST", headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                raw = r.read().decode()
+                assert r.status == 200
+            # STRICT parse: reject NaN/Infinity constants outright
+            def _no_const(name):
+                raise ValueError(f"non-strict JSON constant {name}")
+
+            payload = j.loads(raw, parse_constant=_no_const)
+            assert payload["glitch"] == [False, False, True, False]
+            assert payload["v_pred"][2] is None  # sanitized, not NaN
+            assert all(
+                v is None or np.isfinite(v) for v in payload["rf_smooth"]
+            )
+        finally:
+            server.shutdown()
+            server.server_close()

@@ -364,3 +364,48 @@ class TestMidStageCheckpoint:
         assert len(np.asarray(payload["losses"])) == 11
         assert "opt" in payload and "params" in payload
         assert not any(f.endswith(".tmp") for f in os.listdir(ck))
+
+    def test_resume_without_ckpt_every_still_mid_stage_exact(
+        self, tiny_dataset, tmp_path, monkeypatch
+    ):
+        """A mid-stage snapshot must resume correctly even when the restart
+        omits ckpt_every: the interrupted stage finishes as one chunk from
+        the carried optimizer state (the monolithic path would silently
+        retrain it from half-trained params with a fresh Adam)."""
+        import pinnfc_tpu.utils.checkpoint as ckpt_mod
+
+        p0, args, key = self._inputs(tiny_dataset)
+        ck_full = str(tmp_path / "full_nock")
+        full, _ = run_schedule(
+            p0, *args, schedule=self.SCHED, rng=key,
+            checkpoint_dir=ck_full, ckpt_every=4,
+        )
+
+        ck = str(tmp_path / "killed_nock")
+        real_save = ckpt_mod.save_params_npz
+        calls = {"n": 0}
+
+        def killing_save(payload, path):
+            real_save(payload, path)
+            calls["n"] += 1
+            if calls["n"] == 2:  # mid-dnn at step 8/11
+                raise KeyboardInterrupt("simulated preemption")
+
+        monkeypatch.setattr(ckpt_mod, "save_params_npz", killing_save)
+        with pytest.raises(KeyboardInterrupt):
+            run_schedule(
+                p0, *args, schedule=self.SCHED, rng=key,
+                checkpoint_dir=ck, ckpt_every=4,
+            )
+        monkeypatch.setattr(ckpt_mod, "save_params_npz", real_save)
+
+        # restart WITHOUT ckpt_every
+        resumed, _ = run_schedule(
+            p0, *args, schedule=self.SCHED, rng=key, checkpoint_dir=ck,
+        )
+        for leaf_f, leaf_r in zip(
+            jax.tree_util.tree_leaves(full), jax.tree_util.tree_leaves(resumed)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(leaf_f), np.asarray(leaf_r), rtol=2e-6, atol=1e-7
+            )
