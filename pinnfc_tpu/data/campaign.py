@@ -24,7 +24,8 @@ import numpy as np
 from pinnfc_tpu.data.combine import FuelCellDataset, combine_and_normalize
 from pinnfc_tpu.data.loaders import load_fault_mat, load_normal_mat
 
-# (ascii key, Chinese stem, display label stem) — reference order 01:2098-2110
+# (ascii key, Chinese stem) — reference order 01:2098-2110; the display
+# label is derived as f"{stem}故障({current}A)" where needed
 FAULT_TYPES: Tuple[Tuple[str, str], ...] = (
     ("water_flooding", "水淹"),
     ("oxygen_starvation", "氧饥饿"),

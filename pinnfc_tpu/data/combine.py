@@ -90,6 +90,13 @@ def combine_and_normalize(
 
     noise_info = None
     if noise_config is not None:
+        # Upstream quirk, deliberately NOT preserved: the reference calls
+        # add_noise_to_combined_data (01:248) but then re-vstacks the CLEAN
+        # Y right after (01:277-278), silently discarding the noise — the
+        # feature is dead code there.  Here the injected noise actually
+        # reaches y_train/y_test (like the fault_only repair in data.noise);
+        # with noise_config=None (the reference main's setting, 01:2132)
+        # both frameworks are identical.
         y_combined, noise_info = add_noise(
             y_combined, **noise_config, seed=seed, normal_length=len(x_normal)
         )

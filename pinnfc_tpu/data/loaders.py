@@ -45,7 +45,10 @@ def load_fault_mat(path: str) -> Tuple[np.ndarray, np.ndarray]:
     data = scipy.io.loadmat(path)["segment_double"]
     x = data[:, FAULT_CORR_INDEX]
     y = data[:, [FAULT_Y_INDEX]]
-    # Reference filters on X column 1 (01:180), which after corr_index
-    # selection is the second channel; kept verbatim for parity.
+    # Reference filters on X column 1 (01:180) — after corr_index selection
+    # that is COOLANT FLOW (contract channel x1), even though the upstream
+    # comment says it "assumes current is in column 2" (01:179); the
+    # current is x[:, 0].  Quirk kept verbatim for parity: zero-current
+    # fault rows survive, only zero-coolant-flow rows are dropped.
     valid = np.where(x[:, 1] != 0)[0]
     return x[valid], y[valid]

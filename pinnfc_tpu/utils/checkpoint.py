@@ -35,11 +35,12 @@ def save_params_npz(params: Dict[str, Any], path: str) -> None:
     """Flatten the params pytree to an .npz archive.  The write is atomic
     (tmp file + rename) so a process killed mid-save — the whole point of
     preemption checkpoints — can never leave a truncated archive behind."""
-    tmp = path + ".tmp"
+    # tmp name ends in .npz so np.savez writes EXACTLY this path (it appends
+    # .npz otherwise, and an existence probe could then be fooled by a stale
+    # '<path>.tmp' left behind by something else)
+    tmp = path + ".tmp.npz"
     np.savez(tmp, **_flatten(params))
-    # np.savez appends .npz when missing; normalize before the rename
-    tmp_written = tmp if os.path.exists(tmp) else tmp + ".npz"
-    os.replace(tmp_written, path)
+    os.replace(tmp, path)
 
 
 def load_params_npz(path: str) -> Dict[str, Any]:
@@ -61,7 +62,12 @@ def load_params_npz(path: str) -> Dict[str, Any]:
     def listify(node):
         if isinstance(node, dict):
             keys = list(node.keys())
-            if keys and all(k.isdigit() for k in keys):
+            # only a CONTIGUOUS 0..n-1 digit key set is a flattened
+            # list/tuple; anything else (e.g. a dict legitimately keyed
+            # '0','2') stays a dict so the round trip preserves structure
+            if keys and all(k.isdigit() for k in keys) and set(keys) == {
+                str(i) for i in range(len(keys))
+            }:
                 return [listify(node[str(i)]) for i in range(len(keys))]
             return {k: listify(v) for k, v in node.items()}
         return node

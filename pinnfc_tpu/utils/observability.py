@@ -25,7 +25,9 @@ class MetricsLogger:
     def to_jsonl(self, path: str) -> None:
         with open(path, "w") as f:
             for row in self.rows:
-                f.write(json.dumps(row) + "\n")
+                # numpy/jnp scalars (the natural payload off a scan) are not
+                # json-serializable; coerce rather than lose the run's log
+                f.write(json.dumps(row, default=float) + "\n")
 
     def latest(self) -> Optional[Dict]:
         return self.rows[-1] if self.rows else None

@@ -19,9 +19,15 @@ from __future__ import annotations
 import warnings
 from typing import Dict, List, Optional, Sequence
 
+import os as _os
+
 import matplotlib
 
-matplotlib.use("Agg")
+# Only hijack the backend when the process is headless AND the user hasn't
+# chosen one — a host app importing this module for one helper must not
+# lose its interactive backend
+if _os.environ.get("MPLBACKEND") is None and _os.environ.get("DISPLAY") is None:
+    matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np
 
@@ -46,19 +52,32 @@ def setup_cjk_font() -> bool:
     return False
 
 
-_HAS_CJK = setup_cjk_font()
-if not _HAS_CJK:
-    warnings.filterwarnings("ignore", message=r"Glyph \d+ .* missing from font")
+_HAS_CJK: bool | None = None  # resolved lazily — the font scan is slow
+
+
+def _cjk_available() -> bool:
+    """First use runs the font-manager scan (not at import time) and, when
+    no CJK font exists, silences the per-glyph warnings that every figure
+    with transliterated-but-composite labels would otherwise spam."""
+    global _HAS_CJK
+    if _HAS_CJK is None:
+        _HAS_CJK = setup_cjk_font()
+        if not _HAS_CJK:
+            warnings.filterwarnings(
+                "ignore", message=r"Glyph \d+ .* missing from font"
+            )
+    return _HAS_CJK
 
 
 def display_name(name: str) -> str:
     """Fault name for figure text: Chinese when a CJK font is available,
-    the English translation otherwise."""
-    if _HAS_CJK:
+    the English translation otherwise (incl. the data layer's composite
+    segment labels like ``水淹故障(108A)`` → ``Flooding fault(108A)``)."""
+    if _cjk_available():
         return name
     for zh, en in FAULT_NAMES_EN.items():
         name = name.replace(zh, en)
-    return name
+    return name.replace("故障", " fault")
 
 
 def _arr(results):
@@ -99,9 +118,12 @@ def plot_uncertainty(
     ale = arr[:, INDEX["ale"]]
     epi = arr[:, INDEX["epi"]]
     base, ext = os.path.splitext(save_path)
+    # normalize: an ndarray (e.g. round-tripped through a .mat file) makes
+    # bare truthiness raise; the reference guards with len() too (01:1536)
+    boundary_lines = list(boundary_lines) if boundary_lines is not None else []
     # clamp like the reference (01:1538-1543); without boundaries there is
     # no normal region to label and the baseline is the whole-series mean
-    normal_end = min(int(boundary_lines[0]), n) if boundary_lines else 0
+    normal_end = min(int(boundary_lines[0]), n) if len(boundary_lines) > 0 else 0
     normal_mean = float(np.mean(epi[:normal_end])) if normal_end > 0 else float(np.mean(epi))
 
     # figure A — aleatoric scatter (01:1547-1580)
