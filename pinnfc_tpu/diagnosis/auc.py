@@ -80,9 +80,13 @@ def run_auc_pipeline(
         proba = np.asarray(logreg_predict_proba(model, x_te))
         y_pred = proba.argmax(axis=1)
 
-        # binary ROC: positive = "not normal", score = 1 − P(normal) (02:552)
-        y_bin = (y_te != 0).astype(int)
-        score = 1.0 - proba[:, 0]
+        # binary ROC: positive = "not normal", score = 1 − P(normal); the
+        # normal class is resolved BY NAME with fallback 0, exactly as the
+        # reference does (02:546-552) — a group_spec that lists 正常 later
+        # must not score against the wrong column
+        normal_idx = class_names.index("正常") if "正常" in class_names else 0
+        y_bin = (y_te != normal_idx).astype(int)
+        score = 1.0 - proba[:, normal_idx]
         fpr, tpr, _ = roc_curve(y_bin, score)
 
         out_groups.append(
@@ -99,8 +103,12 @@ def run_auc_pipeline(
         )
 
         # unsupervised IsolationForest on group 1 (02:571-611), fit on
-        # normal-only training rows
+        # normal-only training rows — falling back to ALL training rows
+        # when too few normal ones exist, as the reference does (02:577-583)
         if gid == 1:
+            x_iso = x_tr[y_tr == normal_idx]
+            if len(x_iso) <= 10:
+                x_iso = x_tr
             if config.iso_backend == "device":
                 import jax
 
@@ -110,7 +118,7 @@ def run_auc_pipeline(
                 )
 
                 iso = isoforest_fit(
-                    x_tr[y_tr == 0],
+                    x_iso,
                     jax.random.PRNGKey(config.random_state),
                     n_estimators=config.iso_n_estimators,
                     max_samples=config.iso_max_samples,
@@ -124,7 +132,7 @@ def run_auc_pipeline(
                     contamination="auto",
                     random_state=config.random_state,
                 )
-                iso.fit(x_tr[y_tr == 0])
+                iso.fit(x_iso)
                 iso_score = -iso.score_samples(x_te)
             iso_fpr, iso_tpr, _ = roc_curve(y_bin, iso_score)
             iso_auc = auc(iso_fpr, iso_tpr)

@@ -26,6 +26,7 @@ import dataclasses
 from typing import Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from pinnfc_tpu.config import CompareConfig, GmmConfig
@@ -83,8 +84,13 @@ def _centers_from_assignments(x, assign, n_clusters):
 
 
 def _nearest_center(x, centers):
-    d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-    return d2.argmin(axis=1)
+    # reuse the MXU-shaped kmeans assignment (the naive (N, C, D) broadcast
+    # materializes a large temp at campaign scale and lacks the d2>=0 clamp)
+    import numpy as np
+
+    from pinnfc_tpu.diagnosis.kmeans import kmeans_predict
+
+    return np.asarray(kmeans_predict(jnp.asarray(centers, jnp.float32), x))
 
 
 def run_compare_pipeline(

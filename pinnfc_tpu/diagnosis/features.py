@@ -40,6 +40,13 @@ def parse_features(spec: str) -> List[int]:
     for t in tokens:
         if re.match(r"^-?\d+$", t):
             idx = int(t)
+            if idx < 0:
+                # a negative index would alias a real column (e.g. -5 is the
+                # fault label) and slip past the leakage guards below
+                raise ValueError(
+                    f"negative feature index {idx} is not allowed; use the "
+                    f"column name or its non-negative index"
+                )
         else:
             if t not in INDEX:
                 raise KeyError(

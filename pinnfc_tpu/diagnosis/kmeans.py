@@ -26,7 +26,12 @@ class KMeansResult(NamedTuple):
 def _pairwise_sq_dists(x, centers):
     x2 = jnp.sum(x**2, axis=1, keepdims=True)  # (N, 1)
     c2 = jnp.sum(centers**2, axis=1)[None, :]  # (1, C)
-    return jnp.maximum(x2 - 2.0 * (x @ centers.T) + c2, 0.0)
+    # full-f32 matmul: the ||a||²+||b||²−2ab expansion cancels
+    # catastrophically in bf16 and flips argmin for near-tied points
+    # (same guard as spectral/tsne/ward)
+    return jnp.maximum(
+        x2 - 2.0 * jnp.matmul(x, centers.T, precision="highest") + c2, 0.0
+    )
 
 
 def _kmeans_plus_plus(x: jnp.ndarray, key: jax.Array, n_clusters: int) -> jnp.ndarray:

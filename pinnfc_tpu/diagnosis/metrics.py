@@ -110,7 +110,13 @@ def compute_macro_metrics(y_true, y_pred, n_classes: int | None = None) -> Dict[
 def classification_report_dict(y_true, y_pred, class_names=None) -> Dict:
     """Structured equivalent of sklearn classification_report printing."""
     y_true = np.asarray(y_true, dtype=np.int64)
-    n_classes = int(max(y_true.max(), np.asarray(y_pred).max())) + 1
+    # class_names fixes the label set (sklearn lists ALL labels even when a
+    # class is absent from the data, and the macro average must span the
+    # same k classes as compute_macro_metrics on the same split)
+    if class_names is not None:
+        n_classes = len(class_names)
+    else:
+        n_classes = int(max(y_true.max(), np.asarray(y_pred).max())) + 1
     prf = precision_recall_f1(y_true, y_pred, n_classes, average="macro")
     names = class_names or [str(i) for i in range(n_classes)]
     per_class = {

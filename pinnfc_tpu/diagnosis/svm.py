@@ -62,6 +62,11 @@ def svm_fit(
     else:
         w_class = jnp.ones((n_classes,), jnp.float32)
 
+    if n_classes > 16:
+        raise ValueError(
+            f"svm_fit supports at most 16 classes (the OvO vote table in "
+            f"svm_predict is fixed at length 16), got {n_classes}"
+        )
     pairs = jnp.asarray(_pair_list(n_classes))
 
     def fit_pair(pair):
@@ -71,7 +76,10 @@ def svm_fit(
         w_i = jnp.where(in_pair, w_class[y] * c_svm, 0.0)
 
         def loss_fn(p):
-            margin = xs @ p["w"] + p["b"]
+            # full-f32 matmul: bf16 gradient noise on TPU would float the
+            # L-BFGS convergence check above its 1e-6 tolerance (see the
+            # identical note in logreg.py)
+            margin = jnp.matmul(xs, p["w"], precision="highest") + p["b"]
             hinge = jnp.maximum(0.0, 1.0 - sign * margin)
             return 0.5 * jnp.sum(p["w"] ** 2) + jnp.sum(w_i * hinge**2)
 
@@ -104,7 +112,9 @@ def svm_fit(
 @jax.jit
 def svm_predict(model: SVMModel, x: jnp.ndarray) -> jnp.ndarray:
     xs = (jnp.asarray(x, jnp.float32) - model.x_mean) / model.x_scale
-    margins = xs @ model.coef.T + model.intercept[None, :]  # (N, P)
+    margins = jnp.matmul(
+        xs, model.coef.T, precision="highest"
+    ) + model.intercept[None, :]  # (N, P)
     # votes: margin > 0 → class j, else class i (vote length 16 caps n_classes)
     winner = jnp.where(margins > 0, model.pairs[None, :, 1], model.pairs[None, :, 0])
     votes = jax.vmap(lambda row: jnp.bincount(row, length=16))(winner)

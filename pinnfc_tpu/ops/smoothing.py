@@ -59,6 +59,13 @@ def smooth_by_segments(
         return centered_moving_average(values, window)
     if boundary_lines[-1] > n:
         boundary_lines = [b for b in boundary_lines if 0 < b <= n]
+        # the filter can leave the tail [last, n) uncovered (or nothing at
+        # all) — without this the loop below would return uninitialized
+        # memory for those rows
+        if not boundary_lines:
+            return centered_moving_average(values, window)
+        if boundary_lines[-1] != n:
+            boundary_lines.append(n)
 
     out = np.empty_like(values)
     start = 0

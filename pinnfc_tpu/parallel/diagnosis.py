@@ -74,12 +74,15 @@ def gmm_fit_dp(
     n_dev = _data_axis_size(mesh)
 
     km = kmeans_fit(jnp.asarray(x), key, n_components, max_iter=kmeans_iters)
-    # host-side one-hot: an eager device one_hot costs a multi-second
-    # remote compile per process on relay-attached TPUs (CLAUDE.md), and
-    # the result is immediately padded on host anyway
-    assignments = np.asarray(km.assignments)
-    resp0 = np.zeros((len(assignments), n_components), np.float32)
-    resp0[np.arange(len(assignments)), assignments] = 1.0
+    # host-side one-hot (posterior.hard_responsibilities): an eager device
+    # one_hot costs a multi-second remote compile per process on
+    # relay-attached TPUs (CLAUDE.md), and the result is immediately padded
+    # on host anyway
+    from pinnfc_tpu.diagnosis.posterior import hard_responsibilities
+
+    resp0 = hard_responsibilities(
+        np.asarray(km.assignments), n_components
+    ).astype(np.float32)
 
     x_pad, mask = _pad_rows(x, n_dev)
     resp0_pad, _ = _pad_rows(resp0, n_dev)

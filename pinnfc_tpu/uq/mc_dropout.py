@@ -55,11 +55,14 @@ def mc_dropout_samples(
       mc_times: stochastic passes (reference default 2000, 01:2157).
       dropout: override rate for phase 2 (reference 0.4, 01:2158).
       chunk: samples per device pass, auto-clamped so chunk·N stays inside
-        the activation-memory budget; ``mc_times`` is rounded up to a
-        multiple of the effective chunk — statistics use the true count.
+        the activation-memory budget and never exceeds ``mc_times`` (a
+        small request must not silently run a full default-sized chunk).
+        When ``mc_times`` is not a multiple of the effective chunk it is
+        rounded UP — the extra passes are additional unbiased samples and
+        the statistics divide by the count actually executed.
     """
     n = x.shape[0]
-    chunk = max(1, min(chunk, _CHUNK_ROW_BUDGET // max(n, 1)))
+    chunk = max(1, min(chunk, mc_times, _CHUNK_ROW_BUDGET // max(n, 1)))
     return _mc_dropout_jit(
         mlp_params, x, rng, mc_times=mc_times, dropout=dropout, chunk=chunk
     )

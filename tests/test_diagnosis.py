@@ -560,3 +560,65 @@ class TestExplainCoefficients:
             # positive list sorted descending, negative ascending
             assert d["positive"][0][1] >= d["positive"][1][1]
             assert d["negative"][0][1] <= d["negative"][1][1]
+
+
+class TestReviewRegressions:
+    def test_negative_feature_index_rejected(self):
+        """-5 aliases the fault-label column and slipped past the leakage
+        guard (review r3)."""
+        from pinnfc_tpu.diagnosis.features import parse_features
+
+        with pytest.raises(ValueError, match="negative feature index"):
+            parse_features("-5")
+
+    def test_report_spans_all_named_classes(self):
+        """classification_report_dict must list every named class (sklearn
+        semantics) even when one is absent from the split, so its macro avg
+        matches compute_macro_metrics on the same k (review r3)."""
+        from pinnfc_tpu.diagnosis.metrics import (
+            classification_report_dict,
+            compute_macro_metrics,
+        )
+
+        y_true = np.array([0, 0, 1, 1, 2])  # class 3 absent
+        y_pred = np.array([0, 1, 1, 1, 2])
+        names = ["a", "b", "c", "d"]
+        rep = classification_report_dict(y_true, y_pred, names)
+        assert "d" in rep and rep["d"]["support"] == 0
+        macro = compute_macro_metrics(y_true, y_pred, 4)
+        assert rep["macro avg"]["f1-score"] == pytest.approx(macro["f1_macro"])
+
+    def test_svm_rejects_17_classes(self):
+        from pinnfc_tpu.diagnosis.svm import svm_fit
+
+        x = np.random.RandomState(0).randn(40, 3).astype(np.float32)
+        y = np.arange(40) % 17
+        with pytest.raises(ValueError, match="at most 16"):
+            svm_fit(x, y, n_classes=17)
+
+    def test_auc_normal_class_resolved_by_name(self):
+        """A group spec listing 正常 second must still score the ROC against
+        the normal column (02:546-552 fallback semantics)."""
+        from pinnfc_tpu.config import AucConfig
+        from pinnfc_tpu.data.contract import INDEX
+        from pinnfc_tpu.diagnosis.auc import run_auc_pipeline
+
+        rng = np.random.RandomState(0)
+        n = 400
+        arr = np.zeros((n, 22))
+        arr[:, INDEX["res"]] = 0.02 * rng.randn(n)
+        arr[n // 2 :, INDEX["res"]] += np.linspace(0.5, 2.0, n - n // 2)
+        arr[:, INDEX["epi"]] = np.abs(arr[:, INDEX["res"]]) * 0.1
+        arr[n // 2 :, INDEX["label"]] = 1
+        cfg_normal_first = AucConfig(
+            group_spec="正常:0 | 故障:1", feature_groups=("epi,res",),
+            test_size=0.5,
+        )
+        cfg_normal_second = AucConfig(
+            group_spec="故障:1 | 正常:0", feature_groups=("epi,res",),
+            test_size=0.5,
+        )
+        auc1 = run_auc_pipeline(arr, cfg_normal_first).groups[0].auc
+        auc2 = run_auc_pipeline(arr, cfg_normal_second).groups[0].auc
+        assert auc1 > 0.95  # separable by construction
+        assert auc2 == pytest.approx(auc1, abs=0.05)

@@ -105,3 +105,23 @@ class TestRecurrences:
         y1 = np.asarray(linear_recurrence_scan(a, b, 0.3))
         y2 = np.asarray(linear_recurrence_assoc(a, b, 0.3))
         np.testing.assert_allclose(y1, y2, rtol=1e-4, atol=1e-5)
+
+
+class TestSmoothingTailCoverage:
+    def test_overlong_boundaries_never_return_garbage(self):
+        """Boundaries past n used to leave the tail (or everything) as
+        uninitialized memory after the out-of-range filter (review r3)."""
+        from pinnfc_tpu.ops.smoothing import (
+            centered_moving_average,
+            smooth_by_segments,
+        )
+
+        v = np.ones(10)
+        # tail [5:10) uncovered after 15 is dropped → must be smoothed
+        out = smooth_by_segments(v, [5, 15], 3)
+        np.testing.assert_allclose(out, np.ones(10))
+        # every boundary dropped → whole-array smoothing
+        out = smooth_by_segments(np.arange(10.0), [15], 4)
+        np.testing.assert_allclose(
+            out, centered_moving_average(np.arange(10.0), 4)
+        )
