@@ -57,6 +57,12 @@ def _train_config(args) -> TrainConfig:
     return cfg
 
 
+def _glitch_default() -> int:
+    from pinnfc_tpu.serving.monitor import DEFAULT_GLITCH_ALARM_N
+
+    return DEFAULT_GLITCH_ALARM_N
+
+
 def cmd_train(args) -> int:
     from pinnfc_tpu.pipeline import run_training_pipeline
     from pinnfc_tpu.utils import save_checkpoint
@@ -65,7 +71,9 @@ def cmd_train(args) -> int:
     n_normal = getattr(args, "n_normal", None) or (1500 if args.small else 6000)
     n_fault = getattr(args, "n_fault", None) or (200 if args.small else 800)
 
-    if getattr(args, "ckpt_every", None) and not getattr(args, "resume_dir", None):
+    if getattr(args, "ckpt_every", None) is not None and not getattr(
+        args, "resume_dir", None
+    ):
         # chunking without a snapshot dir pays the chunk overhead for zero
         # preemption safety — certainly not what the user meant
         print("--ckpt-every requires --resume-dir (nowhere to snapshot)",
@@ -453,7 +461,7 @@ def cmd_monitor(args) -> int:
             print(f"diagnosis head → {written}")
     monitor = OnlineMonitor.from_checkpoint(
         args.ckpt, mu, sigma, cfg, head,
-        glitch_alarm_n=getattr(args, "glitch_alarm_n", 25),
+        glitch_alarm_n=getattr(args, "glitch_alarm_n", None) or _glitch_default(),
     )
 
     rows = arr
@@ -478,8 +486,11 @@ def cmd_monitor(args) -> int:
             if first[name] is None and flags.any():
                 first[name] = pos + int(np.argmax(flags))
         if head is not None and out.warn.any():
-            # accumulate the online fault-type votes while the RF warns
-            votes = np.bincount(out.fault_pred[out.warn],
+            # accumulate the online fault-type votes while the RF warns;
+            # glitched samples carry fault_pred = -1 (no valid posterior)
+            # and must not vote
+            valid = out.warn & (np.asarray(out.fault_pred) >= 0)
+            votes = np.bincount(out.fault_pred[valid],
                                 minlength=len(head.class_names))
             diag_counts = votes if diag_counts is None else diag_counts + votes
         pos += args.block
@@ -511,7 +522,7 @@ def cmd_serve(args) -> int:
     head = DiagnosisHead.load(args.head) if args.head else None
     monitor = OnlineMonitor.from_checkpoint(
         args.ckpt, mu, sigma, RiskConfig(), head,
-        glitch_alarm_n=getattr(args, "glitch_alarm_n", 25),
+        glitch_alarm_n=getattr(args, "glitch_alarm_n", None) or _glitch_default(),
     )
     serve(monitor, host=args.host, port=args.port,
           max_requests=args.max_requests)
@@ -571,7 +582,7 @@ def main(argv: Optional[list] = None) -> int:
 
     for name, fn, extra in (
         ("auc", cmd_auc, {"auc": True}),
-        ("gmm", cmd_gmm, {"tsne": True}),
+        ("gmm", cmd_gmm, {"tsne": True, "data_parallel": True}),
         ("risk", cmd_risk, {}),
         ("compare", cmd_compare, {"methods": True}),
     ):
@@ -591,11 +602,12 @@ def main(argv: Optional[list] = None) -> int:
             s.add_argument("--show-coef", type=int, default=0,
                            help="print top-N LR coefficients per class")
             s.add_argument("--list-features", action="store_true")
-        if extra.get("tsne"):
+        if extra.get("data_parallel"):
             s.add_argument(
                 "--data-parallel", action="store_true",
                 help="row-shard the GMM EM fit over all visible devices",
             )
+        if extra.get("tsne"):
             s.add_argument("--tsne", action="store_true",
                            help="also write a t-SNE figure (CPU, slow)")
         s.set_defaults(fn=fn)
@@ -638,7 +650,7 @@ def main(argv: Optional[list] = None) -> int:
                         "fitting one from the artifact")
     m.add_argument("--save-head", default=None,
                    help="persist the fitted diagnosis head (.npz)")
-    m.add_argument("--glitch-alarm-n", type=int, default=25,
+    m.add_argument("--glitch-alarm-n", type=int, default=None,
                    help="sensor_alarm after N consecutive non-finite samples")
     m.set_defaults(fn=cmd_monitor)
 
@@ -652,7 +664,7 @@ def main(argv: Optional[list] = None) -> int:
     sv.add_argument("--port", type=int, default=8787)
     sv.add_argument("--max-requests", type=int, default=None,
                     help="stop after N requests (bounded demos/tests)")
-    sv.add_argument("--glitch-alarm-n", type=int, default=25,
+    sv.add_argument("--glitch-alarm-n", type=int, default=None,
                     help="sensor_alarm after N consecutive non-finite samples")
     sv.set_defaults(fn=cmd_serve)
 

@@ -37,42 +37,42 @@ class PipelineResult:
     timings: Dict[str, float]
 
 
-@jax.jit
-def _metrics_device(params: PinnParams, x_test, y_test, sx, sy):
-    """One program for the whole metric forward: eval prediction,
-    de-normalization, residual bundle, PLUS the printed-block extras
-    (Euler thermal residual, target stoich ratios) — a single full-N
-    forward serves everything (avoids per-op remote dispatches)."""
+def _printed_extras(params: PinnParams, x_test, pred_norm, sx, sy):
+    """Traced helper: quantities the reference's printed metric block uses
+    but the export array does not carry — the FULL Euler thermal residual
+    (01:1670 calls ``model.net_f_T``, not the simple model that feeds
+    export column 14, 01:1953) and the target stoichiometric ratios
+    (01:1810-1816).  Shared by both metric programs so they can never
+    diverge."""
     from pinnfc_tpu.physics.hydrogen import hydrogen_residual
     from pinnfc_tpu.physics.oxygen import oxygen_residual
     from pinnfc_tpu.physics.thermal import thermal_residual_euler
 
-    pred_norm, _ = mlp_forward(params["mlp"], x_test, train=False)
-    y_real = sy.inverse(y_test)[:, 0]
-    p_real = sy.inverse(pred_norm)[:, 0]
-    bundle = all_residuals(params, x_test, pred_norm, sx, sy)
-    t = thermal_residual_euler(params["lam_t"], x_test, pred_norm, sx, sy)
-    h = hydrogen_residual(params["lam_h"], x_test, sx)
-    o = oxygen_residual(params["lam_o"], x_test, sx)
-    extras = (t.f[:, 0], h.target_ratio[:, 0], o.target_ratio[:, 0])
-    return y_real, p_real, bundle, extras
-
-
-@jax.jit
-def _printed_stats_device(params: PinnParams, x_test, sx, sy):
-    """Quantities the reference's printed metric block uses but the export
-    array does not carry: the FULL Euler thermal residual (01:1670 calls
-    ``model.net_f_T``, not the simple model that feeds export column 14,
-    01:1953) and the target stoichiometric ratios (01:1810-1816)."""
-    from pinnfc_tpu.physics.hydrogen import hydrogen_residual
-    from pinnfc_tpu.physics.oxygen import oxygen_residual
-    from pinnfc_tpu.physics.thermal import thermal_residual_euler
-
-    pred_norm, _ = mlp_forward(params["mlp"], x_test, train=False)
     t = thermal_residual_euler(params["lam_t"], x_test, pred_norm, sx, sy)
     h = hydrogen_residual(params["lam_h"], x_test, sx)
     o = oxygen_residual(params["lam_o"], x_test, sx)
     return t.f[:, 0], h.target_ratio[:, 0], o.target_ratio[:, 0]
+
+
+@jax.jit
+def _metrics_device(params: PinnParams, x_test, y_test, sx, sy):
+    """One program for the whole metric forward: eval prediction,
+    de-normalization, residual bundle, PLUS the printed-block extras — a
+    single full-N forward serves everything (avoids per-op remote
+    dispatches)."""
+    pred_norm, _ = mlp_forward(params["mlp"], x_test, train=False)
+    y_real = sy.inverse(y_test)[:, 0]
+    p_real = sy.inverse(pred_norm)[:, 0]
+    bundle = all_residuals(params, x_test, pred_norm, sx, sy)
+    return y_real, p_real, bundle, _printed_extras(params, x_test, pred_norm, sx, sy)
+
+
+@jax.jit
+def _printed_stats_device(params: PinnParams, x_test, sx, sy):
+    """Printed-block extras alone (the results-array fast path already has
+    everything else materialized)."""
+    pred_norm, _ = mlp_forward(params["mlp"], x_test, train=False)
+    return _printed_extras(params, x_test, pred_norm, sx, sy)
 
 
 def evaluate_voltage_metrics(

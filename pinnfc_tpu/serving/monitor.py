@@ -47,6 +47,10 @@ from pinnfc_tpu.physics.residuals import all_residuals
 # monitor residual-stack columns (matches RiskConfig.res_keys order, 04:88)
 _R_COLUMN = {"res": 0, "pV": 1, "pT": 2, "pH": 3, "pO": 4}
 
+# single source for the consecutive-glitch sensor alarm default (the CLI
+# flags and from_checkpoint all reference this)
+DEFAULT_GLITCH_ALARM_N = 25
+
 
 class DiagnosisHead(NamedTuple):
     """Calibrated-GMM fault-type classifier applied to the monitor's
@@ -214,8 +218,13 @@ class OnlineMonitor:
         sigma: np.ndarray,
         config: RiskConfig = RiskConfig(),
         diagnosis: DiagnosisHead | None = None,
-        glitch_alarm_n: int = 25,
+        glitch_alarm_n: int = DEFAULT_GLITCH_ALARM_N,
     ):
+        if glitch_alarm_n < 1:
+            raise ValueError(
+                f"glitch_alarm_n must be >= 1 (a run of 0 would alarm on "
+                f"every healthy sample), got {glitch_alarm_n}"
+            )
         self.params = params
         self.scaler_x = scaler_x
         self.scaler_y = scaler_y
@@ -227,6 +236,9 @@ class OnlineMonitor:
         # samples (glitched rows contribute zero risk, so a dead sensor would
         # otherwise decay RF toward "healthy" silently)
         self.glitch_alarm_n = int(glitch_alarm_n)
+        # host-side mirror of state.n_seen so serving never pays a second
+        # device readback per request just for a counter
+        self.n_seen = 0
         self.state = self._fresh_state()
         self._step = self._build_step()
 
@@ -333,7 +345,11 @@ class OnlineMonitor:
                     1e-12, 1.0,
                 )
                 probs = probs / jnp.sum(probs, axis=1, keepdims=True)
-                fault = (probs, jnp.argmax(probs, axis=1))
+                # glitched rows have NaN features -> NaN posterior; argmax
+                # of an all-NaN row silently returns 0, which downstream
+                # would count as a confident class-0 vote — mark them -1
+                pred = jnp.where(glitch, -1, jnp.argmax(probs, axis=1))
+                fault = (probs, pred)
             else:
                 fault = (None, None)
             return new_state, (
@@ -350,6 +366,7 @@ class OnlineMonitor:
         self.state, out = self._step(
             self.params, self.state, x_raw, v_meas, self.mu, self.sigma
         )
+        self.n_seen += int(x_raw.shape[0])
         # ONE batched device→host fetch: each separate np.asarray costs a
         # full relay round trip on remote-attached TPUs (measured ~23 ms
         # apiece through the axon tunnel, benchmarks/serving_bench.py)
@@ -370,6 +387,7 @@ class OnlineMonitor:
         )
 
     def reset(self) -> None:
+        self.n_seen = 0
         self.state = self._fresh_state()
 
     @classmethod
@@ -380,7 +398,7 @@ class OnlineMonitor:
         sigma,
         config: RiskConfig = RiskConfig(),
         diagnosis: DiagnosisHead | None = None,
-        glitch_alarm_n: int = 25,
+        glitch_alarm_n: int = DEFAULT_GLITCH_ALARM_N,
     ) -> "OnlineMonitor":
         """Restore params + scalers saved by utils.checkpoint.save_checkpoint."""
         from pinnfc_tpu.utils.checkpoint import load_checkpoint

@@ -57,7 +57,10 @@ def _json_payload(out, monitor: OnlineMonitor) -> dict:
         "v_alarm": out.v_alarm.tolist(),
         "glitch": out.glitch.tolist(),
         "sensor_alarm": out.sensor_alarm.tolist(),
-        "n_seen": int(np.asarray(monitor.state.n_seen)),
+        # host-side counter: reading state.n_seen off the device would add
+        # a second ~23 ms relay round trip per request (observe() batches
+        # its outputs into ONE device_get on purpose)
+        "n_seen": monitor.n_seen,
     }
     if out.fault_probs is not None:
         probs = np.round(np.asarray(out.fault_probs, np.float64), 6)
@@ -65,8 +68,10 @@ def _json_payload(out, monitor: OnlineMonitor) -> dict:
             _finite_or_null(row) for row in probs
         ]
         payload["fault_pred"] = out.fault_pred.tolist()
+        # glitched samples carry fault_pred = -1 (no valid posterior)
         payload["fault_names"] = [
-            monitor.diagnosis.class_names[int(i)] for i in out.fault_pred
+            monitor.diagnosis.class_names[int(i)] if int(i) >= 0 else None
+            for i in out.fault_pred
         ]
     return payload
 
@@ -91,10 +96,7 @@ def make_server(
 
         def do_GET(self):
             if self.path == "/health":
-                self._reply(200, {
-                    "ok": True,
-                    "n_seen": int(np.asarray(monitor.state.n_seen)),
-                })
+                self._reply(200, {"ok": True, "n_seen": monitor.n_seen})
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
@@ -108,9 +110,11 @@ def make_server(
                 return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
-                if n > MAX_REQUEST_BYTES:
+                if n < 0 or n > MAX_REQUEST_BYTES:
+                    # a negative length would make rfile.read block to EOF,
+                    # hanging the deliberately serial server
                     raise ValueError(
-                        f"request body {n} B exceeds limit {MAX_REQUEST_BYTES} B"
+                        f"request body length {n} outside [0, {MAX_REQUEST_BYTES}] B"
                     )
                 req = json.loads(self.rfile.read(n) or b"{}")
                 x = np.asarray(req["x"], np.float32)

@@ -458,7 +458,6 @@ def run_schedule(
         y_train = jax.device_put(jnp.asarray(y_np, jnp.float32), sh)
         params = replicate(mesh, params)
 
-    lr_gamma_defaults = {"thermal": 0.8, "hydrogen": 0.9, "oxygen": 0.9}
     group_of = {"thermal": "lam_t", "hydrogen": "lam_h", "oxygen": "lam_o"}
 
     def _run_stage_chunked(k, stage, params, resume):

@@ -2,6 +2,7 @@
 invariance, reset, checkpoint restore."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -547,3 +548,43 @@ class TestJsonSafety:
         finally:
             server.shutdown()
             server.server_close()
+
+    def test_glitched_samples_do_not_vote_class_zero(self, setup):
+        """An all-NaN posterior row's argmax is silently 0; glitched samples
+        must carry fault_pred = -1 so they never count as confident class-0
+        diagnoses (review r3)."""
+        import jax
+
+        from pinnfc_tpu.diagnosis.gmm import GMMParams
+        from pinnfc_tpu.serving.monitor import DiagnosisHead
+
+        params, d, mu, sigma, x_raw, v_meas = setup
+        # tiny 2-component head over (pV, pT)
+        gmm = GMMParams(
+            weights=jnp.asarray([0.5, 0.5]),
+            means=jnp.asarray([[0.0, 0.0], [1.0, 1.0]]),
+            covariances=jnp.asarray([np.eye(2), np.eye(2)], ),
+            converged=jnp.asarray(True),
+            n_iter=jnp.asarray(3),
+            lower_bound=jnp.asarray(-1.0),
+        )
+        head = DiagnosisHead(
+            gmm=gmm,
+            comp_fault_prob=jnp.asarray([[1.0, 0.0], [0.0, 1.0]], jnp.float32),
+            class_names=("normalish", "faultish"),
+            feature_indices=(1, 2),
+        )
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma,
+                            diagnosis=head)
+        x_bad = x_raw[:10].copy()
+        x_bad[4] = np.nan
+        out = mon.observe(x_bad, v_meas[:10])
+        pred = np.asarray(out.fault_pred)
+        assert pred[4] == -1
+        assert (pred[:4] >= 0).all() and (pred[5:] >= 0).all()
+
+    def test_glitch_alarm_n_validated(self, setup):
+        params, d, mu, sigma, x_raw, v_meas = setup
+        with pytest.raises(ValueError, match="glitch_alarm_n"):
+            OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma,
+                          glitch_alarm_n=0)
