@@ -254,3 +254,24 @@ class TestServeCli:
         assert "glitch" in body and "sensor_alarm" in body
         t.join(timeout=30)
         assert not t.is_alive()
+
+
+class TestTrainConfigFlags:
+    def test_precision_flag_reaches_model_config(self):
+        import argparse
+
+        from pinnfc_tpu.cli import _train_config
+
+        ns = argparse.Namespace(small=True, seed=1, steps_scale=None,
+                                precision="default")
+        assert _train_config(ns).model.precision == "default"
+        ns.precision = None
+        assert _train_config(ns).model.precision == "highest"
+
+    def test_ckpt_every_requires_resume_dir(self, capsys):
+        from pinnfc_tpu.cli import main
+
+        rc = main(["train", "--small", "--ckpt-every", "100",
+                   "--mat-out", "/tmp/never.mat"])
+        assert rc == 2
+        assert "resume-dir" in capsys.readouterr().err
