@@ -51,6 +51,7 @@ def build_comprehensive_results(
     dropout: float = 0.4,
     smooth_window: int = 200,
     sampler: str = "auto",
+    mesh=None,
 ) -> ComprehensiveResults:
     """Full exporter (reference 01:1877-2010 + main call 01:2156-2158).
 
@@ -60,6 +61,13 @@ def build_comprehensive_results(
     per-sample stream, 6× faster on TPU; see ops.pallas_mc_dropout and
     PERFORMANCE.md).  Only the flagship (8,256,256,256,1) topology has a
     kernel; 'auto' falls back to vmap for other shapes.
+
+    With ``mesh``, the MC sampling — the exporter's dominant cost — runs
+    with rows sharded over the mesh's 'data' axis (each device computes
+    full MC statistics for its row shard, zero collectives; rows are
+    edge-padded to the axis multiple and trimmed after, which is exact
+    because the per-row statistics are row-independent).  The mesh path
+    uses the vmapped sampler (the Pallas kernel is a single-core program).
 
     Note: the reference evaluates ``net_f_V`` on the *eval-mode DNN
     prediction* (01:1947 uses self.dnn after eval), which equals the MC
@@ -71,9 +79,27 @@ def build_comprehensive_results(
             (8, 256), (256, 256), (256, 256)
         ]
         sampler = (
-            "pallas" if flagship and jax.default_backend() == "tpu" else "vmap"
+            "pallas"
+            if flagship and jax.default_backend() == "tpu" and mesh is None
+            else "vmap"
         )
-    if sampler == "pallas":
+    if mesh is not None and sampler != "pallas":
+        from pinnfc_tpu.parallel.ensemble import mc_dropout_sharded
+        from pinnfc_tpu.parallel.mesh import pad_to_multiple
+        from pinnfc_tpu.uq.mc_dropout import MCSamples
+
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        x_pad, n0 = pad_to_multiple(np.asarray(dataset.x_test), n_dev)
+        mc_pad = mc_dropout_sharded(
+            params["mlp"], jnp.asarray(x_pad, jnp.float32), rng, mesh,
+            mc_times=mc_times, dropout=dropout,
+        )
+        mc = MCSamples(
+            pred_mean=jnp.asarray(np.asarray(mc_pad.pred_mean)[:n0]),
+            aleatoric_std=jnp.asarray(np.asarray(mc_pad.aleatoric_std)[:n0]),
+            epistemic_std=jnp.asarray(np.asarray(mc_pad.epistemic_std)[:n0]),
+        )
+    elif sampler == "pallas":
         from pinnfc_tpu.ops.pallas_mc_dropout import mc_dropout_pallas
 
         seed = int(jax.random.randint(rng, (), 0, 2**31 - 1))

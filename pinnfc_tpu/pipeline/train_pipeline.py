@@ -250,6 +250,7 @@ def run_training_pipeline(
         mc_times=config.mc_times,
         dropout=config.mc_dropout,
         smooth_window=config.smooth_window,
+        mesh=mesh,
     )
     timings["export_s"] = time.perf_counter() - t0
 

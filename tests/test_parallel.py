@@ -421,3 +421,32 @@ class TestChunkedScheduleOnMesh:
         for a, b in zip(jax.tree_util.tree_leaves(chunked),
                         jax.tree_util.tree_leaves(rerun)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestShardedExport:
+    def test_export_mesh_matches_single_device(self, mesh8, tiny_dataset):
+        """The mesh-sharded export (rows padded to the axis multiple, MC on
+        each shard, trimmed after) equals the single-device export exactly
+        when dropout=0 (deterministic MC), including the padded-tail trim —
+        tiny_dataset's N is not divisible by 8."""
+        from pinnfc_tpu.pipeline.export import build_comprehensive_results
+
+        import dataclasses
+
+        d = tiny_dataset
+        # force a non-divisible N so the padding/trim path is exercised
+        d = dataclasses.replace(
+            d, x_test=d.x_test[:-3], y_test=d.y_test[:-3]
+        )
+        assert d.x_test.shape[0] % 8 != 0
+        params = init_pinn(jax.random.PRNGKey(0), (8, 16, 1))
+        key = jax.random.PRNGKey(4)
+        single = build_comprehensive_results(
+            params, d, rng=key, mc_times=8, dropout=0.0
+        )
+        dp = build_comprehensive_results(
+            params, d, rng=key, mc_times=8, dropout=0.0, mesh=mesh8
+        )
+        np.testing.assert_allclose(
+            dp.array, single.array, rtol=1e-5, atol=1e-6
+        )
