@@ -459,9 +459,10 @@ def cmd_monitor(args) -> int:
         if getattr(args, "save_head", None):
             written = head.save(args.save_head)
             print(f"diagnosis head → {written}")
+    glitch_n = getattr(args, "glitch_alarm_n", None)
     monitor = OnlineMonitor.from_checkpoint(
         args.ckpt, mu, sigma, cfg, head,
-        glitch_alarm_n=getattr(args, "glitch_alarm_n", None) or _glitch_default(),
+        glitch_alarm_n=glitch_n if glitch_n is not None else _glitch_default(),
     )
 
     rows = arr
@@ -520,9 +521,10 @@ def cmd_serve(args) -> int:
     arr = load_comprehensive_results(args.mat).array
     mu, sigma = estimate_mu_sigma_normal(arr)
     head = DiagnosisHead.load(args.head) if args.head else None
+    glitch_n = getattr(args, "glitch_alarm_n", None)
     monitor = OnlineMonitor.from_checkpoint(
         args.ckpt, mu, sigma, RiskConfig(), head,
-        glitch_alarm_n=getattr(args, "glitch_alarm_n", None) or _glitch_default(),
+        glitch_alarm_n=glitch_n if glitch_n is not None else _glitch_default(),
     )
     serve(monitor, host=args.host, port=args.port,
           max_requests=args.max_requests)

@@ -74,6 +74,11 @@ def build_comprehensive_results(
     pred_mean — the same value is used here.
     """
     rng = jax.random.PRNGKey(1) if rng is None else rng
+    if sampler == "pallas" and mesh is not None:
+        raise ValueError(
+            "sampler='pallas' is a single-core kernel and cannot honor a mesh; "
+            "use sampler='auto'/'vmap' with mesh, or drop the mesh"
+        )
     if sampler == "auto":
         flagship = [w["w"].shape for w in params["mlp"]["hidden"]] == [
             (8, 256), (256, 256), (256, 256)
@@ -88,8 +93,9 @@ def build_comprehensive_results(
         from pinnfc_tpu.parallel.mesh import pad_to_multiple
         from pinnfc_tpu.uq.mc_dropout import MCSamples
 
-        n_dev = int(np.prod(list(mesh.shape.values())))
-        x_pad, n0 = pad_to_multiple(np.asarray(dataset.x_test), n_dev)
+        # rows shard only over the 'data' axis (model axes replicate), so
+        # padding to the data-axis size suffices — not the device product
+        x_pad, n0 = pad_to_multiple(np.asarray(dataset.x_test), mesh.shape["data"])
         mc_pad = mc_dropout_sharded(
             params["mlp"], jnp.asarray(x_pad, jnp.float32), rng, mesh,
             mc_times=mc_times, dropout=dropout,

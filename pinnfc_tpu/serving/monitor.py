@@ -292,8 +292,11 @@ class OnlineMonitor:
             # C[t]/EMA state FOREVER (the recurrence never forgets a NaN).
             # Treat such samples as contributing zero risk for the integral
             # and surface them per-sample via the ``glitch`` flag; their own
-            # rf/v_pred outputs still reflect the bad input.
-            glitch = ~jnp.isfinite(s_tot)
+            # rf/v_pred outputs still reflect the bad input.  A dead voltage
+            # channel (NaN v_meas) is folded in explicitly — under a layer
+            # config that drops the 'res' feature it would never reach s_tot,
+            # yet it still silently disables v_alarm for those rows.
+            glitch = ~(jnp.isfinite(s_tot) & jnp.isfinite(v_meas))
             # first-ever sample contributes no risk (C[0]=0 semantics, 04:262)
             s_tot = jnp.where(
                 (state.n_seen == 0) & (jnp.arange(s_tot.shape[0]) == 0),

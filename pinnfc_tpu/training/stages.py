@@ -423,6 +423,12 @@ def run_schedule(
             payload = load_params_npz(ckpt_path)
             params = payload["params"]
             k0 = int(jnp.asarray(payload["stage"]))
+            if k0 >= len(schedule):
+                raise ValueError(
+                    f"checkpoint at {ckpt_path} was written at stage {k0} but "
+                    f"the current schedule has only {len(schedule)} stages — "
+                    "the checkpoint does not match this schedule"
+                )
             step_done = (
                 int(jnp.asarray(payload["step"])) if "step" in payload else None
             )

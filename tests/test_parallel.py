@@ -450,3 +450,16 @@ class TestShardedExport:
         np.testing.assert_allclose(
             dp.array, single.array, rtol=1e-5, atol=1e-6
         )
+
+    def test_explicit_pallas_with_mesh_rejected(self, mesh8, tiny_dataset):
+        """sampler='pallas' is single-core; combining it with a mesh must
+        error instead of silently dropping the requested sharding
+        (advisor round-3)."""
+        from pinnfc_tpu.pipeline.export import build_comprehensive_results
+
+        params = init_pinn(jax.random.PRNGKey(0), (8, 16, 1))
+        with pytest.raises(ValueError, match="pallas"):
+            build_comprehensive_results(
+                params, tiny_dataset, mc_times=2, dropout=0.0,
+                sampler="pallas", mesh=mesh8,
+            )

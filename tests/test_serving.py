@@ -75,6 +75,12 @@ class TestMonitorCli:
         assert rc == 0
         assert "voltage alarm=" in capsys.readouterr().out
 
+        # an explicitly invalid --glitch-alarm-n must reach the monitor's
+        # validation and error loudly, not silently fall back to the default
+        with pytest.raises(ValueError, match="glitch_alarm_n"):
+            main(["monitor", "--mat", mat, "--ckpt", ckpt,
+                  "--glitch-alarm-n", "0"])
+
 
 class TestOnlineMonitor:
     def test_matches_offline_pipeline(self, setup):
@@ -450,6 +456,24 @@ class TestSensorGlitchGuard:
         want[30:35] = True
         np.testing.assert_array_equal(np.asarray(out.glitch), want)
         assert not np.asarray(out.sensor_alarm).any()  # run of 5 < default 25
+
+    def test_voltage_only_outage_is_a_glitch(self, setup):
+        """A dead voltage channel (NaN v_meas, finite x) silently disables
+        v_alarm for those rows — it must raise glitch and count toward the
+        sensor alarm just like an x-feature outage (advisor round-3)."""
+        params, d, mu, sigma, x_raw, v_meas = setup
+        mon = OnlineMonitor(
+            params, d.scaler_x, d.scaler_y, mu, sigma, glitch_alarm_n=5
+        )
+        v_bad = v_meas[:40].copy()
+        v_bad[10:17] = np.nan  # run of 7 ≥ 5 → alarm from sample 14 on
+        out = mon.observe(x_raw[:40], v_bad)
+        glitch = np.asarray(out.glitch)
+        want = np.zeros(40, bool)
+        want[10:17] = True
+        np.testing.assert_array_equal(glitch, want)
+        alarm = np.asarray(out.sensor_alarm)
+        assert alarm[14:17].all() and not alarm[:14].any() and not alarm[17:].any()
 
     def test_sensor_alarm_after_consecutive_glitches(self, setup):
         """A sustained all-NaN stream decays RF toward 'healthy'; the

@@ -227,6 +227,27 @@ class TestCheckpointResume:
             np.asarray(resumed["mlp"]["mean"]["b"]), rtol=1e-6,
         )
 
+    def test_resume_with_mismatched_shorter_schedule_errors(
+        self, tiny_dataset, tmp_path
+    ):
+        """A checkpoint whose saved stage index exceeds the current schedule
+        must raise a descriptive error, not an IndexError (advisor round-3)."""
+        d = tiny_dataset
+        p0 = init_pinn(jax.random.PRNGKey(5), (8, 16, 1))
+        ck = str(tmp_path / "mismatch")
+        run_schedule(
+            p0, d.x_train, d.y_train, d.scaler_x, d.scaler_y,
+            schedule=(StageConfig("dnn", 3, lr=0.01),
+                      StageConfig("thermal", 3, lr=1.0)),
+            rng=jax.random.PRNGKey(6), checkpoint_dir=ck,
+        )
+        with pytest.raises(ValueError, match="does not match this schedule"):
+            run_schedule(
+                p0, d.x_train, d.y_train, d.scaler_x, d.scaler_y,
+                schedule=(StageConfig("dnn", 3, lr=0.01),),
+                rng=jax.random.PRNGKey(6), checkpoint_dir=ck,
+            )
+
 
 class TestStepLRParity:
     def test_adam_steplr_trajectory_matches_torch(self):
