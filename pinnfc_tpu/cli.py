@@ -137,6 +137,7 @@ def cmd_train(args) -> int:
         from pinnfc_tpu.viz import (
             plot_detailed_results,
             plot_split_overview,
+            plot_temp_comparison,
             plot_uncertainty,
         )
 
@@ -147,6 +148,11 @@ def cmd_train(args) -> int:
             res.results, os.path.join(args.plot_dir, "detailed.png"), bl
         )
         plot_split_overview(res.results, bl, os.path.join(args.plot_dir, "split.png"))
+        # true vs physics-model temperature, the reference main's inline
+        # figure (01:2208-2228)
+        plot_temp_comparison(
+            res.results, os.path.join(args.plot_dir, "temp_comparison.png"), bl
+        )
         print("training figures →", args.plot_dir)
     return 0
 
@@ -214,9 +220,20 @@ def cmd_auc(args) -> int:
                 print(f"  {cname}: top+ {pos} | top- {neg}")
 
     if args.plot_dir:
-        from pinnfc_tpu.viz import plot_res_vs_epi, plot_roc_curves, plot_temp_vs_voltage
+        from pinnfc_tpu.viz import (
+            plot_res_vs_epi,
+            plot_roc_curves,
+            plot_scatter_by_features,
+            plot_temp_vs_voltage,
+        )
 
         os.makedirs(args.plot_dir, exist_ok=True)
+        # PLOT_FEATURES scatter first, as the reference main does (02:470-476)
+        plot_scatter_by_features(
+            results, cfg.plot_features, cfg.group_spec,
+            os.path.join(args.plot_dir, "feature_scatter.png"),
+            random_state=cfg.random_state,
+        )
         plot_roc_curves(out, os.path.join(args.plot_dir, "roc.png"))
         plot_temp_vs_voltage(results, os.path.join(args.plot_dir, "temp_vs_v.png"))
         plot_res_vs_epi(results, os.path.join(args.plot_dir, "res_vs_epi.png"))

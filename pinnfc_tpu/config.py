@@ -80,6 +80,7 @@ class AucConfig:
     """Supervised / unsupervised AUC evaluation (script 02 constants)."""
 
     feature_groups: Tuple[str, ...] = ("epi,res", "x0,x3,x4,x5", "res", "y_true")
+    plot_features: str = "x0,x3,x4,x5"  # scatter/t-SNE view features (02:51)
     group_spec: str = "正常:0 | 故障:1,2,3,4,5,6,7,8,9,10,11,12"  # 02:55
     test_size: float = 0.9  # 02:57
     random_state: int = 49  # 02:58

@@ -215,6 +215,85 @@ def plot_detailed_results(results, save_path: str, boundary_lines=()):
     return _finish(fig, save_path)
 
 
+def plot_temp_comparison(results, save_path: str, boundary_lines=()):
+    """Measured coolant-outlet temperature (col 5) vs the physics-model
+    temperature (col 19) — the reference main's inline figure
+    (01:2208-2228): blue solid vs red dashed on a 14×5 canvas, light grid,
+    gray dashed fault-boundary vlines (all but the last boundary)."""
+    arr = _arr(results)
+    true_temp = arr[:, INDEX["x5"]]  # 冷却水出堆温度 (真实), col 5
+    phys_temp = arr[:, 19]  # physics-model temperature, col 19
+    idx = np.arange(len(arr))
+
+    fig, ax = plt.subplots(figsize=(14, 5))
+    ax.plot(idx, true_temp, "b-", lw=2, label="Measured temperature")
+    ax.plot(idx, phys_temp, "r--", lw=2, label="Physics-model temperature")
+    ax.set_xlabel("Sample index")
+    ax.set_ylabel("Temperature (°C)")
+    ax.set_title(display_name("真实温度 vs 物理模型输出温度"))
+    ax.grid(True, alpha=0.3)
+    for b in list(boundary_lines)[:-1]:
+        ax.axvline(b, color="gray", ls="--", alpha=0.5, lw=1.5)
+    ax.legend(fontsize=10)
+    return _finish(fig, save_path)
+
+
+def plot_scatter_by_features(
+    results,
+    feature_spec: str,
+    group_spec: str,
+    save_path: str,
+    backend: str = "device",
+    random_state: int = 42,
+):
+    """Scatter of the configured PLOT_FEATURES, reference
+    ``plot_scatter_by_features`` (02:287-433, called from the 02 main at
+    02:470-476): exactly 2 features plot directly; >2 features embed to 2-D
+    with t-SNE first (TSNE_PARAMS 02:63 — perplexity 30, PCA init, fixed
+    seed).  Points are colored by coarse class (normal blue / fault red in
+    the binary case)."""
+    from pinnfc_tpu.diagnosis.features import (
+        build_label_mapper,
+        extract_X_y,
+        parse_features,
+        parse_group_spec,
+    )
+
+    arr = _arr(results)
+    feat_idx = parse_features(feature_spec)
+    if len(feat_idx) < 2:
+        raise ValueError(
+            f"feature scatter needs at least 2 features, got {feature_spec!r}"
+        )
+    label_map, class_names = build_label_mapper(parse_group_spec(group_spec))
+    x, y = extract_X_y(arr, feat_idx, label_map)
+    if len(x) == 0:
+        return None
+    if x.shape[1] > 2:
+        x2d = tsne_embed(x, random_state=random_state, backend=backend)
+        xlabel, ylabel = "t-SNE dim1", "t-SNE dim2"
+    else:
+        x2d = x
+        inv = {v: k for k, v in INDEX.items()}
+        xlabel = inv.get(feat_idx[0], f"col{feat_idx[0]}")
+        ylabel = inv.get(feat_idx[1], f"col{feat_idx[1]}")
+
+    fig, ax = plt.subplots(figsize=(5.5, 4.5))
+    # binary normal/fault keeps the reference's blue/red style (02:341-344)
+    colors = {0: "tab:blue", 1: "tab:red"} if len(class_names) == 2 else {}
+    for c in np.unique(y):
+        m = y == c
+        ax.scatter(
+            x2d[m, 0], x2d[m, 1], s=4, alpha=0.5,
+            c=colors.get(int(c)), label=display_name(class_names[int(c)]),
+        )
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.grid(True, ls=":", alpha=0.4)
+    ax.legend(fontsize=8, markerscale=2, frameon=True)
+    return _finish(fig, save_path)
+
+
 def plot_split_overview(results, boundary_lines: Sequence[int], save_path: str):
     """Voltage trace with segment boundaries (loader overview, 01:330-360)."""
     arr = _arr(results)

@@ -105,12 +105,15 @@ class TestCampaignEndToEnd:
             ]
         )
         assert rc == 0
-        # script-01 figure inventory: 2 uncertainty figures + detailed + split
+        # script-01 figure inventory: 2 uncertainty figures + detailed +
+        # split + the main's inline true-vs-physics temperature figure
+        # (01:2208-2228)
         assert {
             "uncertainty_aleatoric.png",
             "uncertainty_epistemic.png",
             "detailed.png",
             "split.png",
+            "temp_comparison.png",
         } <= set(os.listdir(plot_dir))
         assert os.path.exists(mat_out)
         res = load_comprehensive_results(mat_out)

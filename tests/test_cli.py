@@ -82,8 +82,11 @@ class TestCliSubcommands:
         assert main(["compare", "--mat", fake_mat, "--plot-dir", d]) == 0
 
         files = set(os.listdir(d))
-        # script 02: ROC overlay + the two scatter views
-        assert {"roc.png", "temp_vs_v.png", "res_vs_epi.png"} <= files
+        # script 02: PLOT_FEATURES scatter/t-SNE (02:470-476) + ROC overlay
+        # + the two scatter views
+        assert {
+            "feature_scatter.png", "roc.png", "temp_vs_v.png", "res_vs_epi.png",
+        } <= files
         # script 03: four per-fault probability figures + t-SNE + confusion
         assert {
             "prob_flooding.png",

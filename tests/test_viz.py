@@ -97,6 +97,35 @@ class TestPlots:
         labels = rng.randint(0, 3, 200)
         _check(plot_feature_scatter(x2d, labels, str(tmp_path / "f.png"), ["a", "b", "c"]))
 
+    def test_temp_comparison(self, fake_results, tmp_path):
+        """The reference main's inline true-vs-physics temperature figure
+        (01:2208-2228): col 5 vs col 19 with boundary vlines."""
+        from pinnfc_tpu.viz import plot_temp_comparison
+
+        arr = fake_results.copy()
+        arr[:, INDEX["x5"]] = 60.0 + np.linspace(0, 5, len(arr))
+        arr[:, 19] = 60.0 + np.linspace(0, 5, len(arr)) + 0.5
+        _check(plot_temp_comparison(arr, str(tmp_path / "tc.png"), [100, 400]))
+
+    def test_scatter_by_features_direct_and_tsne(self, fake_results, tmp_path):
+        """plot_scatter_by_features (02:287-433): 2 features plot the raw
+        dims; >2 features go through the t-SNE embedding first."""
+        from pinnfc_tpu.viz import plot_scatter_by_features
+
+        spec = "正常:0 | 故障:1,2,3"
+        _check(plot_scatter_by_features(
+            fake_results, "res,epi", spec, str(tmp_path / "s2.png")
+        ))
+        arr = fake_results[::4].copy()  # keep the t-SNE path quick
+        arr[:, INDEX["x3"]] = np.linspace(0, 1, len(arr))
+        _check(plot_scatter_by_features(
+            arr, "x0,x3,x4,x5", spec, str(tmp_path / "s4.png")
+        ))
+        with pytest.raises(ValueError, match="at least 2"):
+            plot_scatter_by_features(
+                fake_results, "res", spec, str(tmp_path / "s1.png")
+            )
+
     def test_rf_condition(self, fake_results, tmp_path):
         from pinnfc_tpu.risk import compute_rf_advance_for_condition, estimate_mu_sigma_normal
         from pinnfc_tpu.viz import plot_rf_condition
