@@ -296,7 +296,7 @@ def cmd_risk(args) -> int:
     from pinnfc_tpu.risk import run_risk_pipeline
 
     results = load_comprehensive_results(args.mat)
-    advances = run_risk_pipeline(results)
+    advances = run_risk_pipeline(results, backend=args.backend)
     print(f"{'current':>8} {'fault':>8} {'V alarm':>8} {'RF alarm':>9} {'advance':>8}")
     for a in advances:
         print(
@@ -608,6 +608,15 @@ def main(argv: Optional[list] = None) -> int:
         s = sub.add_parser(name, help=f"stage {name} over F01_output.mat")
         s.add_argument("--mat", default="F01_output.mat")
         s.add_argument("--plot-dir", default=None)
+        if name == "risk":
+            # warning times are integer threshold crossings; both backends
+            # agree on the full campaign (tested), 'jax' stays the default
+            # for the on-device serving/monitor parity path
+            s.add_argument(
+                "--backend", choices=("jax", "numpy"), default="jax",
+                help="RF recurrences: 'jax' (f32 on-device scans) or "
+                     "'numpy' (f64 lfilter, bit-parity with the reference)",
+            )
         if extra.get("methods"):
             s.add_argument(
                 "--methods", default=None,

@@ -61,6 +61,17 @@ class TestCliSubcommands:
         out = capsys.readouterr().out
         assert "advance" in out
 
+    def test_risk_backend_flag(self, fake_mat, capsys):
+        """`cli risk --backend numpy` selects the exact f64 lfilter path and
+        prints the same advance table as the default jax backend."""
+        assert main(["risk", "--mat", fake_mat, "--backend", "numpy"]) == 0
+        out_np = capsys.readouterr().out
+        assert main(["risk", "--mat", fake_mat, "--backend", "jax"]) == 0
+        out_jax = capsys.readouterr().out
+        assert "advance" in out_np and out_np == out_jax
+        with pytest.raises(SystemExit):
+            main(["risk", "--mat", fake_mat, "--backend", "torch"])
+
     def test_compare_subset(self, fake_mat, capsys):
         assert main(["compare", "--mat", fake_mat, "--methods", "logreg,kmeans"]) == 0
         out = capsys.readouterr().out

@@ -183,3 +183,50 @@ class TestNumpyBackend:
         for a, b in zip(out_jax, out_np):
             assert a.idx_v_alarm == b.idx_v_alarm
             assert a.idx_rf_alarm == b.idx_rf_alarm
+
+    def test_backends_agree_full_campaign_scale(self):
+        """VERDICT r3 #5: the f32 jax and f64 numpy backends must produce
+        the IDENTICAL 12-condition alarm-index table (04:395-408) at the
+        full campaign scale — 12 fault segments of 1050 samples (the
+        reference's own (0,1050) window for condition 1) with SLOW-onset
+        residual ramps and noise, so rf_smooth grazes the 0.3 warning
+        threshold for many samples: the adversarial regime where an f32
+        rounding flip would move an integer crossing.  Warning times are
+        whole-sample quantities, so this is asserted exactly, not within
+        a tolerance; 'jax' stays the CLI default because it is the path
+        the on-device serving monitor replays."""
+        rng = np.random.RandomState(7)
+        n_normal, n_fault = 2000, 1050
+        n = n_normal + 12 * n_fault
+        arr = np.zeros((n, 22))
+        arr[:, INDEX["y_true"]] = 4.0 + 0.01 * rng.randn(n)
+        for k in ("res", "pV", "pT", "pH", "pO"):
+            arr[:, INDEX[k]] = 0.1 * rng.randn(n)
+        arr[:n_normal, INDEX["x0"]] = rng.uniform(100, 400, n_normal)
+        pos, label = n_normal, 1
+        for fault in range(4):
+            for amps in (108.0, 270.0, 405.0):
+                seg = slice(pos, pos + n_fault)
+                arr[seg, INDEX["label"]] = label
+                arr[seg, INDEX["x0"]] = amps
+                # slow onset: healthy dwell then a shallow ramp that keeps
+                # |z| barely past z_safe → RF(t) creeps across 0.3
+                t = np.linspace(0.0, 1.0, n_fault)
+                ramp = np.clip((t - 0.25) / 0.75, 0.0, 1.0)
+                arr[seg, INDEX["res"]] += ramp * 0.35
+                arr[seg, INDEX["pV"]] += ramp * 0.3
+                arr[seg, INDEX["pT"]] += ramp * 0.25
+                arr[seg, INDEX["y_true"]] = 4.0 - ramp * 0.15
+                pos += n_fault
+                label += 1
+
+        out_jax = run_risk_pipeline(arr, backend="jax")
+        out_np = run_risk_pipeline(arr, backend="numpy")
+        assert len(out_jax) == len(out_np) == 12
+        for a, b in zip(out_jax, out_np):
+            assert (a.current_target, a.fault_name) == (b.current_target, b.fault_name)
+            assert a.idx_v_alarm == b.idx_v_alarm
+            assert a.idx_rf_alarm == b.idx_rf_alarm
+            assert a.advance == b.advance
+        # the scenario actually exercises alarms (not all-None trivially)
+        assert sum(a.idx_rf_alarm is not None for a in out_jax) == 12
