@@ -296,7 +296,8 @@ def cmd_risk(args) -> int:
     from pinnfc_tpu.risk import run_risk_pipeline
 
     results = load_comprehensive_results(args.mat)
-    advances = run_risk_pipeline(results, backend=args.backend)
+    # run-all synthesizes a bare Namespace per stage → default like argparse
+    advances = run_risk_pipeline(results, backend=getattr(args, "backend", "jax"))
     print(f"{'current':>8} {'fault':>8} {'V alarm':>8} {'RF alarm':>9} {'advance':>8}")
     for a in advances:
         print(

@@ -32,18 +32,33 @@ class GMMParams(NamedTuple):
 
 
 def _log_gaussian_prob(x: jnp.ndarray, means: jnp.ndarray, covs: jnp.ndarray, reg: float):
-    """log N(x | μ_c, Σ_c) for all samples × components via Cholesky."""
+    """log N(x | μ_c, Σ_c) for all samples × components, in sklearn's own
+    formulation: precompute the precision Cholesky ``B = L⁻ᵀ`` per component
+    (sklearn ``_compute_precision_cholesky``) and evaluate the Mahalanobis
+    term as ``‖x·B − μ·B‖²`` (sklearn ``_estimate_log_gaussian_prob``).
+
+    This shape matters for SPMD: a batched ``triangular_solve`` against the
+    row-sharded diff forced the partitioner to all-gather the sample axis
+    (the whole E-step ran replicated on every device).  Here the only solve
+    is the tiny replicated (C, D, D) inversion; everything touching the N
+    axis is a plain matmul, which shards row-parallel with zero collectives
+    (the psums appear only in the M-step contractions, as intended)."""
     d = x.shape[1]
-    covs = covs + reg * jnp.eye(d)[None, :, :]
+    covs = covs + reg * jnp.eye(d, dtype=x.dtype)[None, :, :]
     chol = jnp.linalg.cholesky(covs)  # (C, D, D)
-    diff = x[None, :, :] - means[:, None, :]  # (C, N, D)
-    # solve L z = diffᵀ  → z = L⁻¹ diffᵀ, per component
-    z = jax.lax.linalg.triangular_solve(
-        chol, jnp.swapaxes(diff, 1, 2), left_side=True, lower=True
-    )  # (C, D, N)
-    maha = jnp.sum(z**2, axis=1)  # (C, N)
-    log_det = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=1, axis2=2)), axis=1)  # (C,)
-    return (-0.5 * (d * jnp.log(2.0 * jnp.pi) + maha + log_det[:, None])).T  # (N, C)
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=x.dtype), chol.shape)
+    l_inv = jax.lax.linalg.triangular_solve(
+        chol, eye, left_side=True, lower=True
+    )  # L⁻¹, (C, D, D)
+    prec_chol = jnp.swapaxes(l_inv, 1, 2)  # B = L⁻ᵀ
+    xb = jnp.einsum("nd,cde->cne", x, prec_chol)  # (C, N, D), row-sharded
+    mub = jnp.einsum("cd,cde->ce", means, prec_chol)  # (C, D)
+    maha = jnp.sum((xb - mub[:, None, :]) ** 2, axis=2)  # (C, N)
+    # log|Σ_c|⁻¹ᐟ² = Σ log diag(B_c)  (diag(L⁻ᵀ) = 1/diag(L))
+    log_det = jnp.sum(
+        jnp.log(jnp.diagonal(prec_chol, axis1=1, axis2=2)), axis=1
+    )  # (C,)
+    return (-0.5 * (d * jnp.log(2.0 * jnp.pi) + maha) + log_det[:, None]).T  # (N, C)
 
 
 def _e_step(x, params, reg, mask=None):
