@@ -242,6 +242,7 @@ def cmd_auc(args) -> int:
 
 
 def cmd_gmm(args) -> int:
+    from pinnfc_tpu.config import GmmConfig
     from pinnfc_tpu.data import load_comprehensive_results
     from pinnfc_tpu.diagnosis import run_gmm_pipeline
 
@@ -254,7 +255,12 @@ def cmd_gmm(args) -> int:
 
         mesh = make_mesh(jax.device_count())
         print(f"GMM EM data-parallel over {jax.device_count()} devices")
-    out = run_gmm_pipeline(results, mesh=mesh)
+    cfg = GmmConfig()
+    if getattr(args, "init", None):
+        import dataclasses as dc
+
+        cfg = dc.replace(cfg, init=args.init)
+    out = run_gmm_pipeline(results, cfg, mesh=mesh)
     args.gmm_result = out  # run-all reuses the fit for the monitor's head
     print(f"GMM 4-class accuracy: {out.accuracy:.4f}")
     print("confusion:\n", out.confusion)
@@ -639,6 +645,12 @@ def main(argv: Optional[list] = None) -> int:
         if extra.get("tsne"):
             s.add_argument("--tsne", action="store_true",
                            help="also write a t-SNE figure (CPU, slow)")
+            s.add_argument(
+                "--init", choices=("kmeans", "sklearn"), default=None,
+                help="EM init: on-device k-means++ (default) or sklearn "
+                     "GaussianMixture's own kmeans init (reference-exact "
+                     "starting point)",
+            )
         s.set_defaults(fn=fn)
 
     r = sub.add_parser("run-all", help="full pipeline 01→02/03/04/05")

@@ -105,6 +105,15 @@ class GmmConfig:
     max_iter: int = 100
     tol: float = 1e-3
     reg_covar: float = 1e-6
+    # EM initialization: 'kmeans' = on-device k-means++ (default);
+    # 'sklearn' = inject sklearn GaussianMixture's own kmeans init
+    # responsibilities (one CPU k-means) — pins the EM trajectory to the
+    # reference's GaussianMixture(random_state=...) starting point
+    init: str = "kmeans"
+    # EM arithmetic: 'float32' (device default) or 'float64' (requires
+    # jax x64; with init='sklearn' reproduces sklearn's EM trajectory
+    # exactly — identical n_iter / labels, lower bound to ~1e-15)
+    dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

