@@ -236,11 +236,17 @@ class OnlineMonitor:
         # samples (glitched rows contribute zero risk, so a dead sensor would
         # otherwise decay RF toward "healthy" silently)
         self.glitch_alarm_n = int(glitch_alarm_n)
-        # host-side mirror of state.n_seen so serving never pays a second
-        # device readback per request just for a counter
-        self.n_seen = 0
-        self.state = self._fresh_state()
-        self._step = self._build_step()
+        # multi-stream state bank: real deployments watch several operating
+        # conditions concurrently (04:145-161 evaluates 12) — each stream
+        # key carries its own RF(t) recurrence state; "default" preserves
+        # the single-stream API
+        self._streams: dict[str, MonitorState] = {"default": self._fresh_state()}
+        # host-side mirror of per-stream n_seen so serving never pays a
+        # second device readback per request just for a counter
+        self._n_seen: dict[str, int] = {"default": 0}
+        self._step_fn = self._build_step()
+        self._step = jax.jit(self._step_fn)
+        self._vstep = None  # lazily-jitted vmapped step (observe_many)
 
     @staticmethod
     def _fresh_state() -> MonitorState:
@@ -260,7 +266,6 @@ class OnlineMonitor:
         layer_w = dict(cfg.layer_weights)
         head = self.diagnosis
 
-        @jax.jit
         def step(params, state: MonitorState, x_raw, v_meas, mu, sigma):
             x_norm = self.scaler_x.transform(x_raw)
             u_norm, _ = mlp_forward(params["mlp"], x_norm, train=False)
@@ -362,19 +367,31 @@ class OnlineMonitor:
 
         return step
 
-    def observe(self, x_raw, v_measured) -> MonitorOutput:
-        """Score a block of raw measurements (B, 8) + measured voltage (B,)."""
-        x_raw = jnp.asarray(np.atleast_2d(np.asarray(x_raw, np.float32)))
-        v_meas = jnp.asarray(np.atleast_1d(np.asarray(v_measured, np.float32)))
-        self.state, out = self._step(
-            self.params, self.state, x_raw, v_meas, self.mu, self.sigma
-        )
-        self.n_seen += int(x_raw.shape[0])
-        # ONE batched device→host fetch: each separate np.asarray costs a
-        # full relay round trip on remote-attached TPUs (measured ~23 ms
-        # apiece through the axon tunnel, benchmarks/serving_bench.py)
+    # ---- single-stream back-compat surface -------------------------------
+    @property
+    def state(self) -> MonitorState:
+        return self._streams["default"]
+
+    @state.setter
+    def state(self, value: MonitorState) -> None:
+        self._streams["default"] = value
+
+    @property
+    def n_seen(self) -> int:
+        """Total samples seen across all streams (equals the old counter
+        for single-stream use)."""
+        return sum(self._n_seen.values())
+
+    @property
+    def streams(self) -> tuple:
+        return tuple(self._streams)
+
+    def stream_n_seen(self, stream: str = "default") -> int:
+        return self._n_seen.get(stream, 0)
+
+    def _pack(self, out_host) -> MonitorOutput:
         (rf_inst, rf_smooth, r, v_pred, v_alarm, glitch, sensor_alarm,
-         (probs, pred)) = jax.device_get(out)
+         (probs, pred)) = out_host
         return MonitorOutput(
             rf_smooth=rf_smooth,
             rf_inst=rf_inst,
@@ -389,9 +406,85 @@ class OnlineMonitor:
             fault_pred=pred,
         )
 
-    def reset(self) -> None:
-        self.n_seen = 0
-        self.state = self._fresh_state()
+    def observe(self, x_raw, v_measured, stream: str = "default") -> MonitorOutput:
+        """Score a block of raw measurements (B, 8) + measured voltage (B,).
+
+        ``stream`` selects an independent RF(t) state in the bank (created
+        fresh on first use) — one monitor instance watches many operating
+        conditions with the SAME compiled step program."""
+        x_raw = jnp.asarray(np.atleast_2d(np.asarray(x_raw, np.float32)))
+        v_meas = jnp.asarray(np.atleast_1d(np.asarray(v_measured, np.float32)))
+        state = self._streams.get(stream)
+        if state is None:
+            state = self._fresh_state()
+        new_state, out = self._step(
+            self.params, state, x_raw, v_meas, self.mu, self.sigma
+        )
+        self._streams[stream] = new_state
+        self._n_seen[stream] = self._n_seen.get(stream, 0) + int(x_raw.shape[0])
+        # ONE batched device→host fetch: each separate np.asarray costs a
+        # full relay round trip on remote-attached TPUs (measured ~23 ms
+        # apiece through the axon tunnel, benchmarks/serving_bench.py)
+        return self._pack(jax.device_get(out))
+
+    def observe_many(self, x_bank, v_bank, streams) -> dict:
+        """Advance MANY streams in ONE device program (vmapped step).
+
+        Args:
+          x_bank: (S, B, 8) raw measurements, one block per stream.
+          v_bank: (S, B) measured voltages.
+          streams: S stream keys (created fresh on first use).
+
+        Equivalent to S ``observe`` calls (parity-tested), but the state
+        bank is stacked and the jitted step vmaps over the stream axis —
+        a co-located fleet polling at one cadence costs one dispatch, not
+        S round trips.  Returns {stream: MonitorOutput}."""
+        streams = list(streams)
+        x_bank = jnp.asarray(np.asarray(x_bank, np.float32))
+        v_bank = jnp.asarray(np.asarray(v_bank, np.float32))
+        if x_bank.ndim != 3 or x_bank.shape[0] != len(streams):
+            raise ValueError(
+                f"x_bank must be (S={len(streams)}, B, 8), got {x_bank.shape}"
+            )
+        if v_bank.shape != x_bank.shape[:2]:
+            raise ValueError(
+                f"v_bank must be {x_bank.shape[:2]}, got {v_bank.shape}"
+            )
+        if len(set(streams)) != len(streams):
+            raise ValueError("stream keys must be unique per observe_many call")
+        if self._vstep is None:
+            self._vstep = jax.jit(
+                jax.vmap(self._step_fn, in_axes=(None, 0, 0, 0, None, None))
+            )
+        states = [
+            s_ if (s_ := self._streams.get(s)) is not None else self._fresh_state()
+            for s in streams
+        ]
+        bank = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+        new_bank, out = self._vstep(
+            self.params, bank, x_bank, v_bank, self.mu, self.sigma
+        )
+        new_bank = jax.device_get(new_bank)
+        out_host = jax.device_get(out)
+        results = {}
+        for i, s in enumerate(streams):
+            self._streams[s] = jax.tree_util.tree_map(
+                lambda a, i=i: jnp.asarray(a[i]), new_bank
+            )
+            self._n_seen[s] = self._n_seen.get(s, 0) + int(x_bank.shape[1])
+            results[s] = self._pack(
+                jax.tree_util.tree_map(lambda a, i=i: a[i], out_host)
+            )
+        return results
+
+    def reset(self, stream: str | None = None) -> None:
+        """Reset one stream's state, or (default) the whole bank."""
+        if stream is None:
+            self._streams = {"default": self._fresh_state()}
+            self._n_seen = {"default": 0}
+        else:
+            self._streams[stream] = self._fresh_state()
+            self._n_seen[stream] = 0
 
     @classmethod
     def from_checkpoint(

@@ -7,13 +7,20 @@ single jitted step (the monitor itself carries the O(1) RF(t) state, so
 request granularity does not change the series — the same block-size
 invariance the streaming tests prove).
 
-    POST /observe   {"x": [[... 8 raw channels ...], ...], "v": [...]}
+    POST /observe   {"x": [[... 8 raw channels ...], ...], "v": [...],
+                     "stream": "stack-07"}          (stream optional)
         → {"rf_smooth": [...], "rf_inst": [...], "v_pred": [...],
            "warn": [...], "danger": [...], "v_alarm": [...],
            "fault_probs": [[...]], "fault_pred": [...],     (with a head)
-           "fault_names": [...], "n_seen": int}
-    POST /reset     → {"ok": true}
-    GET  /health    → {"ok": true, "n_seen": int}
+           "fault_names": [...], "n_seen": int,
+           "stream": "...", "stream_n_seen": int}
+    POST /reset     {"stream": "stack-07"}          (optional; else all)
+        → {"ok": true}
+    GET  /health    → {"ok": true, "n_seen": int, "streams": [...]}
+
+A ``stream`` key selects an independent RF(t) state in the monitor's bank
+(multi-stack deployments: one endpoint, one compiled step, per-stack
+recurrence state — reference 04:145-161 evaluates 12 such conditions).
 
 Threading note: ``http.server`` handles requests serially by default,
 which is exactly right here — the monitor's recurrence state makes
@@ -47,7 +54,19 @@ def _finite_or_null(arr) -> list:
     return [float(v) if np.isfinite(v) else None for v in a.ravel()]
 
 
-def _json_payload(out, monitor: OnlineMonitor) -> dict:
+MAX_STREAM_KEY_LEN = 128
+
+
+def _stream_key(req: dict) -> str:
+    stream = req.get("stream", "default")
+    if not isinstance(stream, str) or not stream:
+        raise ValueError("stream must be a non-empty string")
+    if len(stream) > MAX_STREAM_KEY_LEN:
+        raise ValueError(f"stream key longer than {MAX_STREAM_KEY_LEN} chars")
+    return stream
+
+
+def _json_payload(out, monitor: OnlineMonitor, stream: str = "default") -> dict:
     payload = {
         "rf_smooth": _finite_or_null(out.rf_smooth),
         "rf_inst": _finite_or_null(out.rf_inst),
@@ -57,10 +76,12 @@ def _json_payload(out, monitor: OnlineMonitor) -> dict:
         "v_alarm": out.v_alarm.tolist(),
         "glitch": out.glitch.tolist(),
         "sensor_alarm": out.sensor_alarm.tolist(),
-        # host-side counter: reading state.n_seen off the device would add
+        # host-side counters: reading state.n_seen off the device would add
         # a second ~23 ms relay round trip per request (observe() batches
         # its outputs into ONE device_get on purpose)
         "n_seen": monitor.n_seen,
+        "stream": stream,
+        "stream_n_seen": monitor.stream_n_seen(stream),
     }
     if out.fault_probs is not None:
         probs = np.round(np.asarray(out.fault_probs, np.float64), 6)
@@ -96,27 +117,42 @@ def make_server(
 
         def do_GET(self):
             if self.path == "/health":
-                self._reply(200, {"ok": True, "n_seen": monitor.n_seen})
+                self._reply(200, {
+                    "ok": True, "n_seen": monitor.n_seen,
+                    "streams": list(monitor.streams),
+                })
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
+        def _read_body(self) -> dict:
+            n = int(self.headers.get("Content-Length", "0"))
+            if n < 0 or n > MAX_REQUEST_BYTES:
+                # a negative length would make rfile.read block to EOF,
+                # hanging the deliberately serial server
+                raise ValueError(
+                    f"request body length {n} outside [0, {MAX_REQUEST_BYTES}] B"
+                )
+            return json.loads(self.rfile.read(n) or b"{}")
+
         def do_POST(self):
             if self.path == "/reset":
-                monitor.reset()
+                try:
+                    req = self._read_body()
+                    stream = req.get("stream")
+                    if stream is not None:
+                        stream = _stream_key(req)
+                except (ValueError, TypeError) as e:
+                    self._reply(400, {"error": str(e)})
+                    return
+                monitor.reset(stream)
                 self._reply(200, {"ok": True})
                 return
             if self.path != "/observe":
                 self._reply(404, {"error": f"unknown path {self.path}"})
                 return
             try:
-                n = int(self.headers.get("Content-Length", "0"))
-                if n < 0 or n > MAX_REQUEST_BYTES:
-                    # a negative length would make rfile.read block to EOF,
-                    # hanging the deliberately serial server
-                    raise ValueError(
-                        f"request body length {n} outside [0, {MAX_REQUEST_BYTES}] B"
-                    )
-                req = json.loads(self.rfile.read(n) or b"{}")
+                req = self._read_body()
+                stream = _stream_key(req)
                 x = np.asarray(req["x"], np.float32)
                 v = np.asarray(req["v"], np.float32)
                 if x.ndim != 2 or x.shape[1] != 8:
@@ -133,8 +169,8 @@ def make_server(
             # dropped connection — note the monitor's recurrence state may
             # already have advanced when observe fails mid-call
             try:
-                out = monitor.observe(x, v)
-                self._reply(200, _json_payload(out, monitor))
+                out = monitor.observe(x, v, stream=stream)
+                self._reply(200, _json_payload(out, monitor, stream))
             except Exception as e:  # noqa: BLE001 — serving boundary
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 

@@ -416,6 +416,140 @@ class TestHttpServer:
         assert code == 404
 
 
+class TestMultiStream:
+    """Multi-stream state bank (VERDICT r3 #8): one monitor watches several
+    operating conditions concurrently (04:145-161); per-stream RF(t) state,
+    same compiled step; the vmapped ``observe_many`` advances all streams
+    in one device program."""
+
+    def test_streams_equal_independent_monitors(self, setup):
+        params, d, mu, sigma, x_raw, v_meas = setup
+
+        def fresh():
+            return OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+
+        mon = fresh()
+        ref_a, ref_b = fresh(), fresh()
+        xa, va = x_raw[:150], v_meas[:150]
+        xb, vb = x_raw[150:300], v_meas[150:300] - 0.2  # distinct series
+
+        # interleave blocks across streams — states must not bleed
+        outs_a, outs_b, wa, wb = [], [], [], []
+        for lo, hi in ((0, 50), (50, 100), (100, 150)):
+            outs_a.append(mon.observe(xa[lo:hi], va[lo:hi], stream="a"))
+            outs_b.append(mon.observe(xb[lo:hi], vb[lo:hi], stream="b"))
+            wa.append(ref_a.observe(xa[lo:hi], va[lo:hi]))
+            wb.append(ref_b.observe(xb[lo:hi], vb[lo:hi]))
+        for got, want in zip(outs_a + outs_b, wa + wb):
+            np.testing.assert_array_equal(got.rf_smooth, want.rf_smooth)
+            np.testing.assert_array_equal(got.v_alarm, want.v_alarm)
+        assert mon.stream_n_seen("a") == mon.stream_n_seen("b") == 150
+        assert mon.n_seen == 300
+        assert set(mon.streams) == {"default", "a", "b"}
+
+        # per-stream reset leaves the sibling untouched
+        st_b = mon._streams["b"]
+        mon.reset("a")
+        assert mon.stream_n_seen("a") == 0 and mon.stream_n_seen("b") == 150
+        assert mon._streams["b"] is st_b
+
+    def test_observe_many_matches_observe(self, setup, head_and_feats):
+        params, d, mu, sigma, x_raw, v_meas = setup
+        head, _ = head_and_feats
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma,
+                            diagnosis=head)
+        ref = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma,
+                            diagnosis=head)
+        streams = ["s0", "s1", "s2"]
+        x_bank = np.stack([x_raw[0:40], x_raw[40:80], x_raw[80:120]])
+        v_bank = np.stack([v_meas[0:40], v_meas[40:80], v_meas[80:120]])
+
+        # two banked rounds: state must carry per stream across rounds
+        for rnd in (0, 1):
+            xb = x_bank + 0.01 * rnd
+            res = mon.observe_many(xb, v_bank, streams)
+            for i, s in enumerate(streams):
+                want = ref.observe(xb[i], v_bank[i], stream=s)
+                got = res[s]
+                np.testing.assert_allclose(
+                    got.rf_smooth, want.rf_smooth, rtol=1e-6, atol=1e-7
+                )
+                np.testing.assert_array_equal(got.fault_pred, want.fault_pred)
+                np.testing.assert_allclose(
+                    got.fault_probs, want.fault_probs, rtol=1e-5, atol=1e-7
+                )
+        assert mon.stream_n_seen("s1") == 80
+
+    # reuse the class-scoped head fixture
+    head_and_feats = TestStreamingDiagnosis.head_and_feats
+
+    def test_observe_many_validation(self, setup):
+        params, d, mu, sigma, x_raw, v_meas = setup
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        with pytest.raises(ValueError, match="x_bank"):
+            mon.observe_many(x_raw[:8], v_meas[:8], ["a"])
+        with pytest.raises(ValueError, match="unique"):
+            mon.observe_many(
+                np.stack([x_raw[:8], x_raw[:8]]),
+                np.stack([v_meas[:8], v_meas[:8]]), ["a", "a"],
+            )
+
+    def test_http_stream_routing(self, setup, head_and_feats):
+        """/observe with a stream key keeps per-stack state server-side;
+        /reset {"stream": ...} clears only that stream."""
+        import threading
+
+        from pinnfc_tpu.serving import make_server
+
+        params, d, mu, sigma, x_raw, v_meas = setup
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        server = make_server(mon, port=0)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            post = TestHttpServer._post
+            _, o1 = post(port, "/observe", {
+                "x": x_raw[:30].tolist(), "v": v_meas[:30].tolist(),
+                "stream": "stack-1",
+            })
+            _, o2 = post(port, "/observe", {
+                "x": x_raw[:30].tolist(), "v": v_meas[:30].tolist(),
+                "stream": "stack-2",
+            })
+            # same data on two fresh streams → identical series
+            np.testing.assert_allclose(o1["rf_smooth"], o2["rf_smooth"])
+            assert o1["stream"] == "stack-1" and o1["stream_n_seen"] == 30
+            assert o2["n_seen"] == 60
+
+            code, _ = post(port, "/reset", {"stream": "stack-1"})
+            assert code == 200
+            _, o3 = post(port, "/observe", {
+                "x": x_raw[:30].tolist(), "v": v_meas[:30].tolist(),
+                "stream": "stack-1",
+            })
+            np.testing.assert_allclose(o3["rf_smooth"], o1["rf_smooth"])
+            assert o3["stream_n_seen"] == 30
+
+            code, body = post(port, "/observe", {
+                "x": x_raw[:5].tolist(), "v": v_meas[:5].tolist(),
+                "stream": "",
+            })
+            assert code == 400 and "stream" in body["error"]
+
+            import json as j
+            import urllib.request
+
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/health"
+            ) as r:
+                health = j.loads(r.read())
+            assert "stack-2" in health["streams"]
+        finally:
+            server.shutdown()
+            server.server_close()
+
+
 class TestSensorGlitchGuard:
     def test_nan_row_does_not_poison_state(self, setup):
         """A non-finite sensor row must not corrupt the carried RF state:
