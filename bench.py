@@ -7,10 +7,17 @@ equivalent torch-CPU implementation of the same step (the reference's
 training style).  Prints ONE JSON line:
 
     {"metric": "pinn_train_steps_per_sec", "value": ..., "unit": "steps/s",
-     "vs_baseline": ...}
+     "vs_baseline": ..., "compile_s": ..., "steady_steps_per_sec": ...,
+     "throughput_steady_steps_per_sec": ..., "flops_per_step": ...,
+     "tflops": ..., "mfu_pct": ..., "throughput_mfu_pct": ...}
 
 ``vs_baseline`` = JAX-on-accelerator steps/s ÷ torch-CPU steps/s (the
-BASELINE.json north star asks ≥50×).
+BASELINE.json north star asks ≥50×).  Two precision configs are measured
+(VERDICT r3 #4): 'highest' (6-pass f32 MXU, torch-parity numerics — the
+headline) and 'default' (bf16 MXU inputs — the throughput mode,
+``cli train --precision default``), so a regression in either mode is
+visible round-over-round.  ``mfu_pct`` is analytic matmul FLOPs/step ÷
+measured step time ÷ the chip's bf16 peak.
 """
 
 from __future__ import annotations
@@ -25,11 +32,29 @@ LAYERS = (8, 256, 256, 256, 1)
 JAX_STEPS = 1001  # per timed run; per-step cost is length-independent (scan)
 TORCH_STEPS = 30
 
+# Analytic matmul FLOPs per training step: forward 2·N·(in·out) per layer,
+# backward ≈ 2× forward (dL/dx + dL/dW matmuls) → 6·N·Σ(in·out).  Matmul
+# terms: trunk 8·256 + 256·256 + 256·256, mean head 256·1, variance head
+# 256·128 + 128·64 + 64·1 (models/mlp.py mirrors 01:389-438).  Elementwise
+# work (tanh/dropout/Adam) is excluded — it is not MXU work.
+_MATMUL_IN_OUT = (
+    8 * 256 + 256 * 256 + 256 * 256  # trunk
+    + 256 * 1  # mean head
+    + 256 * 128 + 128 * 64 + 64 * 1  # var head
+)
+FLOPS_PER_STEP = 6 * N_TRAIN * _MATMUL_IN_OUT
 
-def bench_jax():
-    """Returns (steady_steps_per_sec, compile_s).  The first call pays
-    compile/cache-load; it is timed SEPARATELY so a cold persistent cache
-    can never masquerade as a throughput regression (VERDICT r2 #5)."""
+# TPU v5e bf16 peak (197 TFLOP/s).  MFU for the parity config is reported
+# against the same bf16 peak — the 6-pass f32 emulation's extra passes are
+# real speed-of-light cost, not free headroom (PERFORMANCE.md §MFU).
+PEAK_TFLOPS = {"tpu": 197.0}
+
+
+def bench_jax(precision: str = "highest"):
+    """Returns (steady_steps_per_sec, compile_s) for one precision config.
+    The first call pays compile/cache-load; it is timed SEPARATELY so a
+    cold persistent cache can never masquerade as a throughput regression
+    (VERDICT r2 #5)."""
     import jax
     import jax.numpy as jnp
 
@@ -47,7 +72,8 @@ def bench_jax():
     # warmup/compile at the SAME scan length (the trip count is part of the
     # compiled program — a different length would not hit the cache)
     t0 = time.perf_counter()
-    res = train_dnn_stage(params, x, y, key(0), n_iter=JAX_STEPS)
+    res = train_dnn_stage(params, x, y, key(0), n_iter=JAX_STEPS,
+                          precision=precision)
     assert np.isfinite(float(res.losses[-1]))
     first_call_s = time.perf_counter() - t0
 
@@ -56,7 +82,8 @@ def bench_jax():
     times = []
     for i in range(1, 4):
         t0 = time.perf_counter()
-        res = train_dnn_stage(params, x, y, key(i), n_iter=JAX_STEPS)
+        res = train_dnn_stage(params, x, y, key(i), n_iter=JAX_STEPS,
+                              precision=precision)
         final_loss = float(res.losses[-1])
         times.append(time.perf_counter() - t0)
         assert np.isfinite(final_loss)
@@ -117,6 +144,15 @@ def bench_torch_cpu() -> float:
     return TORCH_STEPS / dt
 
 
+def _mfu_pct(steps_per_sec: float) -> float | None:
+    import jax
+
+    peak = PEAK_TFLOPS.get(jax.default_backend())
+    if peak is None:  # CPU run: MFU vs a TPU peak would be meaningless
+        return None
+    return 100.0 * steps_per_sec * FLOPS_PER_STEP / (peak * 1e12)
+
+
 def main():
     import sys
 
@@ -128,10 +164,18 @@ def main():
     torch_sps = bench_torch_cpu()
     print(f"[bench] torch-cpu: {torch_sps:.1f} steps/s "
           f"({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
-    jax_sps, compile_s = bench_jax()
-    print(f"[bench] jax: {jax_sps:.1f} steps/s steady-state "
+    jax_sps, compile_s = bench_jax("highest")
+    print(f"[bench] jax parity-precision: {jax_sps:.1f} steps/s steady-state "
           f"(compile/cache-load {compile_s:.1f}s, timed separately)",
           file=sys.stderr)
+    tp_sps, tp_compile_s = bench_jax("default")
+    print(f"[bench] jax throughput-mode (bf16 MXU): {tp_sps:.1f} steps/s "
+          f"steady-state (compile/cache-load {tp_compile_s:.1f}s)",
+          file=sys.stderr)
+
+    mfu = _mfu_pct(jax_sps)
+    tp_mfu = _mfu_pct(tp_sps)
+    tflops = jax_sps * FLOPS_PER_STEP / 1e12
     print(
         json.dumps(
             {
@@ -143,6 +187,15 @@ def main():
                 # out so cache state never contaminates the headline number
                 "compile_s": round(compile_s, 2),
                 "steady_steps_per_sec": round(jax_sps, 2),
+                # bf16-MXU throughput mode (cli train --precision default)
+                "throughput_steady_steps_per_sec": round(tp_sps, 2),
+                # analytic matmul work and utilization (VERDICT r3 #4)
+                "flops_per_step": FLOPS_PER_STEP,
+                "tflops": round(tflops, 2),
+                "mfu_pct": None if mfu is None else round(mfu, 2),
+                "throughput_mfu_pct": (
+                    None if tp_mfu is None else round(tp_mfu, 2)
+                ),
             }
         )
     )
