@@ -51,8 +51,9 @@ def _log_gaussian_prob(x: jnp.ndarray, means: jnp.ndarray, covs: jnp.ndarray):
         chol, eye, left_side=True, lower=True
     )  # L⁻¹, (C, D, D)
     prec_chol = jnp.swapaxes(l_inv, 1, 2)  # B = L⁻ᵀ
-    xb = jnp.einsum("nd,cde->cne", x, prec_chol)  # (C, N, D), row-sharded
-    mub = jnp.einsum("cd,cde->ce", means, prec_chol)  # (C, D)
+    xb = jnp.einsum("nd,cde->cne", x, prec_chol,
+                    precision="highest")  # (C, N, D), row-sharded
+    mub = jnp.einsum("cd,cde->ce", means, prec_chol, precision="highest")
     maha = jnp.sum((xb - mub[:, None, :]) ** 2, axis=2)  # (C, N)
     # log|Σ_c|⁻¹ᐟ² = Σ log diag(B_c)  (diag(L⁻ᵀ) = 1/diag(L))
     log_det = jnp.sum(
@@ -87,10 +88,12 @@ def _gaussian_parameters(x, resp, reg, mask=None):
     if mask is not None:
         resp = resp * mask[:, None]
     nk = jnp.sum(resp, axis=0) + 10.0 * jnp.finfo(resp.dtype).eps  # (C,)
-    means = (resp.T @ x) / nk[:, None]  # (C, D)
+    means = jnp.einsum("nc,nd->cd", resp, x,
+                       precision="highest") / nk[:, None]  # (C, D)
     diff = x[None, :, :] - means[:, None, :]  # (C, N, D)
     wdiff = diff * resp.T[:, :, None]
-    covs = jnp.einsum("cnd,cne->cde", wdiff, diff) / nk[:, None, None]
+    covs = jnp.einsum("cnd,cne->cde", wdiff, diff,
+                      precision="highest") / nk[:, None, None]
     covs = covs + reg * jnp.eye(x.shape[1], dtype=x.dtype)[None, :, :]
     return nk, means, covs
 

@@ -106,7 +106,11 @@ def run_gmm_pipeline(
             max_iter=config.max_iter,
             tol=config.tol,
             reg_covar=config.reg_covar,
-            init_resp=None if init_resp is None else jnp.asarray(init_resp),
+            # cast HOST-side: a f64 jnp.asarray is an eager on-device
+            # convert (~10-17 s remote compile on relay TPUs, CLAUDE.md);
+            # the mesh branch does the same in gmm_fit_dp
+            init_resp=(None if init_resp is None
+                       else np.asarray(init_resp, config.dtype)),
             dtype=jnp.dtype(config.dtype).type,
         )
     resp_tr = np.asarray(gmm_predict_proba(model, x_tr))

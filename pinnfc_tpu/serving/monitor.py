@@ -464,8 +464,9 @@ class OnlineMonitor:
         new_bank, out = self._vstep(
             self.params, bank, x_bank, v_bank, self.mu, self.sigma
         )
-        new_bank = jax.device_get(new_bank)
-        out_host = jax.device_get(out)
+        # ONE batched device→host fetch for the whole bank (same ~23 ms
+        # relay-RTT-per-device_get economics as observe())
+        new_bank, out_host = jax.device_get((new_bank, out))
         results = {}
         for i, s in enumerate(streams):
             self._streams[s] = jax.tree_util.tree_map(

@@ -55,14 +55,23 @@ def _finite_or_null(arr) -> list:
 
 
 MAX_STREAM_KEY_LEN = 128
+# untrusted-boundary cap: every NOVEL stream key allocates a state-bank
+# entry that lives until reset — without a cap a client looping unique
+# keys grows the bank (and /health's streams list) without bound
+MAX_STREAMS = 1024
 
 
-def _stream_key(req: dict) -> str:
+def _stream_key(req: dict, monitor: OnlineMonitor) -> str:
     stream = req.get("stream", "default")
     if not isinstance(stream, str) or not stream:
         raise ValueError("stream must be a non-empty string")
     if len(stream) > MAX_STREAM_KEY_LEN:
         raise ValueError(f"stream key longer than {MAX_STREAM_KEY_LEN} chars")
+    if stream not in monitor.streams and len(monitor.streams) >= MAX_STREAMS:
+        raise ValueError(
+            f"stream bank full ({MAX_STREAMS} streams); POST /reset with no "
+            "stream key clears the bank"
+        )
     return stream
 
 
@@ -140,7 +149,7 @@ def make_server(
                     req = self._read_body()
                     stream = req.get("stream")
                     if stream is not None:
-                        stream = _stream_key(req)
+                        stream = _stream_key(req, monitor)
                 except (ValueError, TypeError) as e:
                     self._reply(400, {"error": str(e)})
                     return
@@ -152,7 +161,7 @@ def make_server(
                 return
             try:
                 req = self._read_body()
-                stream = _stream_key(req)
+                stream = _stream_key(req, monitor)
                 x = np.asarray(req["x"], np.float32)
                 v = np.asarray(req["v"], np.float32)
                 if x.ndim != 2 or x.shape[1] != 8:

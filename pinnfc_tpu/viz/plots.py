@@ -222,7 +222,7 @@ def plot_temp_comparison(results, save_path: str, boundary_lines=()):
     gray dashed fault-boundary vlines (all but the last boundary)."""
     arr = _arr(results)
     true_temp = arr[:, INDEX["x5"]]  # 冷却水出堆温度 (真实), col 5
-    phys_temp = arr[:, 19]  # physics-model temperature, col 19
+    phys_temp = arr[:, INDEX["t_phys"]]  # physics-model temperature, col 19
     idx = np.arange(len(arr))
 
     fig, ax = plt.subplots(figsize=(14, 5))
@@ -281,12 +281,7 @@ def plot_scatter_by_features(
     fig, ax = plt.subplots(figsize=(5.5, 4.5))
     # binary normal/fault keeps the reference's blue/red style (02:341-344)
     colors = {0: "tab:blue", 1: "tab:red"} if len(class_names) == 2 else {}
-    for c in np.unique(y):
-        m = y == c
-        ax.scatter(
-            x2d[m, 0], x2d[m, 1], s=4, alpha=0.5,
-            c=colors.get(int(c)), label=display_name(class_names[int(c)]),
-        )
+    _class_scatter(ax, x2d, y, class_names, colors)
     ax.set_xlabel(xlabel)
     ax.set_ylabel(ylabel)
     ax.grid(True, ls=":", alpha=0.4)
@@ -323,17 +318,24 @@ def plot_roc_curves(auc_result, save_path: str):
     return _finish(fig, save_path)
 
 
+def _class_scatter(ax, x2d, labels, class_names=None, colors=None):
+    """Shared class-colored 2-D scatter loop (plot_feature_scatter /
+    plot_scatter_by_features)."""
+    colors = colors or {}
+    for c in np.unique(labels):
+        m = labels == c
+        name = display_name(class_names[int(c)]) if class_names else str(int(c))
+        ax.scatter(x2d[m, 0], x2d[m, 1], s=4, alpha=0.5,
+                   c=colors.get(int(c)), label=name)
+
+
 def plot_feature_scatter(
     x2d: np.ndarray, labels: np.ndarray, save_path: str,
     class_names: Optional[List[str]] = None, title: str = "",
 ):
     """2-D scatter colored by class (02:233-285 / t-SNE output views)."""
     fig, ax = plt.subplots(figsize=(5.5, 4.5))
-    classes = np.unique(labels)
-    for c in classes:
-        m = labels == c
-        name = display_name(class_names[int(c)]) if class_names else str(int(c))
-        ax.scatter(x2d[m, 0], x2d[m, 1], s=4, alpha=0.5, label=name)
+    _class_scatter(ax, x2d, labels, class_names)
     ax.legend(fontsize=7, markerscale=2)
     if title:
         ax.set_title(title, fontsize=9)

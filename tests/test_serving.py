@@ -545,6 +545,26 @@ class TestMultiStream:
             ) as r:
                 health = j.loads(r.read())
             assert "stack-2" in health["streams"]
+
+            # stream-bank cardinality cap: a NOVEL key is refused once the
+            # bank is full; existing keys keep working
+            import pinnfc_tpu.serving.server as srv_mod
+
+            old_cap = srv_mod.MAX_STREAMS
+            srv_mod.MAX_STREAMS = len(mon.streams)
+            try:
+                code, body = post(port, "/observe", {
+                    "x": x_raw[:5].tolist(), "v": v_meas[:5].tolist(),
+                    "stream": "stack-overflow",
+                })
+                assert code == 400 and "bank full" in body["error"]
+                code, _ = post(port, "/observe", {
+                    "x": x_raw[:5].tolist(), "v": v_meas[:5].tolist(),
+                    "stream": "stack-2",
+                })
+                assert code == 200
+            finally:
+                srv_mod.MAX_STREAMS = old_cap
         finally:
             server.shutdown()
             server.server_close()
