@@ -14,6 +14,9 @@ invariance the streaming tests prove).
            "fault_probs": [[...]], "fault_pred": [...],     (with a head)
            "fault_names": [...], "n_seen": int,
            "stream": "...", "stream_n_seen": int}
+    POST /observe_many  {"streams": [...], "x": (S,B,8), "v": (S,B)}
+        → {"results": {stream: <observe payload>}, "n_seen": int}
+        (a whole fleet advances in ONE vmapped device program)
     POST /reset     {"stream": "stack-07"}          (optional; else all)
         → {"ok": true}
     GET  /health    → {"ok": true, "n_seen": int, "streams": [...]}
@@ -156,6 +159,9 @@ def make_server(
                 monitor.reset(stream)
                 self._reply(200, {"ok": True})
                 return
+            if self.path == "/observe_many":
+                self._observe_many()
+                return
             if self.path != "/observe":
                 self._reply(404, {"error": f"unknown path {self.path}"})
                 return
@@ -183,6 +189,59 @@ def make_server(
             except Exception as e:  # noqa: BLE001 — serving boundary
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
+        def _observe_many(self):
+            """POST /observe_many — a co-located fleet polling at one
+            cadence: S streams advance in ONE vmapped device program
+            (``OnlineMonitor.observe_many``) instead of S round trips.
+
+                {"streams": ["stack-1", ...],          (S unique keys)
+                 "x": [[[...8 channels...], ...], ...],  (S, B, 8)
+                 "v": [[...], ...]}                      (S, B)
+                → {"results": {stream: <observe payload>, ...},
+                   "n_seen": int}
+            """
+            try:
+                req = self._read_body()
+                streams = req.get("streams")
+                if (not isinstance(streams, list) or not streams
+                        or not all(isinstance(s, str) for s in streams)):
+                    raise ValueError("streams must be a non-empty list of strings")
+                if len(set(streams)) != len(streams):
+                    raise ValueError("stream keys must be unique")
+                novel = 0
+                for s in streams:
+                    _stream_key({"stream": s}, monitor)
+                    novel += s not in monitor.streams
+                # _stream_key counts only already-created streams; the batch
+                # itself may create several at once
+                if len(monitor.streams) + novel > MAX_STREAMS:
+                    raise ValueError(
+                        f"stream bank full ({MAX_STREAMS} streams); POST "
+                        "/reset with no stream key clears the bank"
+                    )
+                x = np.asarray(req["x"], np.float32)
+                v = np.asarray(req["v"], np.float32)
+                if x.ndim != 3 or x.shape[0] != len(streams) or x.shape[2] != 8:
+                    raise ValueError(
+                        f"x must be ({len(streams)}, B, 8), got {x.shape}"
+                    )
+                if v.shape != x.shape[:2]:
+                    raise ValueError(f"v must be {x.shape[:2]}, got {v.shape}")
+            except (KeyError, ValueError, TypeError) as e:
+                self._reply(400, {"error": str(e)})
+                return
+            try:
+                outs = monitor.observe_many(x, v, streams)
+                self._reply(200, {
+                    "results": {
+                        s: _json_payload(out, monitor, s)
+                        for s, out in outs.items()
+                    },
+                    "n_seen": monitor.n_seen,
+                })
+            except Exception as e:  # noqa: BLE001 — serving boundary
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
     return HTTPServer((host, port), Handler)
 
 
@@ -195,7 +254,7 @@ def serve(
     """Run the endpoint. ``max_requests`` bounds the loop (tests/demos)."""
     server = make_server(monitor, host, port)
     print(f"serving OnlineMonitor on http://{host}:{port} "
-          f"(POST /observe, POST /reset, GET /health)")
+          f"(POST /observe, /observe_many, /reset, GET /health)")
     try:
         if max_requests is None:
             server.serve_forever()

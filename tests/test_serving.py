@@ -494,6 +494,56 @@ class TestMultiStream:
                 np.stack([v_meas[:8], v_meas[:8]]), ["a", "a"],
             )
 
+    def test_http_observe_many(self, setup):
+        """/observe_many advances a fleet in one request; payloads match
+        sequential /observe calls on a twin server."""
+        import threading
+
+        from pinnfc_tpu.serving import make_server
+
+        params, d, mu, sigma, x_raw, v_meas = setup
+
+        def start():
+            mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+            server = make_server(mon, port=0)
+            t = threading.Thread(target=server.serve_forever, daemon=True)
+            t.start()
+            return server, server.server_address[1], mon
+
+        srv_a, port_a, _ = start()
+        srv_b, port_b, _ = start()
+        try:
+            post = TestHttpServer._post
+            x_bank = [x_raw[0:20].tolist(), x_raw[20:40].tolist()]
+            v_bank = [v_meas[0:20].tolist(), v_meas[20:40].tolist()]
+            code, many = post(port_a, "/observe_many", {
+                "streams": ["s1", "s2"], "x": x_bank, "v": v_bank,
+            })
+            assert code == 200 and many["n_seen"] == 40
+            for i, s in enumerate(("s1", "s2")):
+                _, one = post(port_b, "/observe", {
+                    "x": x_bank[i], "v": v_bank[i], "stream": s,
+                })
+                got = many["results"][s]
+                np.testing.assert_allclose(
+                    got["rf_smooth"], one["rf_smooth"], rtol=1e-6, atol=1e-7
+                )
+                assert got["stream_n_seen"] == 20
+
+            # validation: duplicate keys, shape mismatch → 400
+            code, body = post(port_a, "/observe_many", {
+                "streams": ["s1", "s1"], "x": x_bank, "v": v_bank,
+            })
+            assert code == 400 and "unique" in body["error"]
+            code, body = post(port_a, "/observe_many", {
+                "streams": ["s1"], "x": x_bank, "v": v_bank,
+            })
+            assert code == 400 and "x must be" in body["error"]
+        finally:
+            for srv in (srv_a, srv_b):
+                srv.shutdown()
+                srv.server_close()
+
     def test_http_stream_routing(self, setup, head_and_feats):
         """/observe with a stream key keeps per-stack state server-side;
         /reset {"stream": ...} clears only that stream."""
