@@ -74,6 +74,32 @@ def bench(monitor, block: int) -> float:
     return sorted(times)[len(times) // 2]
 
 
+FLEET_SIZES = (4, 16, 64)
+FLEET_BLOCK = 64
+
+
+def bench_fleet(monitor, n_streams: int) -> tuple[float, float]:
+    """Median latency of (a) one observe_many over n_streams and (b) the
+    same fleet advanced by n_streams sequential observe calls."""
+    rs = np.random.RandomState(3)
+    xb = rs.uniform(-1, 1, (n_streams, FLEET_BLOCK, 8)).astype(np.float32)
+    vb = rs.uniform(3, 4, (n_streams, FLEET_BLOCK)).astype(np.float32)
+    streams = [f"s{i}" for i in range(n_streams)]
+    monitor.observe_many(xb, vb, streams)  # compile
+    many_t, seq_t = [], []
+    for i in range(N_REPEAT // 2):
+        x2 = xb + 1e-3 * i
+        t0 = time.perf_counter()
+        monitor.observe_many(x2, vb, streams)
+        many_t.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        for j, s in enumerate(streams):
+            monitor.observe(x2[j], vb[j], stream=s)
+        seq_t.append(time.perf_counter() - t0)
+    med = lambda ts: sorted(ts)[len(ts) // 2]  # noqa: E731
+    return med(many_t), med(seq_t)
+
+
 def main():
     from pinnfc_tpu.utils.compilation_cache import enable_compilation_cache
 
@@ -88,6 +114,19 @@ def main():
             out[key][str(b)] = round(dt * 1e3, 2)
             print(f"  {key} block={b}: {dt*1e3:.2f} ms "
                   f"({b/dt:.0f} samples/s)", flush=True)
+    # fleet polling: S streams in one vmapped dispatch vs S observe calls
+    mon = build_monitor(True)
+    out["fleet_observe_many_ms"] = {}
+    for s in FLEET_SIZES:
+        many, seq = bench_fleet(mon, s)
+        out["fleet_observe_many_ms"][str(s)] = {
+            "observe_many": round(many * 1e3, 2),
+            "sequential": round(seq * 1e3, 2),
+            "speedup": round(seq / many, 2),
+        }
+        print(f"  fleet S={s} (block {FLEET_BLOCK}): observe_many "
+              f"{many*1e3:.1f} ms vs {s}x observe {seq*1e3:.1f} ms "
+              f"({seq/many:.1f}x)", flush=True)
     print(json.dumps(out))
 
 
