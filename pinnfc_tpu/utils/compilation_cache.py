@@ -12,11 +12,23 @@ import os
 
 
 def enable_compilation_cache(path: str = "~/.cache/pinnfc_jax") -> bool:
-    """Turn on the persistent compilation cache.  Returns success."""
+    """Turn on the persistent compilation cache.  Returns success.
+
+    ``PINNFC_COMPILATION_CACHE_DIR`` overrides ``path``; the empty
+    string DISABLES the cache.  The CPU-sim test harness disables it:
+    XLA:CPU executable serialize/deserialize aborted the process
+    (``Fatal Python error: Aborted`` inside ``executable.serialize()`` /
+    ``backend.deserialize_executable``) twice late in full-suite runs,
+    CPU compiles are seconds anyway, and a killed test run sharing the
+    production cache can leave a truncated entry that aborts the next
+    reader (all three observed live, 2026-08-17)."""
     try:
         import jax
 
-        cache_dir = os.path.expanduser(path)
+        override = os.environ.get("PINNFC_COMPILATION_CACHE_DIR")
+        if override == "":
+            return False
+        cache_dir = os.path.expanduser(override if override else path)
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
