@@ -58,6 +58,10 @@ def build_monitor(with_head: bool):
     return OnlineMonitor(params, sx, sy, mu, sigma, diagnosis=head)
 
 
+def _median(ts) -> float:
+    return sorted(ts)[len(ts) // 2]
+
+
 def bench(monitor, block: int) -> float:
     rs = np.random.RandomState(1)
     x = rs.uniform(-1, 1, (block, 8)).astype(np.float32)
@@ -71,7 +75,7 @@ def bench(monitor, block: int) -> float:
         t0 = time.perf_counter()
         monitor.observe(x2, v)
         times.append(time.perf_counter() - t0)
-    return sorted(times)[len(times) // 2]
+    return _median(times)
 
 
 FLEET_SIZES = (4, 16, 64)
@@ -96,8 +100,7 @@ def bench_fleet(monitor, n_streams: int) -> tuple[float, float]:
         for j, s in enumerate(streams):
             monitor.observe(x2[j], vb[j], stream=s)
         seq_t.append(time.perf_counter() - t0)
-    med = lambda ts: sorted(ts)[len(ts) // 2]  # noqa: E731
-    return med(many_t), med(seq_t)
+    return _median(many_t), _median(seq_t)
 
 
 def main():

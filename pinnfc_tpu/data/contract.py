@@ -11,6 +11,7 @@ downstream in the reference).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict
 
 import numpy as np
@@ -86,8 +87,12 @@ class ComprehensiveResults:
 
 def save_comprehensive_results(results, path: str) -> None:
     """Persist under the MAT variable name the downstream scripts expect
-    (01:2185-2187)."""
+    (01:2185-2187).  Creates parent directories: failing here would throw
+    away an entire completed training run."""
     arr = results.array if isinstance(results, ComprehensiveResults) else results
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     scipy.io.savemat(path, {"comprehensive_results": np.asarray(arr, np.float64)})
 
 

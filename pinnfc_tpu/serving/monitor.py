@@ -29,6 +29,7 @@ scalers load from a checkpoint (`utils.checkpoint`).
 
 from __future__ import annotations
 
+import os
 import dataclasses
 from typing import NamedTuple
 
@@ -98,6 +99,9 @@ class DiagnosisHead(NamedTuple):
         model weights.  Returns the path actually written."""
         g = self.gmm
         path = path if path.endswith(".npz") else path + ".npz"
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         np.savez(
             path,
             gmm_weights=np.asarray(g.weights),

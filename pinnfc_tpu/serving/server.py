@@ -144,7 +144,12 @@ def make_server(
                 raise ValueError(
                     f"request body length {n} outside [0, {MAX_REQUEST_BYTES}] B"
                 )
-            return json.loads(self.rfile.read(n) or b"{}")
+            req = json.loads(self.rfile.read(n) or b"{}")
+            if not isinstance(req, dict):
+                # a top-level list/string/number would AttributeError on
+                # req.get(...) in every route — reject at the boundary
+                raise ValueError("request body must be a JSON object")
+            return req
 
         def do_POST(self):
             if self.path == "/reset":

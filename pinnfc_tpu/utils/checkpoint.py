@@ -38,6 +38,9 @@ def save_params_npz(params: Dict[str, Any], path: str) -> None:
     # tmp name ends in .npz so np.savez writes EXACTLY this path (it appends
     # .npz otherwise, and an existence probe could then be fooled by a stale
     # '<path>.tmp' left behind by something else)
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     tmp = path + ".tmp.npz"
     np.savez(tmp, **_flatten(params))
     os.replace(tmp, path)

@@ -50,8 +50,13 @@ def _bound_jax_state_per_module():
     though the same test passes standalone and in any 2-module subset.
     Clearing jax's caches and collecting garbage between modules keeps
     the native heap bounded and runs executable destructors at quiet
-    points instead of mid-compile."""
+    points instead of mid-compile.  Skipped on the real chip: the crash
+    is XLA:CPU-specific, and discarding the in-memory executable cache
+    there would re-pay relay compiles (eager ops are not even in the
+    persistent cache — CLAUDE.md)."""
     yield
+    if os.environ.get("PINNFC_TEST_TPU") == "1":
+        return
     import gc
 
     jax.clear_caches()

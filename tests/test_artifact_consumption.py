@@ -288,9 +288,10 @@ class TestReferenceConsumesOurArtifact:
         schedule features: sklearn's own LinearSVC vs SVC differ by 0.12
         accuracy (50% prediction agreement) on the same split here, and
         the artifact's geometry shifts with the training platform — so
-        the SVM band is 0.10, matching the measured within-sklearn
-        formulation spread.  Decision-level SVM parity on separable data
-        is pinned in test_reference_golden_downstream.py."""
+        the SVM band is 0.15: the measured within-sklearn formulation
+        spread (0.12) plus margin for the platform-dependent artifact.
+        Decision-level SVM parity on separable data is pinned in
+        test_reference_golden_downstream.py."""
         from sklearn.model_selection import train_test_split
 
         from pinnfc_tpu.diagnosis import run_compare_pipeline
@@ -331,7 +332,7 @@ class TestReferenceConsumesOurArtifact:
             m_ref_lr["accuracy"], abs=0.02
         )
         assert by_name["Supervised_SVM"].metrics["accuracy"] == pytest.approx(
-            m_ref_svm["accuracy"], abs=0.10
+            m_ref_svm["accuracy"], abs=0.15
         )
 
         # unsupervised consumption: each runs end-to-end on our artifact

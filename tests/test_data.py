@@ -104,6 +104,14 @@ class TestContract:
         res2 = load_comprehensive_results(p)
         np.testing.assert_allclose(res2.array, arr)
 
+    def test_save_creates_parent_dirs(self, tmp_path, rng):
+        """cli train --mat-out into a nonexistent directory must not throw
+        away a completed training run (failed live on a full-scale run)."""
+        res = ComprehensiveResults(rng.randn(10, 22))
+        p = str(tmp_path / "new" / "dirs" / "out.mat")
+        save_comprehensive_results(res, p)
+        assert load_comprehensive_results(p).array.shape == (10, 22)
+
     def test_schema_rejects_narrow(self):
         with pytest.raises(ValueError):
             ComprehensiveResults(np.zeros((10, 5)))

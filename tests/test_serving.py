@@ -414,6 +414,11 @@ class TestHttpServer:
         assert code == 400 and "v must be" in body["error"]
         code, body = self._post(port, "/nope", {})
         assert code == 404
+        # non-dict JSON bodies must 400 on every route, not drop the
+        # connection (req.get on a str would AttributeError)
+        for path in ("/observe", "/observe_many", "/reset"):
+            code, body = self._post(port, path, "hello")
+            assert code == 400 and "JSON object" in body["error"], path
 
 
 class TestMultiStream:
