@@ -156,7 +156,11 @@ class DiagnosisHead(NamedTuple):
 
 
 class MonitorState(NamedTuple):
-    """Carry between blocks: risk integral, EMA value, first-sample voltage."""
+    """Carry between blocks: risk integral, EMA value, first-sample voltage.
+
+    Between ``observe`` calls the bank holds these as HOST numpy scalars
+    (dtypes fixed by the jitted step's outputs) — six scalars per stream is
+    nothing to transfer, and it makes multi-stream packing pure host work."""
 
     c: jnp.ndarray  # () leaky integral C[t]
     rf_smooth: jnp.ndarray  # () EMA value
@@ -254,13 +258,19 @@ class OnlineMonitor:
 
     @staticmethod
     def _fresh_state() -> MonitorState:
+        # HOST numpy scalars, dtypes matching the jitted step's outputs: the
+        # bank lives on the host so observe_many can pack S streams with one
+        # np.stack instead of per-call eager device stacks (each eager op is
+        # a separate relay dispatch on remote-attached TPUs), and so the
+        # fresh-state and carried-state jit signatures are identical (the
+        # old weak-typed jnp zeros cost one extra compile on the 2nd call)
         return MonitorState(
-            c=jnp.asarray(0.0),
-            rf_smooth=jnp.asarray(0.0),
-            v_first=jnp.asarray(0.0),
-            n_seen=jnp.asarray(0),
-            v_first_set=jnp.asarray(False),
-            glitch_run=jnp.asarray(0.0),
+            c=np.float32(0.0),
+            rf_smooth=np.float32(0.0),
+            v_first=np.float32(0.0),
+            n_seen=np.int32(0),
+            v_first_set=np.bool_(False),
+            glitch_run=np.float32(0.0),
         )
 
     def _build_step(self):
@@ -424,12 +434,15 @@ class OnlineMonitor:
         new_state, out = self._step(
             self.params, state, x_raw, v_meas, self.mu, self.sigma
         )
+        # ONE batched device→host fetch (state rides along for free): each
+        # separate np.asarray costs a full relay round trip on
+        # remote-attached TPUs (measured ~23 ms apiece through the axon
+        # tunnel, benchmarks/serving_bench.py); the state bank is kept as
+        # host numpy so the observe_many packing below is pure host work
+        new_state, out_host = jax.device_get((new_state, out))
         self._streams[stream] = new_state
         self._n_seen[stream] = self._n_seen.get(stream, 0) + int(x_raw.shape[0])
-        # ONE batched device→host fetch: each separate np.asarray costs a
-        # full relay round trip on remote-attached TPUs (measured ~23 ms
-        # apiece through the axon tunnel, benchmarks/serving_bench.py)
-        return self._pack(jax.device_get(out))
+        return self._pack(out_host)
 
     def observe_many(self, x_bank, v_bank, streams) -> dict:
         """Advance MANY streams in ONE device program (vmapped step).
@@ -464,7 +477,13 @@ class OnlineMonitor:
             s_ if (s_ := self._streams.get(s)) is not None else self._fresh_state()
             for s in streams
         ]
-        bank = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+        # pack on the HOST: the bank is numpy (device_get returns any
+        # user-injected device state as numpy too), so stacking costs zero
+        # device dispatches — the old per-call eager jnp.stack per state
+        # field was 6 extra relay round trips per poll
+        bank = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *jax.device_get(states)
+        )
         new_bank, out = self._vstep(
             self.params, bank, x_bank, v_bank, self.mu, self.sigma
         )
@@ -473,8 +492,9 @@ class OnlineMonitor:
         new_bank, out_host = jax.device_get((new_bank, out))
         results = {}
         for i, s in enumerate(streams):
+            # numpy slices — per-stream states stay host-resident
             self._streams[s] = jax.tree_util.tree_map(
-                lambda a, i=i: jnp.asarray(a[i]), new_bank
+                lambda a, i=i: a[i], new_bank
             )
             self._n_seen[s] = self._n_seen.get(s, 0) + int(x_bank.shape[1])
             results[s] = self._pack(
