@@ -821,3 +821,45 @@ class TestJsonSafety:
         with pytest.raises(ValueError, match="glitch_alarm_n"):
             OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma,
                           glitch_alarm_n=0)
+
+
+class TestHostResidentStateBank:
+    """The per-stream state bank lives on the HOST between calls (round-4
+    optimization): fresh and carried states share one jit signature (no
+    spurious second compile) and bank packing costs zero device dispatches."""
+
+    def test_no_recompile_between_fresh_and_carried_state(self, setup):
+        params, d, mu, sigma, x_raw, v_meas = setup
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        mon.observe(x_raw[:8], v_meas[:8])   # fresh-state call traces once
+        mon.observe(x_raw[8:16], v_meas[8:16])  # carried state: same signature
+        # the old weak-typed jnp-zeros fresh state cost one extra compile on
+        # the second call (weak f32 scalar vs strong carried output dtype)
+        assert mon._step._cache_size() == 1
+
+    def test_bank_stays_host_numpy(self, setup):
+        params, d, mu, sigma, x_raw, v_meas = setup
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        mon.observe(x_raw[:8], v_meas[:8], stream="a")
+        xb = np.stack([x_raw[:4], x_raw[4:8]])
+        vb = np.stack([v_meas[:4], v_meas[4:8]])
+        mon.observe_many(xb, vb, ["a", "b"])
+        for s in ("a", "b"):
+            for leaf in jax.tree_util.tree_leaves(mon._streams[s]):
+                assert not isinstance(leaf, jax.Array), (
+                    f"stream {s!r} leaked a device array into the host bank"
+                )
+
+    def test_injected_device_state_still_accepted(self, setup):
+        """Users may assign a device-resident MonitorState (e.g. restored
+        from a checkpointed pytree); observe_many must still pack it."""
+        params, d, mu, sigma, x_raw, v_meas = setup
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        ref = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        out_ref = ref.observe(x_raw[:8], v_meas[:8])
+        # put the fresh default state on device, then advance via the fleet path
+        mon.state = jax.tree_util.tree_map(jnp.asarray, mon.state)
+        out = mon.observe_many(x_raw[None, :8], v_meas[None, :8], ["default"])
+        np.testing.assert_allclose(
+            out["default"].rf_smooth, out_ref.rf_smooth, rtol=1e-6
+        )
