@@ -20,6 +20,10 @@ invariance the streaming tests prove).
     POST /reset     {"stream": "stack-07"}          (optional; else all)
         → {"ok": true}
     GET  /health    → {"ok": true, "n_seen": int, "streams": [...]}
+    GET  /metrics   → Prometheus text exposition: request/latency/sample
+        counters plus per-stream RF gauges. The gauges read the monitor's
+        HOST-resident state bank directly — scraping costs zero device
+        dispatches (no relay round trip on remote-attached TPUs).
 
 A ``stream`` key selects an independent RF(t) state in the monitor's bank
 (multi-stack deployments: one endpoint, one compiled step, per-stack
@@ -37,6 +41,7 @@ Start from the CLI: ``pinnfc serve --ckpt ck --mat F01_output.mat
 from __future__ import annotations
 
 import json
+import time
 from http.server import BaseHTTPRequestHandler, HTTPServer
 from typing import Optional
 
@@ -109,17 +114,93 @@ def _json_payload(out, monitor: OnlineMonitor, stream: str = "default") -> dict:
     return payload
 
 
+def _prom_escape(value: str) -> str:
+    """Escape a Prometheus label value (spec: backslash, quote, newline)."""
+    return (
+        value.replace("\\", r"\\").replace('"', r"\"").replace("\n", r"\n")
+    )
+
+
+def _render_metrics(monitor: OnlineMonitor, stats: dict) -> str:
+    """Prometheus text exposition (v0.0.4) for the serving surface.
+
+    Request/latency counters come from the handler's ``stats`` dict; the
+    per-stream gauges read the monitor's host-resident state bank directly,
+    so a scrape never touches the device (each eager device read costs a
+    full relay round trip on remote-attached TPUs)."""
+    lines = [
+        "# HELP pinnfc_requests_total Requests served, by path and status code.",
+        "# TYPE pinnfc_requests_total counter",
+    ]
+    for (path, code), n in sorted(stats["requests"].items()):
+        lines.append(
+            f'pinnfc_requests_total{{path="{_prom_escape(path)}",'
+            f'code="{code}"}} {n}'
+        )
+    lines += [
+        "# HELP pinnfc_observe_seconds Time spent in successful observe/"
+        "observe_many calls (request-handler view, includes the device "
+        "round trip).",
+        "# TYPE pinnfc_observe_seconds summary",
+        f"pinnfc_observe_seconds_sum {stats['observe_seconds']:.6f}",
+        f"pinnfc_observe_seconds_count {stats['observe_calls']}",
+        "# HELP pinnfc_samples_streamed_total Samples scored across all "
+        "streams since start.",
+        "# TYPE pinnfc_samples_streamed_total counter",
+        f"pinnfc_samples_streamed_total {monitor.n_seen}",
+        "# HELP pinnfc_streams Active streams in the state bank.",
+        "# TYPE pinnfc_streams gauge",
+        f"pinnfc_streams {len(monitor.streams)}",
+        "# HELP pinnfc_stream_rf_smooth Latest smoothed risk-function value "
+        "per stream (0 = healthy, 1 = maximal risk).",
+        "# TYPE pinnfc_stream_rf_smooth gauge",
+    ]
+    per_stream = []
+    for s in monitor.streams:
+        state = monitor._streams[s]
+        label = f'stream="{_prom_escape(s)}"'
+        per_stream.append(
+            (label, float(state.rf_smooth), float(state.glitch_run),
+             monitor.stream_n_seen(s))
+        )
+    for label, rf, _, _ in per_stream:
+        lines.append(f"pinnfc_stream_rf_smooth{{{label}}} {rf:.6g}")
+    lines += [
+        "# HELP pinnfc_stream_glitch_run Consecutive non-finite samples "
+        "ending the stream (sensor-outage indicator).",
+        "# TYPE pinnfc_stream_glitch_run gauge",
+    ]
+    for label, _, run, _ in per_stream:
+        lines.append(f"pinnfc_stream_glitch_run{{{label}}} {run:.6g}")
+    lines += [
+        "# HELP pinnfc_stream_n_seen Samples scored per stream.",
+        "# TYPE pinnfc_stream_n_seen counter",
+    ]
+    for label, _, _, n in per_stream:
+        lines.append(f"pinnfc_stream_n_seen{{{label}}} {n}")
+    return "\n".join(lines) + "\n"
+
+
 def make_server(
     monitor: OnlineMonitor, host: str = "127.0.0.1", port: int = 8787
 ) -> HTTPServer:
     """Build (but do not start) the HTTP server; call ``serve_forever()``
     or drive it with ``handle_request()`` in tests."""
+    # serving stats for GET /metrics (the server is serial by design, so
+    # plain dict/int mutation is race-free)
+    stats = {
+        "requests": {},  # (path, code) -> count
+        "observe_seconds": 0.0,
+        "observe_calls": 0,
+    }
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet by default
             pass
 
         def _reply(self, code: int, obj: dict) -> None:
+            key = (self.path, code)
+            stats["requests"][key] = stats["requests"].get(key, 0) + 1
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -133,6 +214,19 @@ def make_server(
                     "ok": True, "n_seen": monitor.n_seen,
                     "streams": list(monitor.streams),
                 })
+            elif self.path == "/metrics":
+                # render first, count after: a scrape reports the state as of
+                # its arrival, not itself (promhttp convention)
+                body = _render_metrics(monitor, stats).encode()
+                key = (self.path, 200)
+                stats["requests"][key] = stats["requests"].get(key, 0) + 1
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
@@ -189,7 +283,10 @@ def make_server(
             # dropped connection — note the monitor's recurrence state may
             # already have advanced when observe fails mid-call
             try:
+                t0 = time.perf_counter()
                 out = monitor.observe(x, v, stream=stream)
+                stats["observe_seconds"] += time.perf_counter() - t0
+                stats["observe_calls"] += 1
                 self._reply(200, _json_payload(out, monitor, stream))
             except Exception as e:  # noqa: BLE001 — serving boundary
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
@@ -236,7 +333,10 @@ def make_server(
                 self._reply(400, {"error": str(e)})
                 return
             try:
+                t0 = time.perf_counter()
                 outs = monitor.observe_many(x, v, streams)
+                stats["observe_seconds"] += time.perf_counter() - t0
+                stats["observe_calls"] += 1
                 self._reply(200, {
                     "results": {
                         s: _json_payload(out, monitor, s)
@@ -259,7 +359,7 @@ def serve(
     """Run the endpoint. ``max_requests`` bounds the loop (tests/demos)."""
     server = make_server(monitor, host, port)
     print(f"serving OnlineMonitor on http://{host}:{port} "
-          f"(POST /observe, /observe_many, /reset, GET /health)")
+          f"(POST /observe, /observe_many, /reset, GET /health, /metrics)")
     try:
         if max_requests is None:
             server.serve_forever()

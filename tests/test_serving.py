@@ -863,3 +863,62 @@ class TestHostResidentStateBank:
         np.testing.assert_allclose(
             out["default"].rf_smooth, out_ref.rf_smooth, rtol=1e-6
         )
+
+
+class TestMetricsEndpoint:
+    """GET /metrics: Prometheus text exposition over the serving stats and
+    the host-resident state bank (scrapes cost zero device dispatches)."""
+
+    client = TestHttpServer.client
+    head_and_feats = TestStreamingDiagnosis.head_and_feats
+    _post = staticmethod(TestHttpServer._post)
+
+    @staticmethod
+    def _scrape(port):
+        import urllib.request
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/plain")
+            return r.read().decode()
+
+    def test_metrics_counters_and_gauges(self, setup, client):
+        params, d, mu, sigma, x_raw, v_meas = setup
+        port, mon = client
+
+        code, _ = self._post(port, "/observe", {
+            "x": x_raw[:30].tolist(), "v": v_meas[:30].tolist(),
+            "stream": "stack-1",
+        })
+        assert code == 200
+        code, _ = self._post(port, "/observe", {"x": [[1.0]], "v": [1.0]})
+        assert code == 400
+        text = self._scrape(port)
+
+        assert 'pinnfc_requests_total{path="/observe",code="200"} 1' in text
+        assert 'pinnfc_requests_total{path="/observe",code="400"} 1' in text
+        assert "pinnfc_observe_seconds_count 1" in text
+        assert "pinnfc_samples_streamed_total 30" in text
+        # per-stream gauges come from the host state bank
+        assert 'pinnfc_stream_n_seen{stream="stack-1"} 30' in text
+        rf_line = next(
+            l for l in text.splitlines()
+            if l.startswith('pinnfc_stream_rf_smooth{stream="stack-1"}')
+        )
+        want = float(mon._streams["stack-1"].rf_smooth)
+        assert float(rf_line.rsplit(" ", 1)[1]) == pytest.approx(want, rel=1e-4)
+
+        # a second scrape counts the first one
+        text2 = self._scrape(port)
+        assert 'pinnfc_requests_total{path="/metrics",code="200"} 1' in text2
+
+    def test_label_escaping(self, setup, client):
+        params, d, mu, sigma, x_raw, v_meas = setup
+        port, _mon = client
+        code, _ = self._post(port, "/observe", {
+            "x": x_raw[:2].tolist(), "v": v_meas[:2].tolist(),
+            "stream": 'weird"key\\name',
+        })
+        assert code == 200
+        text = self._scrape(port)
+        assert r'stream="weird\"key\\name"' in text
