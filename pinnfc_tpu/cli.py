@@ -695,7 +695,11 @@ def main(argv: Optional[list] = None) -> int:
                    help="sensor_alarm after N consecutive non-finite samples")
     m.set_defaults(fn=cmd_monitor)
 
-    sv = sub.add_parser("serve", help="HTTP scoring endpoint (POST /observe)")
+    sv = sub.add_parser(
+        "serve",
+        help="HTTP scoring endpoint (POST /observe, /observe_many, /reset; "
+             "GET /health, /metrics)",
+    )
     sv.add_argument("--mat", default="F01_output.mat",
                     help="artifact for the normal-operation μ/σ statistics")
     sv.add_argument("--ckpt", required=True, help="checkpoint from `train --ckpt`")
