@@ -551,7 +551,8 @@ def cmd_serve(args) -> int:
         glitch_alarm_n=glitch_n if glitch_n is not None else _glitch_default(),
     )
     serve(monitor, host=args.host, port=args.port,
-          max_requests=args.max_requests)
+          max_requests=args.max_requests,
+          state_path=getattr(args, "state_path", None))
     return 0
 
 
@@ -711,6 +712,10 @@ def main(argv: Optional[list] = None) -> int:
                     help="stop after N requests (bounded demos/tests)")
     sv.add_argument("--glitch-alarm-n", type=int, default=None,
                     help="sensor_alarm after N consecutive non-finite samples")
+    sv.add_argument("--state-path", default=None,
+                    help="preemption-safe serving: snapshot the per-stream "
+                         "RF(t) state bank here after every request and "
+                         "restore it on restart (atomic npz)")
     sv.set_defaults(fn=cmd_serve)
 
     b = sub.add_parser("bench", help="headline benchmark (one JSON line)")

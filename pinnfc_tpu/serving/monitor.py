@@ -511,6 +511,82 @@ class OnlineMonitor:
             self._streams[stream] = self._fresh_state()
             self._n_seen[stream] = 0
 
+    def save_state_bank(self, path: str) -> str:
+        """Snapshot every stream's RF(t) carry state + counters (npz).
+
+        The bank is six host scalars per stream, so a snapshot is
+        microseconds of pure host work — cheap enough to take after every
+        request.  The write is atomic (tmp + rename, same discipline as
+        `utils.checkpoint`) so a crash mid-write can never leave a torn
+        bank behind.  Restoring via ``load_state_bank`` makes a restarted
+        scorer continue every stream's recurrence bit-exactly — the
+        serving counterpart of the trainer's mid-stage checkpointing.
+        Returns the path actually written."""
+        path = path if path.endswith(".npz") else path + ".npz"
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        streams = sorted(self._streams)
+        # device_get: users may have injected device-resident states
+        states = jax.device_get([self._streams[s] for s in streams])
+        payload = {
+            "streams": np.asarray(streams),
+            "n_seen": np.asarray(
+                [self._n_seen.get(s, 0) for s in streams], np.int64
+            ),
+        }
+        for field in MonitorState._fields:
+            payload[f"state_{field}"] = np.stack(
+                [np.asarray(getattr(st, field)) for st in states]
+            )
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, **payload)
+        os.replace(tmp, path)
+        return path
+
+    def load_state_bank(self, path: str) -> None:
+        """Replace the whole stream bank with a ``save_state_bank`` snapshot.
+
+        Restored scalars are cast to the fresh-state dtypes, so the jitted
+        step keeps its single compile signature across a save/load cycle."""
+        d = np.load(path if path.endswith(".npz") else path + ".npz")
+        missing = [
+            k for k in ["streams", "n_seen"]
+            + [f"state_{f}" for f in MonitorState._fields]
+            if k not in d
+        ]
+        if missing:
+            raise ValueError(f"state-bank file {path!r} is missing {missing}")
+        streams = [str(s) for s in d["streams"]]
+        n = len(streams)
+        if len(set(streams)) != n:
+            raise ValueError(f"state-bank file {path!r} has duplicate streams")
+        for f in MonitorState._fields:
+            if d[f"state_{f}"].shape[:1] != (n,):
+                raise ValueError(
+                    f"state-bank field state_{f} has {d[f'state_{f}'].shape[0]}"
+                    f" rows for {n} streams"
+                )
+        if d["n_seen"].shape != (n,):
+            raise ValueError(
+                f"state-bank n_seen has shape {d['n_seen'].shape} for "
+                f"{n} streams"
+            )
+        fresh = self._fresh_state()
+        self._streams = {
+            s: MonitorState(*(
+                np.asarray(d[f"state_{f}"][i]).astype(
+                    np.asarray(getattr(fresh, f)).dtype
+                )[()]
+                for f in MonitorState._fields
+            ))
+            for i, s in enumerate(streams)
+        }
+        self._n_seen = {s: int(d["n_seen"][i]) for i, s in enumerate(streams)}
+        # preserve the bank invariant the single-stream API relies on
+        self._streams.setdefault("default", self._fresh_state())
+        self._n_seen.setdefault("default", 0)
+
     @classmethod
     def from_checkpoint(
         cls,

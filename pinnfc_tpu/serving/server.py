@@ -41,6 +41,7 @@ Start from the CLI: ``pinnfc serve --ckpt ck --mat F01_output.mat
 from __future__ import annotations
 
 import json
+import os
 import time
 from http.server import BaseHTTPRequestHandler, HTTPServer
 from typing import Optional
@@ -67,6 +68,13 @@ MAX_STREAM_KEY_LEN = 128
 # entry that lives until reset — without a cap a client looping unique
 # keys grows the bank (and /health's streams list) without bound
 MAX_STREAMS = 1024
+
+# the routes this server actually serves; anything else is folded into one
+# "<other>" label in /metrics so a client probing random URLs cannot grow
+# the request-counter dict (and the scrape output) without bound
+KNOWN_PATHS = frozenset(
+    {"/observe", "/observe_many", "/reset", "/health", "/metrics"}
+)
 
 
 def _stream_key(req: dict, monitor: OnlineMonitor) -> str:
@@ -182,10 +190,19 @@ def _render_metrics(monitor: OnlineMonitor, stats: dict) -> str:
 
 
 def make_server(
-    monitor: OnlineMonitor, host: str = "127.0.0.1", port: int = 8787
+    monitor: OnlineMonitor,
+    host: str = "127.0.0.1",
+    port: int = 8787,
+    state_path: Optional[str] = None,
 ) -> HTTPServer:
     """Build (but do not start) the HTTP server; call ``serve_forever()``
-    or drive it with ``handle_request()`` in tests."""
+    or drive it with ``handle_request()`` in tests.
+
+    ``state_path`` enables preemption-safe serving: the monitor's stream
+    bank is snapshotted (atomic npz) after every state-mutating request,
+    and a restarted server pointed at the same path resumes every stream's
+    RF(t) recurrence bit-exactly.  The bank is six host scalars per
+    stream, so the per-request snapshot cost is microseconds."""
     # serving stats for GET /metrics (the server is serial by design, so
     # plain dict/int mutation is race-free)
     stats = {
@@ -194,12 +211,18 @@ def make_server(
         "observe_calls": 0,
     }
 
+    def _snapshot() -> None:
+        """Persist the stream bank after a state-mutating request."""
+        if state_path is not None:
+            monitor.save_state_bank(state_path)
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet by default
             pass
 
         def _reply(self, code: int, obj: dict) -> None:
-            key = (self.path, code)
+            path = self.path if self.path in KNOWN_PATHS else "<other>"
+            key = (path, code)
             stats["requests"][key] = stats["requests"].get(key, 0) + 1
             body = json.dumps(obj).encode()
             self.send_response(code)
@@ -255,8 +278,12 @@ def make_server(
                 except (ValueError, TypeError) as e:
                     self._reply(400, {"error": str(e)})
                     return
-                monitor.reset(stream)
-                self._reply(200, {"ok": True})
+                try:
+                    monitor.reset(stream)
+                    _snapshot()
+                    self._reply(200, {"ok": True})
+                except Exception as e:  # noqa: BLE001 — serving boundary
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             if self.path == "/observe_many":
                 self._observe_many()
@@ -287,8 +314,16 @@ def make_server(
                 out = monitor.observe(x, v, stream=stream)
                 stats["observe_seconds"] += time.perf_counter() - t0
                 stats["observe_calls"] += 1
+                _snapshot()
                 self._reply(200, _json_payload(out, monitor, stream))
             except Exception as e:  # noqa: BLE001 — serving boundary
+                # the recurrence state may already have advanced — keep the
+                # snapshot current, but never let a snapshot failure mask
+                # the original error
+                try:
+                    _snapshot()
+                except Exception:  # noqa: BLE001
+                    pass
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
         def _observe_many(self):
@@ -337,6 +372,7 @@ def make_server(
                 outs = monitor.observe_many(x, v, streams)
                 stats["observe_seconds"] += time.perf_counter() - t0
                 stats["observe_calls"] += 1
+                _snapshot()
                 self._reply(200, {
                     "results": {
                         s: _json_payload(out, monitor, s)
@@ -345,6 +381,10 @@ def make_server(
                     "n_seen": monitor.n_seen,
                 })
             except Exception as e:  # noqa: BLE001 — serving boundary
+                try:
+                    _snapshot()
+                except Exception:  # noqa: BLE001
+                    pass
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
     return HTTPServer((host, port), Handler)
@@ -355,9 +395,19 @@ def serve(
     host: str = "127.0.0.1",
     port: int = 8787,
     max_requests: Optional[int] = None,
+    state_path: Optional[str] = None,
 ) -> None:
-    """Run the endpoint. ``max_requests`` bounds the loop (tests/demos)."""
-    server = make_server(monitor, host, port)
+    """Run the endpoint. ``max_requests`` bounds the loop (tests/demos).
+
+    With ``state_path``, an existing snapshot is restored before serving
+    and the bank is re-snapshotted after every state-mutating request —
+    restarting the process resumes every stream bit-exactly."""
+    if state_path is not None and os.path.exists(
+        state_path if state_path.endswith(".npz") else state_path + ".npz"
+    ):
+        monitor.load_state_bank(state_path)
+        print(f"restored {len(monitor.streams)} stream(s) from {state_path}")
+    server = make_server(monitor, host, port, state_path=state_path)
     print(f"serving OnlineMonitor on http://{host}:{port} "
           f"(POST /observe, /observe_many, /reset, GET /health, /metrics)")
     try:

@@ -865,6 +865,94 @@ class TestHostResidentStateBank:
         )
 
 
+class TestStateBankPersistence:
+    """save_state_bank/load_state_bank + `cli serve --state-path`: a
+    restarted scorer resumes every stream's RF(t) recurrence bit-exactly
+    (the serving counterpart of the trainer's mid-stage checkpointing —
+    the bank is six host scalars per stream, so per-request snapshots
+    are pure host work)."""
+
+    def test_roundtrip_bitexact_and_counters(self, setup, tmp_path):
+        params, d, mu, sigma, x_raw, v_meas = setup
+        ref = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        for m in (ref, mon):
+            m.observe(x_raw[:64], v_meas[:64], stream="a")
+            m.observe(x_raw[64:128], v_meas[64:128], stream="b")
+        path = mon.save_state_bank(str(tmp_path / "bank"))
+        assert path.endswith(".npz")
+        # atomic write discipline: no tmp file left behind
+        assert not any(p.name.endswith(".tmp.npz") for p in tmp_path.iterdir())
+
+        mon2 = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        mon2.load_state_bank(path)
+        assert set(mon2.streams) == {"default", "a", "b"}
+        assert mon2.stream_n_seen("a") == 64
+        assert mon2.n_seen == ref.n_seen
+        out_ref = ref.observe(x_raw[128:200], v_meas[128:200], stream="a")
+        out_new = mon2.observe(x_raw[128:200], v_meas[128:200], stream="a")
+        np.testing.assert_array_equal(out_new.rf_smooth, out_ref.rf_smooth)
+        np.testing.assert_array_equal(out_new.rf_inst, out_ref.rf_inst)
+        np.testing.assert_array_equal(out_new.v_alarm, out_ref.v_alarm)
+        # restored dtypes match the fresh-state jit signature exactly —
+        # continuing from a snapshot must not cost a second compile
+        assert mon2._step._cache_size() == 1
+
+    def test_load_validates_schema(self, setup, tmp_path):
+        params, d, mu, sigma, x_raw, v_meas = setup
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        path = mon.save_state_bank(str(tmp_path / "bank"))
+        payload = dict(np.load(path))
+        del payload["state_c"]
+        bad = str(tmp_path / "bad.npz")
+        np.savez(bad, **payload)
+        with pytest.raises(ValueError, match="missing"):
+            mon.load_state_bank(bad)
+        payload = dict(np.load(path))
+        payload["n_seen"] = payload["n_seen"][:0]
+        bad2 = str(tmp_path / "bad2.npz")
+        np.savez(bad2, **payload)
+        with pytest.raises(ValueError, match="n_seen"):
+            mon.load_state_bank(bad2)
+
+    def test_server_snapshots_and_restarted_server_resumes(self, setup, tmp_path):
+        import os
+        import threading
+
+        from pinnfc_tpu.serving import make_server
+
+        params, d, mu, sigma, x_raw, v_meas = setup
+        bank = str(tmp_path / "bank.npz")
+        ref = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+
+        mon1 = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        server = make_server(mon1, port=0, state_path=bank)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            code, _ = TestHttpServer._post(port, "/observe", {
+                "x": x_raw[:50].tolist(), "v": v_meas[:50].tolist(),
+                "stream": "s1",
+            })
+            assert code == 200
+        finally:
+            server.shutdown()
+            server.server_close()
+            t.join()
+        assert os.path.exists(bank)
+
+        # "restart": a fresh process's monitor restored from the snapshot
+        # continues exactly where the killed server left off
+        mon2 = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        mon2.load_state_bank(bank)
+        ref.observe(x_raw[:50], v_meas[:50], stream="s1")
+        out_ref = ref.observe(x_raw[50:100], v_meas[50:100], stream="s1")
+        out_new = mon2.observe(x_raw[50:100], v_meas[50:100], stream="s1")
+        np.testing.assert_array_equal(out_new.rf_smooth, out_ref.rf_smooth)
+        np.testing.assert_array_equal(out_new.v_alarm, out_ref.v_alarm)
+
+
 class TestMetricsEndpoint:
     """GET /metrics: Prometheus text exposition over the serving stats and
     the host-resident state bank (scrapes cost zero device dispatches)."""
@@ -922,3 +1010,16 @@ class TestMetricsEndpoint:
         assert code == 200
         text = self._scrape(port)
         assert r'stream="weird\"key\\name"' in text
+
+    def test_unknown_paths_fold_into_one_series(self, setup, client):
+        """A client probing random URLs must not mint one Prometheus series
+        per unique path — unknown paths fold into a single "<other>" label
+        (unbounded label cardinality is a scrape-size/memory leak)."""
+        _params = setup
+        port, _mon = client
+        for i in range(3):
+            code, _ = self._post(port, f"/no-such-route-{i}", {})
+            assert code == 404
+        text = self._scrape(port)
+        assert 'pinnfc_requests_total{path="<other>",code="404"} 3' in text
+        assert "no-such-route" not in text
