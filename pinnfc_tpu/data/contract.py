@@ -89,10 +89,10 @@ def save_comprehensive_results(results, path: str) -> None:
     """Persist under the MAT variable name the downstream scripts expect
     (01:2185-2187).  Creates parent directories: failing here would throw
     away an entire completed training run."""
+    from pinnfc_tpu.utils.io import ensure_parent
+
     arr = results.array if isinstance(results, ComprehensiveResults) else results
-    parent = os.path.dirname(path)
-    if parent:
-        os.makedirs(parent, exist_ok=True)
+    ensure_parent(path)
     scipy.io.savemat(path, {"comprehensive_results": np.asarray(arr, np.float64)})
 
 

@@ -97,12 +97,11 @@ class DiagnosisHead(NamedTuple):
         """Persist the head (npz) so a restarted scorer diagnoses without
         refitting — the production companion to `utils.checkpoint` for the
         model weights.  Returns the path actually written."""
+        from pinnfc_tpu.utils.io import atomic_savez
+
         g = self.gmm
         path = path if path.endswith(".npz") else path + ".npz"
-        parent = os.path.dirname(path)
-        if parent:
-            os.makedirs(parent, exist_ok=True)
-        np.savez(
+        atomic_savez(
             path,
             gmm_weights=np.asarray(g.weights),
             gmm_means=np.asarray(g.means),
@@ -522,10 +521,9 @@ class OnlineMonitor:
         scorer continue every stream's recurrence bit-exactly — the
         serving counterpart of the trainer's mid-stage checkpointing.
         Returns the path actually written."""
+        from pinnfc_tpu.utils.io import atomic_savez
+
         path = path if path.endswith(".npz") else path + ".npz"
-        parent = os.path.dirname(path)
-        if parent:
-            os.makedirs(parent, exist_ok=True)
         streams = sorted(self._streams)
         # device_get: users may have injected device-resident states
         states = jax.device_get([self._streams[s] for s in streams])
@@ -539,9 +537,7 @@ class OnlineMonitor:
             payload[f"state_{field}"] = np.stack(
                 [np.asarray(getattr(st, field)) for st in states]
             )
-        tmp = path + ".tmp.npz"
-        np.savez(tmp, **payload)
-        os.replace(tmp, path)
+        atomic_savez(path, **payload)
         return path
 
     def load_state_bank(self, path: str) -> None:
@@ -562,10 +558,14 @@ class OnlineMonitor:
         if len(set(streams)) != n:
             raise ValueError(f"state-bank file {path!r} has duplicate streams")
         for f in MonitorState._fields:
-            if d[f"state_{f}"].shape[:1] != (n,):
+            # full-shape check: the state fields are scalars per stream, so
+            # anything but exactly (n,) — including 0-d or (n, k) arrays —
+            # must fail loudly at load time, not as an opaque shape error
+            # inside the jitted step on the next observe
+            if d[f"state_{f}"].shape != (n,):
                 raise ValueError(
-                    f"state-bank field state_{f} has {d[f'state_{f}'].shape[0]}"
-                    f" rows for {n} streams"
+                    f"state-bank field state_{f} has shape "
+                    f"{d[f'state_{f}'].shape}, want ({n},) for {n} streams"
                 )
         if d["n_seen"].shape != (n,):
             raise ValueError(

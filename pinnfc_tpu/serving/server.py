@@ -42,10 +42,12 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from http.server import BaseHTTPRequestHandler, HTTPServer
 from typing import Optional
 
+import jax
 import numpy as np
 
 from pinnfc_tpu.serving.monitor import OnlineMonitor
@@ -163,9 +165,20 @@ def _render_metrics(monitor: OnlineMonitor, stats: dict) -> str:
         "per stream (0 = healthy, 1 = maximal risk).",
         "# TYPE pinnfc_stream_rf_smooth gauge",
     ]
+    if stats.get("snapshot_failures", 0) or stats.get("snapshot_path"):
+        lines += [
+            "# HELP pinnfc_snapshot_failures_total State-bank snapshot "
+            "writes that failed (the in-memory state kept advancing; the "
+            "on-disk snapshot is STALE until a write succeeds).",
+            "# TYPE pinnfc_snapshot_failures_total counter",
+            f"pinnfc_snapshot_failures_total {stats.get('snapshot_failures', 0)}",
+        ]
+    # one batched transfer guard: the bank is host numpy after any observe,
+    # but a user may have injected a device-resident state — float() on
+    # those would pay one relay round trip PER stream PER scrape
+    states = jax.device_get({s: monitor._streams[s] for s in monitor.streams})
     per_stream = []
-    for s in monitor.streams:
-        state = monitor._streams[s]
+    for s, state in states.items():
         label = f'stream="{_prom_escape(s)}"'
         per_stream.append(
             (label, float(state.rf_smooth), float(state.glitch_run),
@@ -209,27 +222,51 @@ def make_server(
         "requests": {},  # (path, code) -> count
         "observe_seconds": 0.0,
         "observe_calls": 0,
+        "snapshot_failures": 0,
+        "snapshot_path": state_path,
     }
 
     def _snapshot() -> None:
-        """Persist the stream bank after a state-mutating request."""
-        if state_path is not None:
+        """Persist the stream bank after a state-mutating request.
+
+        A failed write must NOT turn the already-applied observation into
+        a 500: the RF(t) recurrence is order-dependent, so a client that
+        retries on 500 would feed the same samples twice and permanently
+        corrupt the series.  Failures are counted (``/metrics`` exposes
+        ``pinnfc_snapshot_failures_total``) and logged to stderr; ``serve``
+        probes writability at startup so a misconfigured path fails fast."""
+        if state_path is None:
+            return
+        try:
             monitor.save_state_bank(state_path)
+        except Exception as e:  # noqa: BLE001 — degraded-persistence mode
+            stats["snapshot_failures"] += 1
+            print(
+                f"WARNING: state-bank snapshot to {state_path!r} failed "
+                f"({type(e).__name__}: {e}); serving continues with the "
+                "on-disk snapshot STALE",
+                file=sys.stderr,
+            )
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet by default
             pass
 
-        def _reply(self, code: int, obj: dict) -> None:
-            path = self.path if self.path in KNOWN_PATHS else "<other>"
-            key = (path, code)
-            stats["requests"][key] = stats["requests"].get(key, 0) + 1
-            body = json.dumps(obj).encode()
+        def _reply_raw(
+            self, code: int, body: bytes, content_type: str, count: bool = True
+        ) -> None:
+            if count:
+                path = self.path if self.path in KNOWN_PATHS else "<other>"
+                key = (path, code)
+                stats["requests"][key] = stats["requests"].get(key, 0) + 1
             self.send_response(code)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", content_type)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+
+        def _reply(self, code: int, obj: dict) -> None:
+            self._reply_raw(code, json.dumps(obj).encode(), "application/json")
 
         def do_GET(self):
             if self.path == "/health":
@@ -243,13 +280,10 @@ def make_server(
                 body = _render_metrics(monitor, stats).encode()
                 key = (self.path, 200)
                 stats["requests"][key] = stats["requests"].get(key, 0) + 1
-                self.send_response(200)
-                self.send_header(
-                    "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+                self._reply_raw(
+                    200, body, "text/plain; version=0.0.4; charset=utf-8",
+                    count=False,
                 )
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
@@ -318,12 +352,8 @@ def make_server(
                 self._reply(200, _json_payload(out, monitor, stream))
             except Exception as e:  # noqa: BLE001 — serving boundary
                 # the recurrence state may already have advanced — keep the
-                # snapshot current, but never let a snapshot failure mask
-                # the original error
-                try:
-                    _snapshot()
-                except Exception:  # noqa: BLE001
-                    pass
+                # snapshot current (never raises, see _snapshot)
+                _snapshot()
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
         def _observe_many(self):
@@ -381,10 +411,7 @@ def make_server(
                     "n_seen": monitor.n_seen,
                 })
             except Exception as e:  # noqa: BLE001 — serving boundary
-                try:
-                    _snapshot()
-                except Exception:  # noqa: BLE001
-                    pass
+                _snapshot()
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
     return HTTPServer((host, port), Handler)
@@ -402,11 +429,17 @@ def serve(
     With ``state_path``, an existing snapshot is restored before serving
     and the bank is re-snapshotted after every state-mutating request —
     restarting the process resumes every stream bit-exactly."""
-    if state_path is not None and os.path.exists(
-        state_path if state_path.endswith(".npz") else state_path + ".npz"
-    ):
-        monitor.load_state_bank(state_path)
-        print(f"restored {len(monitor.streams)} stream(s) from {state_path}")
+    if state_path is not None:
+        if os.path.exists(
+            state_path if state_path.endswith(".npz") else state_path + ".npz"
+        ):
+            monitor.load_state_bank(state_path)
+            print(
+                f"restored {len(monitor.streams)} stream(s) from {state_path}"
+            )
+        # probe writability NOW: a misconfigured path (read-only dir, typo)
+        # must fail at startup, not degrade persistence silently per-request
+        monitor.save_state_bank(state_path)
     server = make_server(monitor, host, port, state_path=state_path)
     print(f"serving OnlineMonitor on http://{host}:{port} "
           f"(POST /observe, /observe_many, /reset, GET /health, /metrics)")

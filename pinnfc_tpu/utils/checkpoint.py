@@ -33,17 +33,12 @@ def _flatten(tree, prefix=""):
 
 def save_params_npz(params: Dict[str, Any], path: str) -> None:
     """Flatten the params pytree to an .npz archive.  The write is atomic
-    (tmp file + rename) so a process killed mid-save — the whole point of
-    preemption checkpoints — can never leave a truncated archive behind."""
-    # tmp name ends in .npz so np.savez writes EXACTLY this path (it appends
-    # .npz otherwise, and an existence probe could then be fooled by a stale
-    # '<path>.tmp' left behind by something else)
-    parent = os.path.dirname(path)
-    if parent:
-        os.makedirs(parent, exist_ok=True)
-    tmp = path + ".tmp.npz"
-    np.savez(tmp, **_flatten(params))
-    os.replace(tmp, path)
+    (``utils.io.atomic_savez``) so a process killed mid-save — the whole
+    point of preemption checkpoints — can never leave a truncated archive
+    behind."""
+    from pinnfc_tpu.utils.io import atomic_savez
+
+    atomic_savez(path, **_flatten(params))
 
 
 def load_params_npz(path: str) -> Dict[str, Any]:

@@ -952,6 +952,52 @@ class TestStateBankPersistence:
         np.testing.assert_array_equal(out_new.rf_smooth, out_ref.rf_smooth)
         np.testing.assert_array_equal(out_new.v_alarm, out_ref.v_alarm)
 
+    def test_snapshot_failure_does_not_500(self, setup, tmp_path):
+        """A failed snapshot write must NOT turn an applied observation into
+        a 500 (retrying clients would double-feed the order-dependent RF
+        series) — it is counted and exposed on /metrics instead."""
+        import threading
+        import urllib.request
+
+        from pinnfc_tpu.serving import make_server
+
+        params, d, mu, sigma, x_raw, v_meas = setup
+        bank = tmp_path / "bank.npz"
+        bank.mkdir()  # a directory at the target path makes os.replace fail
+
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        server = make_server(mon, port=0, state_path=str(bank))
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            code, body = TestHttpServer._post(port, "/observe", {
+                "x": x_raw[:10].tolist(), "v": v_meas[:10].tolist(),
+            })
+            assert code == 200
+            assert body["n_seen"] == 10
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics"
+            ) as r:
+                text = r.read().decode()
+            assert "pinnfc_snapshot_failures_total 1" in text
+        finally:
+            server.shutdown()
+            server.server_close()
+            t.join()
+
+    def test_serve_probes_writability_at_startup(self, setup, tmp_path):
+        """A misconfigured --state-path fails fast at startup rather than
+        silently degrading persistence on every request."""
+        from pinnfc_tpu.serving import serve
+
+        params, d, mu, sigma, x_raw, v_meas = setup
+        bank = tmp_path / "unwritable.npz"
+        bank.mkdir()
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        with pytest.raises(OSError):
+            serve(mon, port=0, max_requests=0, state_path=str(bank))
+
 
 class TestMetricsEndpoint:
     """GET /metrics: Prometheus text exposition over the serving stats and
