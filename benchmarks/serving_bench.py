@@ -103,7 +103,26 @@ def bench_fleet(monitor, n_streams: int) -> tuple[float, float]:
     return _median(many_t), _median(seq_t)
 
 
+def bench_snapshot(monitor, n_streams: int, tmpdir: str) -> float:
+    """Median cost of one state-bank snapshot (``save_state_bank``) with
+    n_streams live streams — the per-request overhead of
+    ``cli serve --state-path`` (pure host work on the numpy bank)."""
+    rs = np.random.RandomState(4)
+    xb = rs.uniform(-1, 1, (n_streams, 4, 8)).astype(np.float32)
+    vb = rs.uniform(3, 4, (n_streams, 4)).astype(np.float32)
+    monitor.observe_many(xb, vb, [f"s{i}" for i in range(n_streams)])
+    path = os.path.join(tmpdir, "bank.npz")
+    times = []
+    for _ in range(N_REPEAT):
+        t0 = time.perf_counter()
+        monitor.save_state_bank(path)
+        times.append(time.perf_counter() - t0)
+    return _median(times)
+
+
 def main():
+    import tempfile
+
     from pinnfc_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -130,6 +149,14 @@ def main():
         print(f"  fleet S={s} (block {FLEET_BLOCK}): observe_many "
               f"{many*1e3:.1f} ms vs {s}x observe {seq*1e3:.1f} ms "
               f"({seq/many:.1f}x)", flush=True)
+    # --state-path persistence overhead (host-only; no device dispatch)
+    out["state_snapshot_ms"] = {}
+    with tempfile.TemporaryDirectory() as td:
+        for s in (1, 64):
+            mon = build_monitor(False)
+            dt = bench_snapshot(mon, s, td)
+            out["state_snapshot_ms"][str(s)] = round(dt * 1e3, 3)
+            print(f"  state-bank snapshot S={s}: {dt*1e3:.3f} ms", flush=True)
     print(json.dumps(out))
 
 
