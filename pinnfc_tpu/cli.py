@@ -500,6 +500,7 @@ def cmd_monitor(args) -> int:
     v_meas = rows[:, INDEX["y_true"]]
     first = {"warn": None, "danger": None, "v_alarm": None}
     diag_counts = None
+    layer_totals = None  # per-layer risk attribution over warned samples
     pos = 0
     while pos < len(rows):
         out = monitor.observe(
@@ -518,6 +519,15 @@ def cmd_monitor(args) -> int:
             votes = np.bincount(out.fault_pred[valid],
                                 minlength=len(head.class_names))
             diag_counts = votes if diag_counts is None else diag_counts + votes
+        if out.warn.any():
+            # attribute the warned risk to physics layers (04:244-259):
+            # WHICH of voltage/gas/temp drove S_tot while the RF warned
+            contrib = np.nansum(
+                np.asarray(out.layer_scores)[out.warn], axis=0
+            )
+            layer_totals = (
+                contrib if layer_totals is None else layer_totals + contrib
+            )
         pos += args.block
     print(
         f"streamed {len(rows)} samples in blocks of {args.block}: "
@@ -526,6 +536,12 @@ def cmd_monitor(args) -> int:
     )
     if first["warn"] is not None and first["v_alarm"] is not None:
         print(f"RF lead over voltage alarm: {first['v_alarm'] - first['warn']} samples")
+    if layer_totals is not None and layer_totals.sum() > 0:
+        shares = layer_totals / layer_totals.sum()
+        breakdown = "  ".join(
+            f"{n} {s:.0%}" for n, s in zip(monitor.layer_names, shares)
+        )
+        print(f"risk attribution while warned: {breakdown}")
     if diag_counts is not None:
         name = head.class_names[int(np.argmax(diag_counts))]
         share = diag_counts.max() / max(diag_counts.sum(), 1)

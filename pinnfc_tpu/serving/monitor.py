@@ -182,6 +182,13 @@ class MonitorOutput:
     sensor_alarm: np.ndarray | None = None  # (B,) bool — glitch run ≥ limit
     fault_probs: np.ndarray | None = None  # (B, K) — with a DiagnosisHead
     fault_pred: np.ndarray | None = None  # (B,) argmax class index
+    # (B, L) per-layer risk attribution, columns in ``OnlineMonitor.
+    # layer_names`` order: each column is one physics layer's weighted
+    # p-norm term of the RF aggregation (04:244-259), so row sums equal
+    # the raw S_tot for that sample.  Attributions are PRE-gating — the
+    # first-ever sample and glitched samples contribute zero to the risk
+    # integral, but their columns still show which layer was excited.
+    layer_scores: np.ndarray | None = None
 
 
 def _rf_block(s_tot, state: MonitorState, cfg: RiskConfig):
@@ -278,6 +285,12 @@ class OnlineMonitor:
         key_to_idx = {k: i for i, k in enumerate(cfg.res_keys)}
         layer_w = dict(cfg.layer_weights)
         head = self.diagnosis
+        # layers that actually contribute (non-empty key sets), in config
+        # order — the column order of MonitorOutput.layer_scores
+        self.layer_names = tuple(
+            lname for lname, keys in cfg.layer_config
+            if any(k in key_to_idx for k in keys)
+        )
 
         def step(params, state: MonitorState, x_raw, v_meas, mu, sigma):
             x_norm = self.scaler_x.transform(x_raw)
@@ -296,16 +309,27 @@ class OnlineMonitor:
                 0.0, jnp.abs((r - mu[None, :]) / sigma[None, :]) - cfg.z_safe
             )
             s_tot = jnp.zeros(r.shape[0], jnp.float32)
+            layer_contribs = []  # per-layer attribution (explainability)
             for lname, keys in cfg.layer_config:
                 idxs = [key_to_idx[k] for k in keys if k in key_to_idx]
                 if not idxs:
                     continue
                 a_l = a_trunc[:, jnp.asarray(idxs)]
                 w_l = w_feat[jnp.asarray(idxs)][None, :]
-                s_tot = s_tot + layer_w.get(lname, 1.0) * jnp.power(
+                contrib = layer_w.get(lname, 1.0) * jnp.power(
                     jnp.sum(w_l * jnp.power(a_l, cfg.p_layer), axis=1),
                     1.0 / cfg.p_layer,
                 )
+                s_tot = s_tot + contrib
+                layer_contribs.append(contrib)
+            # (B, L) attribution of the RAW S_tot across physics layers
+            # (04:244-259): which layer — voltage / gas / temp — is driving
+            # the risk.  Stacked BEFORE the first-sample/glitch gating below
+            # so a glitched row's columns still show its excitation.
+            layer_scores = (
+                jnp.stack(layer_contribs, axis=1) if layer_contribs
+                else jnp.zeros((r.shape[0], 0), jnp.float32)
+            )
             # sensor-glitch guard: a non-finite row would poison the carried
             # C[t]/EMA state FOREVER (the recurrence never forgets a NaN).
             # Treat such samples as contributing zero risk for the integral
@@ -375,7 +399,7 @@ class OnlineMonitor:
                 fault = (None, None)
             return new_state, (
                 rf_inst, rf_smooth, r, v_pred, v_alarm, glitch, sensor_alarm,
-                fault,
+                fault, layer_scores,
             )
 
         return step
@@ -404,7 +428,7 @@ class OnlineMonitor:
 
     def _pack(self, out_host) -> MonitorOutput:
         (rf_inst, rf_smooth, r, v_pred, v_alarm, glitch, sensor_alarm,
-         (probs, pred)) = out_host
+         (probs, pred), layer_scores) = out_host
         return MonitorOutput(
             rf_smooth=rf_smooth,
             rf_inst=rf_inst,
@@ -417,6 +441,7 @@ class OnlineMonitor:
             sensor_alarm=sensor_alarm,
             fault_probs=probs,
             fault_pred=pred,
+            layer_scores=layer_scores,
         )
 
     def observe(self, x_raw, v_measured, stream: str = "default") -> MonitorOutput:

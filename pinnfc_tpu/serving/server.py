@@ -13,7 +13,8 @@ invariance the streaming tests prove).
            "warn": [...], "danger": [...], "v_alarm": [...],
            "fault_probs": [[...]], "fault_pred": [...],     (with a head)
            "fault_names": [...], "n_seen": int,
-           "stream": "...", "stream_n_seen": int}
+           "stream": "...", "stream_n_seen": int,
+           "layer_names": [...], "layer_scores": [[...]]}   (risk attribution)
     POST /observe_many  {"streams": [...], "x": (S,B,8), "v": (S,B)}
         → {"results": {stream: <observe payload>}, "n_seen": int}
         (a whole fleet advances in ONE vmapped device program)
@@ -109,6 +110,13 @@ def _json_payload(out, monitor: OnlineMonitor, stream: str = "default") -> dict:
         "n_seen": monitor.n_seen,
         "stream": stream,
         "stream_n_seen": monitor.stream_n_seen(stream),
+        # per-layer risk attribution (04:244-259): which physics layer —
+        # voltage / gas / temp — is driving each sample's S_tot
+        "layer_names": list(monitor.layer_names),
+        "layer_scores": [
+            _finite_or_null(row)
+            for row in np.round(np.asarray(out.layer_scores, np.float64), 6)
+        ],
     }
     if out.fault_probs is not None:
         probs = np.round(np.asarray(out.fault_probs, np.float64), 6)

@@ -67,6 +67,10 @@ class TestMonitorCli:
         assert rc == 0
         out = capsys.readouterr().out
         assert "streamed" in out and f"{n} samples" in out
+        # the induced voltage collapse must warn, and warned risk is
+        # attributed to physics layers (explainability surface)
+        assert "risk attribution while warned:" in out
+        assert "voltage" in out and "gas" in out and "temp" in out
 
         rc = main([
             "monitor", "--mat", mat, "--ckpt", ckpt,
@@ -130,6 +134,32 @@ class TestOnlineMonitor:
         mon.reset()
         b = mon.observe(x_raw[:100], v_meas[:100])
         np.testing.assert_array_equal(a.rf_smooth, b.rf_smooth)
+
+    def test_layer_scores_attribute_s_tot(self, setup):
+        """Per-layer risk attribution: layer_scores columns are the
+        layer-weighted p-norm terms of the RF aggregation (04:244-259) —
+        they match the offline pipeline's s_layers and row-sum to the raw
+        S_tot that drives the integral."""
+        params, d, mu, sigma, x_raw, v_meas = setup
+        cfg = RiskConfig()
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma, cfg)
+        out = mon.observe(x_raw, v_meas)
+        want = _offline_rf(params, d, mu, sigma, x_raw, v_meas, cfg)
+
+        assert mon.layer_names == ("voltage", "gas", "temp")
+        assert out.layer_scores.shape == (len(x_raw), 3)
+        assert (out.layer_scores >= 0).all()
+        layer_w = dict(cfg.layer_weights)
+        for j, name in enumerate(mon.layer_names):
+            np.testing.assert_allclose(
+                out.layer_scores[:, j],
+                layer_w.get(name, 1.0) * np.asarray(want["s_layers"][name]),
+                rtol=1e-5, atol=1e-6,
+            )
+        np.testing.assert_allclose(
+            out.layer_scores.sum(axis=1), np.asarray(want["s_tot"]),
+            rtol=1e-5, atol=1e-6,
+        )
 
     def test_from_checkpoint(self, setup, tmp_path):
         params, d, mu, sigma, x_raw, v_meas = setup
@@ -397,6 +427,13 @@ class TestHttpServer:
         assert out2["n_seen"] == 120
         assert len(out1["fault_probs"]) == 60
         assert out1["fault_names"][0] in ("normalish", "faultish")
+        # per-layer risk attribution rides along in the payload
+        assert out1["layer_names"] == ["voltage", "gas", "temp"]
+        np.testing.assert_allclose(
+            np.asarray(out1["layer_scores"], np.float64),
+            np.asarray(ref.layer_scores[:60], np.float64),
+            rtol=1e-4, atol=1e-6,
+        )
 
         # reset restarts the series
         assert self._post(port, "/reset", {})[0] == 200
@@ -482,6 +519,9 @@ class TestMultiStream:
                 np.testing.assert_array_equal(got.fault_pred, want.fault_pred)
                 np.testing.assert_allclose(
                     got.fault_probs, want.fault_probs, rtol=1e-5, atol=1e-7
+                )
+                np.testing.assert_allclose(
+                    got.layer_scores, want.layer_scores, rtol=1e-5, atol=1e-7
                 )
         assert mon.stream_n_seen("s1") == 80
 
