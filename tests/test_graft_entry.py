@@ -77,6 +77,99 @@ def test_dryrun_survives_preinitialized_1device_backend():
     assert "DRYRUN_OK" in proc.stdout
 
 
+def test_live_device_count_peek_does_not_initialize_backend():
+    """The parent-side device check must NEVER trigger backend
+    initialization (the axon relay handshake can hang a first device
+    query for >20 min): in a fresh interpreter it reports None and leaves
+    no backend behind."""
+    sys.path.insert(0, REPO)
+    import __graft_entry__ as g
+
+    env = g.cpu_sim_env(8)
+    code = (
+        f"import sys; sys.path.insert(0, {REPO!r})\n"
+        "import __graft_entry__ as g\n"
+        "assert g._live_device_count() is None\n"
+        "from jax._src import xla_bridge\n"
+        "assert not xla_bridge._backends, 'peek initialized a backend!'\n"
+        "import jax\n"
+        "assert jax.device_count() == 8\n"
+        "assert g._live_device_count() == 8\n"
+        "print('PEEK_OK')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "PEEK_OK" in proc.stdout
+
+
+def test_dryrun_probe_path_with_uninitialized_adequate_platform():
+    """A parent that has NOT initialized jax, in an env whose default
+    platform already supplies enough devices (the driver's usual CPU-sim
+    launch), must pass via the bounded probe + inherited-env re-exec —
+    without the parent ever initializing a backend itself."""
+    sys.path.insert(0, REPO)
+    import __graft_entry__ as g
+
+    env = g.cpu_sim_env(8)
+    env.pop("_PINNFC_DRYRUN_CHILD", None)
+    code = (
+        f"import sys; sys.path.insert(0, {REPO!r})\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+        "from jax._src import xla_bridge\n"
+        "assert not xla_bridge._backends, 'parent initialized a backend!'\n"
+        "print('DRYRUN_OK')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "DRYRUN_OK" in proc.stdout
+
+
+def test_dryrun_probe_timeout_falls_back_to_cpu_sim(monkeypatch):
+    """A probe that cannot finish within the bound must fall back to the
+    CPU-simulation re-exec, not hang the dry run."""
+    sys.path.insert(0, REPO)
+    import __graft_entry__ as g
+
+    calls = {}
+
+    def fake_probe(timeout):
+        calls["timeout"] = timeout
+        return None  # what a timed-out/hung platform probe returns
+
+    monkeypatch.setattr(g, "_probe_device_count", fake_probe)
+    monkeypatch.setattr(g, "_live_device_count", lambda: None)
+    monkeypatch.setenv("PINNFC_DRYRUN_PROBE_TIMEOUT", "7")
+
+    seen = {}
+    real_run = subprocess.run
+
+    def fake_run(cmd, env=None, **kw):
+        seen["env"] = env
+
+        class P:
+            returncode = 0
+            stdout = ""
+            stderr = ""
+
+        return P()
+
+    monkeypatch.setattr(g.subprocess, "run", fake_run)
+    g.dryrun_multichip(8)
+    monkeypatch.setattr(g.subprocess, "run", real_run)
+    assert calls["timeout"] == 7.0
+    # fell back to the clean CPU-sim env, axon trigger removed
+    assert seen["env"]["JAX_PLATFORMS"] == "cpu"
+    assert "PALLAS_AXON_POOL_IPS" not in seen["env"]
+    assert "--xla_force_host_platform_device_count=8" in seen["env"]["XLA_FLAGS"]
+
+
 def test_dryrun_impl_raises_on_insufficient_devices():
     sys.path.insert(0, REPO)
     import __graft_entry__ as g
