@@ -304,11 +304,19 @@ def cmd_risk(args) -> int:
     results = load_comprehensive_results(args.mat)
     # run-all synthesizes a bare Namespace per stage → default like argparse
     advances = run_risk_pipeline(results, backend=getattr(args, "backend", "jax"))
-    print(f"{'current':>8} {'fault':>8} {'V alarm':>8} {'RF alarm':>9} {'advance':>8}")
+    print(f"{'current':>8} {'fault':>8} {'V alarm':>8} {'RF alarm':>9} "
+          f"{'advance':>8}  driver")
     for a in advances:
+        # the physics layer that contributed most to the risk level at the
+        # alarm instant (exact λ-decay attribution, rf.py)
+        driver = (
+            f"{a.dominant_layer} {a.layer_shares[a.dominant_layer]:.0%}"
+            if a.layer_shares else "-"
+        )
         print(
             f"{a.current_target:8.0f} {a.fault_name:>8} "
-            f"{str(a.idx_v_alarm):>8} {str(a.idx_rf_alarm):>9} {str(a.advance):>8}"
+            f"{str(a.idx_v_alarm):>8} {str(a.idx_rf_alarm):>9} "
+            f"{str(a.advance):>8}  {driver}"
         )
     if args.plot_dir:
         from pinnfc_tpu.viz import plot_rf_condition

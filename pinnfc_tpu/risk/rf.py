@@ -204,6 +204,17 @@ class ConditionAdvance:
     rf_smooth: np.ndarray
     voltage: np.ndarray
     row_indices: np.ndarray
+    # explainability: each physics layer's share of the accumulated
+    # (layer-weighted) S up to the RF alarm — which of voltage/gas/temp
+    # DROVE the warning (04:244-259 decomposition); {} when no layer
+    # accumulated anything in the window
+    layer_shares: Dict[str, float] = dataclasses.field(default_factory=dict)
+
+    @property
+    def dominant_layer(self) -> Optional[str]:
+        if not self.layer_shares:
+            return None
+        return max(self.layer_shares, key=self.layer_shares.get)
 
 
 def compute_rf_advance_for_condition(
@@ -256,6 +267,25 @@ def compute_rf_advance_for_condition(
     idx_rf = find_first_alarm_index(rf_smooth, config.warn_threshold, mode="above")
     advance = idx_v - idx_rf if (idx_v is not None and idx_rf is not None) else None
 
+    # attribute the alarm: C[t] = Σ_k λ^(t−k)·S_tot[k] is linear in the
+    # layer terms, so each layer's EXACT contribution to the risk level at
+    # the alarm instant is its decay-weighted sum Σ_k λ^(t−k)·w_l·S_l[k]
+    # (anchored at the last sample when the RF never fired).  Shares over
+    # the layers tell the operator WHICH physics layer drove the warning.
+    layer_w = dict(config.layer_weights)
+    t_anchor = idx_rf if idx_rf is not None else len(idx_all) - 1
+    decay = config.lambda_decay ** np.arange(t_anchor, -1, -1, dtype=float)
+    decay[0] = 0.0  # C[0] = 0: sample 0 never enters the integral
+    sums = {
+        name: layer_w.get(name, 1.0)
+        * float(np.sum(decay * np.asarray(s)[: t_anchor + 1]))
+        for name, s in rf["s_layers"].items()
+    }
+    total_s = sum(sums.values())
+    layer_shares = (
+        {k: v / total_s for k, v in sums.items()} if total_s > 0 else {}
+    )
+
     return ConditionAdvance(
         fault_name=fault_name,
         current_target=current_target,
@@ -268,6 +298,7 @@ def compute_rf_advance_for_condition(
         rf_smooth=rf_smooth,
         voltage=v_sub,
         row_indices=idx_all,
+        layer_shares=layer_shares,
     )
 
 

@@ -475,9 +475,13 @@ def plot_rf_condition(advance, warn_threshold: float, danger_threshold: float, s
         ax2.axvline(advance.idx_rf_alarm, c="tab:red", lw=0.8, ls=":")
     if advance.idx_v_alarm is not None:
         ax1.axvline(advance.idx_v_alarm, c="k", lw=0.8, ls=":")
+    driver = getattr(advance, "dominant_layer", None)
+    driver_txt = (
+        f"  driver={driver} {advance.layer_shares[driver]:.0%}" if driver else ""
+    )
     ax1.set_title(
         f"{advance.current_target:.0f}A {display_name(advance.fault_name)}  "
-        f"advance={advance.advance}", fontsize=9,
+        f"advance={advance.advance}{driver_txt}", fontsize=9,
     )
     return _finish(fig, save_path)
 

@@ -132,6 +132,55 @@ class TestAlarms:
         # voltage drops 0.3 total → crosses threshold; RF should fire first
         assert adv.idx_v_alarm is not None
 
+    def test_layer_attribution_exact(self, fake_results):
+        """layer_shares: the fixture ramps res+pV, so the voltage layer
+        must dominate, and the decayed layer contributions must reconstruct
+        C at the alarm instant exactly (the integral is linear in the
+        layer terms)."""
+        cfg = RiskConfig()
+        mu, sigma = estimate_mu_sigma_normal(fake_results)
+        adv = compute_rf_advance_for_condition(
+            fake_results, mu, sigma, "水淹", 108.0, cfg
+        )
+        assert set(adv.layer_shares) == {"voltage", "gas", "temp"}
+        assert sum(adv.layer_shares.values()) == pytest.approx(1.0)
+        assert all(v >= 0 for v in adv.layer_shares.values())
+        assert adv.dominant_layer == "voltage"
+        assert adv.layer_shares["voltage"] > 0.5
+
+        sub = fake_results[adv.row_indices]
+        r = np.stack(
+            [sub[:, INDEX[k]].astype(float) for k in cfg.res_keys], axis=1
+        )
+        rf = compute_rf_time_series(r, mu, sigma, cfg)
+        t = adv.idx_rf_alarm
+        assert t is not None
+        decay = cfg.lambda_decay ** np.arange(t, -1, -1, dtype=float)
+        decay[0] = 0.0  # C[0] = 0 semantics
+        total = sum(
+            dict(cfg.layer_weights)[name]
+            * float(np.sum(decay * np.asarray(s)[: t + 1]))
+            for name, s in rf["s_layers"].items()
+        )
+        assert total == pytest.approx(float(np.asarray(rf["c"])[t]), rel=1e-3)
+
+    def test_layer_attribution_isolates_excited_layer(self):
+        """Exciting ONLY the temperature residual must attribute the alarm
+        ~100% to the temp layer."""
+        cfg = RiskConfig()
+        n = 200
+        arr = np.zeros((n, 22))
+        arr[:, INDEX["y_true"]] = 4.0
+        arr[:, INDEX["x0"]] = 108.0
+        arr[50:, INDEX["label"]] = 1
+        arr[50:, INDEX["pT"]] = np.linspace(0.0, 50.0, n - 50)
+        mu, sigma = np.zeros(5), np.ones(5)
+        adv = compute_rf_advance_for_condition(arr, mu, sigma, "水淹", 108.0, cfg)
+        assert adv is not None and adv.layer_shares
+        assert adv.dominant_layer == "temp"
+        assert adv.layer_shares["temp"] == pytest.approx(1.0)
+        assert adv.layer_shares["voltage"] == pytest.approx(0.0, abs=1e-6)
+
     def test_index_range_clipping(self, fake_results):
         cfg = RiskConfig()
         mu, sigma = estimate_mu_sigma_normal(fake_results)
