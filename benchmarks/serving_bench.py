@@ -110,7 +110,11 @@ def bench_snapshot(monitor, n_streams: int, tmpdir: str) -> float:
     rs = np.random.RandomState(4)
     xb = rs.uniform(-1, 1, (n_streams, 4, 8)).astype(np.float32)
     vb = rs.uniform(3, 4, (n_streams, 4)).astype(np.float32)
-    monitor.observe_many(xb, vb, [f"s{i}" for i in range(n_streams)])
+    # include the built-in "default" stream so the bank holds exactly
+    # n_streams entries (otherwise S=1 would time a 2-stream save)
+    streams = ["default"] + [f"s{i}" for i in range(n_streams - 1)]
+    monitor.observe_many(xb, vb, streams)
+    assert len(monitor.streams) == n_streams
     path = os.path.join(tmpdir, "bank.npz")
     times = []
     for _ in range(N_REPEAT):

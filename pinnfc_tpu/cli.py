@@ -508,7 +508,14 @@ def cmd_monitor(args) -> int:
     v_meas = rows[:, INDEX["y_true"]]
     first = {"warn": None, "danger": None, "v_alarm": None}
     diag_counts = None
-    layer_totals = None  # per-layer risk attribution over warned samples
+    # per-layer decayed accumulators: acc[l] ← λ·acc[l] + layer_score[l]
+    # mirrors the risk integral C(t) per layer, so the shares captured at
+    # the first warn are the EXACT attribution of the risk level that
+    # crossed the threshold — identical semantics to cli risk's "driver"
+    # column (rf.py).  Glitched rows are skipped, as in the C update.
+    lam = cfg.lambda_decay
+    layer_acc = None
+    warn_shares = None
     pos = 0
     while pos < len(rows):
         out = monitor.observe(
@@ -527,15 +534,20 @@ def cmd_monitor(args) -> int:
             votes = np.bincount(out.fault_pred[valid],
                                 minlength=len(head.class_names))
             diag_counts = votes if diag_counts is None else diag_counts + votes
-        if out.warn.any():
-            # attribute the warned risk to physics layers (04:244-259):
-            # WHICH of voltage/gas/temp drove S_tot while the RF warned
-            contrib = np.nansum(
-                np.asarray(out.layer_scores)[out.warn], axis=0
-            )
-            layer_totals = (
-                contrib if layer_totals is None else layer_totals + contrib
-            )
+        scores = np.asarray(out.layer_scores)
+        if layer_acc is None:
+            layer_acc = np.zeros(scores.shape[1])
+        glitch = np.asarray(out.glitch, bool)
+        for i in range(scores.shape[0]):
+            row = scores[i]
+            # same gating as the risk integral: the first-ever sample and
+            # glitched rows contribute zero (monitor.py step semantics)
+            if pos + i == 0 or glitch[i] or not np.isfinite(row).all():
+                layer_acc *= lam
+            else:
+                layer_acc = lam * layer_acc + row
+            if warn_shares is None and out.warn[i] and layer_acc.sum() > 0:
+                warn_shares = layer_acc / layer_acc.sum()
         pos += args.block
     print(
         f"streamed {len(rows)} samples in blocks of {args.block}: "
@@ -544,12 +556,11 @@ def cmd_monitor(args) -> int:
     )
     if first["warn"] is not None and first["v_alarm"] is not None:
         print(f"RF lead over voltage alarm: {first['v_alarm'] - first['warn']} samples")
-    if layer_totals is not None and layer_totals.sum() > 0:
-        shares = layer_totals / layer_totals.sum()
+    if warn_shares is not None:
         breakdown = "  ".join(
-            f"{n} {s:.0%}" for n, s in zip(monitor.layer_names, shares)
+            f"{n} {s:.0%}" for n, s in zip(monitor.layer_names, warn_shares)
         )
-        print(f"risk attribution while warned: {breakdown}")
+        print(f"risk attribution at first warn: {breakdown}")
     if diag_counts is not None:
         name = head.class_names[int(np.argmax(diag_counts))]
         share = diag_counts.max() / max(diag_counts.sum(), 1)

@@ -276,10 +276,13 @@ def compute_rf_advance_for_condition(
     t_anchor = idx_rf if idx_rf is not None else len(idx_all) - 1
     decay = config.lambda_decay ** np.arange(t_anchor, -1, -1, dtype=float)
     decay[0] = 0.0  # C[0] = 0: sample 0 never enters the integral
+    # ONE batched fetch: per-layer np.asarray would cost a relay round
+    # trip each on remote-attached TPUs (~23 ms apiece, 12 conditions)
+    s_layers_host = jax.device_get(rf["s_layers"])
     sums = {
         name: layer_w.get(name, 1.0)
         * float(np.sum(decay * np.asarray(s)[: t_anchor + 1]))
-        for name, s in rf["s_layers"].items()
+        for name, s in s_layers_host.items()
     }
     total_s = sum(sums.values())
     layer_shares = (

@@ -185,9 +185,12 @@ class MonitorOutput:
     # (B, L) per-layer risk attribution, columns in ``OnlineMonitor.
     # layer_names`` order: each column is one physics layer's weighted
     # p-norm term of the RF aggregation (04:244-259), so row sums equal
-    # the raw S_tot for that sample.  Attributions are PRE-gating — the
+    # the raw S_tot for that sample.  Attributions are PRE-gating: the
     # first-ever sample and glitched samples contribute zero to the risk
-    # integral, but their columns still show which layer was excited.
+    # integral regardless of what these columns show.  For a glitch caused
+    # by a dead VOLTAGE channel (NaN v_meas, finite features) the columns
+    # stay finite and show the excitation; a non-finite feature row
+    # propagates NaN into every column.
     layer_scores: np.ndarray | None = None
 
 
@@ -325,7 +328,8 @@ class OnlineMonitor:
             # (B, L) attribution of the RAW S_tot across physics layers
             # (04:244-259): which layer — voltage / gas / temp — is driving
             # the risk.  Stacked BEFORE the first-sample/glitch gating below
-            # so a glitched row's columns still show its excitation.
+            # so a voltage-channel-outage glitch (finite features) still
+            # shows its excitation; NaN-feature rows yield NaN columns.
             layer_scores = (
                 jnp.stack(layer_contribs, axis=1) if layer_contribs
                 else jnp.zeros((r.shape[0], 0), jnp.float32)

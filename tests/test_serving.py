@@ -67,9 +67,10 @@ class TestMonitorCli:
         assert rc == 0
         out = capsys.readouterr().out
         assert "streamed" in out and f"{n} samples" in out
-        # the induced voltage collapse must warn, and warned risk is
-        # attributed to physics layers (explainability surface)
-        assert "risk attribution while warned:" in out
+        # the induced voltage collapse must warn, and the risk level at the
+        # first warn is attributed to physics layers (explainability
+        # surface, exact λ-decay semantics — same as cli risk's driver)
+        assert "risk attribution at first warn:" in out
         assert "voltage" in out and "gas" in out and "temp" in out
 
         rc = main([
