@@ -319,7 +319,7 @@ def cmd_risk(args) -> int:
             f"{str(a.advance):>8}  {driver}"
         )
     if args.plot_dir:
-        from pinnfc_tpu.viz import plot_rf_condition
+        from pinnfc_tpu.viz import plot_rf_attribution, plot_rf_condition
 
         cfg = RiskConfig()
         os.makedirs(args.plot_dir, exist_ok=True)
@@ -328,6 +328,14 @@ def cmd_risk(args) -> int:
                 a, cfg.warn_threshold, cfg.danger_threshold,
                 os.path.join(
                     args.plot_dir, f"rf_{a.current_target:.0f}A_{a.fault_name}.png"
+                ),
+            )
+            # explainability companion: stacked per-layer C_l(t)
+            plot_rf_attribution(
+                a, cfg.warn_threshold,
+                os.path.join(
+                    args.plot_dir,
+                    f"rf_attr_{a.current_target:.0f}A_{a.fault_name}.png",
                 ),
             )
         print("figures →", args.plot_dir)

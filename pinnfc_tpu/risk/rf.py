@@ -209,6 +209,10 @@ class ConditionAdvance:
     # DROVE the warning (04:244-259 decomposition); {} when no layer
     # accumulated anything in the window
     layer_shares: Dict[str, float] = dataclasses.field(default_factory=dict)
+    # per-layer decayed risk-integral series: C_l[t] = λ·C_l[t−1] +
+    # w_l·S_l[t] (C_l[0] = 0), so Σ_l C_l[t] = C[t] exactly — the time-
+    # resolved composition of the risk (viz.plot_rf_attribution)
+    layer_c: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
 
     @property
     def dominant_layer(self) -> Optional[str]:
@@ -267,23 +271,24 @@ def compute_rf_advance_for_condition(
     idx_rf = find_first_alarm_index(rf_smooth, config.warn_threshold, mode="above")
     advance = idx_v - idx_rf if (idx_v is not None and idx_rf is not None) else None
 
-    # attribute the alarm: C[t] = Σ_k λ^(t−k)·S_tot[k] is linear in the
-    # layer terms, so each layer's EXACT contribution to the risk level at
-    # the alarm instant is its decay-weighted sum Σ_k λ^(t−k)·w_l·S_l[k]
-    # (anchored at the last sample when the RF never fired).  Shares over
-    # the layers tell the operator WHICH physics layer drove the warning.
+    # attribute the alarm: C[t] is linear in the layer terms, so running
+    # each layer's weighted S through the SAME leaky integral decomposes
+    # the risk exactly — Σ_l C_l[t] = C[t], and the shares of C_l at the
+    # alarm instant (last sample when the RF never fired) tell the
+    # operator WHICH physics layer drove the warning.
+    from scipy.signal import lfilter
+
     layer_w = dict(config.layer_weights)
     t_anchor = idx_rf if idx_rf is not None else len(idx_all) - 1
-    decay = config.lambda_decay ** np.arange(t_anchor, -1, -1, dtype=float)
-    decay[0] = 0.0  # C[0] = 0: sample 0 never enters the integral
     # ONE batched fetch: per-layer np.asarray would cost a relay round
     # trip each on remote-attached TPUs (~23 ms apiece, 12 conditions)
     s_layers_host = jax.device_get(rf["s_layers"])
-    sums = {
-        name: layer_w.get(name, 1.0)
-        * float(np.sum(decay * np.asarray(s)[: t_anchor + 1]))
-        for name, s in s_layers_host.items()
-    }
+    layer_c = {}
+    for name, s in s_layers_host.items():
+        s_w = layer_w.get(name, 1.0) * np.asarray(s, float)
+        s_w[0] = 0.0  # C[0] = 0: sample 0 never enters the integral
+        layer_c[name] = lfilter([1.0], [1.0, -config.lambda_decay], s_w)
+    sums = {name: float(c[t_anchor]) for name, c in layer_c.items()}
     total_s = sum(sums.values())
     layer_shares = (
         {k: v / total_s for k, v in sums.items()} if total_s > 0 else {}
@@ -302,6 +307,7 @@ def compute_rf_advance_for_condition(
         voltage=v_sub,
         row_indices=idx_all,
         layer_shares=layer_shares,
+        layer_c=layer_c,
     )
 
 

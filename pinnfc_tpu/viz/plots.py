@@ -486,6 +486,44 @@ def plot_rf_condition(advance, warn_threshold: float, danger_threshold: float, s
     return _finish(fig, save_path)
 
 
+def plot_rf_attribution(advance, warn_threshold: float, save_path: str):
+    """Time-resolved composition of the risk integral: stacked per-layer
+    C_l(t) (Σ_l C_l = C exactly, rf.py) with the RF/voltage alarm markers —
+    shows WHICH physics layer built up the risk that crossed the
+    threshold.  Explainability companion to :func:`plot_rf_condition`
+    (beyond-reference; decomposes 04:244-264)."""
+    if not advance.layer_c:
+        return None
+    fig, ax = plt.subplots(figsize=(6, 3))
+    names = list(advance.layer_c)
+    series = [np.asarray(advance.layer_c[n], float) for n in names]
+    t = np.arange(len(series[0]))
+    colors = ["tab:red", "tab:blue", "tab:orange", "tab:green", "tab:purple"]
+    shares = advance.layer_shares
+    ax.stackplot(
+        t, series,
+        labels=[
+            f"{n} ({shares[n]:.0%} at alarm)" if n in shares else n
+            for n in names
+        ],
+        colors=colors[: len(names)], alpha=0.75,
+    )
+    if advance.idx_rf_alarm is not None:
+        ax.axvline(advance.idx_rf_alarm, c="tab:red", lw=0.8, ls=":",
+                   label="RF alarm")
+    if advance.idx_v_alarm is not None:
+        ax.axvline(advance.idx_v_alarm, c="k", lw=0.8, ls=":",
+                   label="V alarm")
+    ax.set_xlabel("sample (condition-relative)")
+    ax.set_ylabel("risk integral C(t) composition")
+    ax.legend(fontsize=7, loc="upper left")
+    ax.set_title(
+        f"{advance.current_target:.0f}A {display_name(advance.fault_name)} "
+        f"— risk attribution", fontsize=9,
+    )
+    return _finish(fig, save_path)
+
+
 def plot_confusion_matrix(
     cm: np.ndarray, class_names: List[str], save_path: str, title: str = ""
 ):

@@ -107,8 +107,11 @@ class TestCliSubcommands:
             "gmm_tsne.png",
             "gmm_confusion.png",
         } <= files
-        # script 04: one RF figure per detected condition
-        assert any(f.startswith("rf_") for f in files)
+        # script 04: one RF figure per detected condition, plus its
+        # per-layer attribution companion (explainability surface)
+        assert any(f.startswith("rf_") and not f.startswith("rf_attr_")
+                   for f in files)
+        assert any(f.startswith("rf_attr_") for f in files)
         # script 05: six confusion matrices + the macro-metric bar chart
         assert "method_metrics.png" in files
         assert sum(f.startswith("confusion_") for f in files) == 6

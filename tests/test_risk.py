@@ -148,6 +148,7 @@ class TestAlarms:
         assert adv.dominant_layer == "voltage"
         assert adv.layer_shares["voltage"] > 0.5
 
+        # the per-layer integral series decompose C exactly at every t
         sub = fake_results[adv.row_indices]
         r = np.stack(
             [sub[:, INDEX[k]].astype(float) for k in cfg.res_keys], axis=1
@@ -155,14 +156,14 @@ class TestAlarms:
         rf = compute_rf_time_series(r, mu, sigma, cfg)
         t = adv.idx_rf_alarm
         assert t is not None
-        decay = cfg.lambda_decay ** np.arange(t, -1, -1, dtype=float)
-        decay[0] = 0.0  # C[0] = 0 semantics
-        total = sum(
-            dict(cfg.layer_weights)[name]
-            * float(np.sum(decay * np.asarray(s)[: t + 1]))
-            for name, s in rf["s_layers"].items()
+        c_sum = np.sum(np.stack(list(adv.layer_c.values())), axis=0)
+        np.testing.assert_allclose(
+            c_sum, np.asarray(rf["c"]), rtol=1e-3, atol=1e-3
         )
-        assert total == pytest.approx(float(np.asarray(rf["c"])[t]), rel=1e-3)
+        # and the reported shares are exactly the composition at the alarm
+        total = sum(c[t] for c in adv.layer_c.values())
+        for name, share in adv.layer_shares.items():
+            assert share == pytest.approx(adv.layer_c[name][t] / total)
 
     def test_layer_attribution_isolates_excited_layer(self):
         """Exciting ONLY the temperature residual must attribute the alarm

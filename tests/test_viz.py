@@ -142,6 +142,25 @@ class TestPlots:
             )
         )
 
+    def test_rf_attribution(self, fake_results, tmp_path):
+        from pinnfc_tpu.risk import (
+            compute_rf_advance_for_condition,
+            estimate_mu_sigma_normal,
+        )
+        from pinnfc_tpu.viz import plot_rf_attribution
+
+        cfg = RiskConfig()
+        arr = fake_results.copy()
+        arr[100:200, INDEX["res"]] = np.linspace(0, 5, 100)
+        mu, sigma = estimate_mu_sigma_normal(arr)
+        adv = compute_rf_advance_for_condition(arr, mu, sigma, "水淹", 108.0, cfg)
+        assert adv is not None and adv.layer_c
+        _check(
+            plot_rf_attribution(
+                adv, cfg.warn_threshold, str(tmp_path / "rf_attr.png")
+            )
+        )
+
     def test_tsne_embed(self, rng):
         from pinnfc_tpu.viz import tsne_embed
 
