@@ -516,14 +516,7 @@ def cmd_monitor(args) -> int:
     v_meas = rows[:, INDEX["y_true"]]
     first = {"warn": None, "danger": None, "v_alarm": None}
     diag_counts = None
-    # per-layer decayed accumulators: acc[l] ← λ·acc[l] + layer_score[l]
-    # mirrors the risk integral C(t) per layer, so the shares captured at
-    # the first warn are the EXACT attribution of the risk level that
-    # crossed the threshold — identical semantics to cli risk's "driver"
-    # column (rf.py).  Glitched rows are skipped, as in the C update.
-    lam = cfg.lambda_decay
-    layer_acc = None
-    warn_shares = None
+    warn_shares = None  # exact attribution at the first warn (layer_c)
     pos = 0
     while pos < len(rows):
         out = monitor.observe(
@@ -542,20 +535,14 @@ def cmd_monitor(args) -> int:
             votes = np.bincount(out.fault_pred[valid],
                                 minlength=len(head.class_names))
             diag_counts = votes if diag_counts is None else diag_counts + votes
-        scores = np.asarray(out.layer_scores)
-        if layer_acc is None:
-            layer_acc = np.zeros(scores.shape[1])
-        glitch = np.asarray(out.glitch, bool)
-        for i in range(scores.shape[0]):
-            row = scores[i]
-            # same gating as the risk integral: the first-ever sample and
-            # glitched rows contribute zero (monitor.py step semantics)
-            if pos + i == 0 or glitch[i] or not np.isfinite(row).all():
-                layer_acc *= lam
-            else:
-                layer_acc = lam * layer_acc + row
-            if warn_shares is None and out.warn[i] and layer_acc.sum() > 0:
-                warn_shares = layer_acc / layer_acc.sum()
+        if warn_shares is None and out.warn.any():
+            # the monitor carries the per-layer risk integral C_l (exact
+            # λ-decay attribution, Σ_l C_l ≡ C — same semantics as cli
+            # risk's "driver" column): read the composition at first warn
+            i = int(np.argmax(out.warn))
+            row = np.asarray(out.layer_c)[i]
+            if np.isfinite(row).all() and row.sum() > 0:
+                warn_shares = row / row.sum()
         pos += args.block
     print(
         f"streamed {len(rows)} samples in blocks of {args.block}: "

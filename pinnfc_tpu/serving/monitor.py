@@ -167,6 +167,10 @@ class MonitorState(NamedTuple):
     n_seen: jnp.ndarray  # () samples consumed
     v_first_set: jnp.ndarray  # () bool — baseline captured from a FINITE sample
     glitch_run: jnp.ndarray  # () consecutive non-finite samples ending the stream
+    # (L,) per-layer decomposition of the SAME integral: C_l[t] = λ·C_l[t−1]
+    # + w_l·S_l[t] with identical gating, so Σ_l C_l ≡ C — live risk
+    # attribution carried across blocks (04:244-264 decomposed)
+    layer_c: jnp.ndarray
 
 
 @dataclasses.dataclass
@@ -192,6 +196,11 @@ class MonitorOutput:
     # stay finite and show the excitation; a non-finite feature row
     # propagates NaN into every column.
     layer_scores: np.ndarray | None = None
+    # (B, L) per-layer risk INTEGRAL series C_l(t) (gated like C, carried
+    # across blocks): row sums reconstruct the unclipped C exactly, so
+    # row/rowsum at any sample is the exact live attribution of the risk
+    # level — read it at the first warn to see which layer drove the alarm
+    layer_c: np.ndarray | None = None
 
 
 def _rf_block(s_tot, state: MonitorState, cfg: RiskConfig):
@@ -253,6 +262,14 @@ class OnlineMonitor:
         # samples (glitched rows contribute zero risk, so a dead sensor would
         # otherwise decay RF toward "healthy" silently)
         self.glitch_alarm_n = int(glitch_alarm_n)
+        # layers that actually contribute (non-empty key sets), in config
+        # order — the column order of layer_scores/layer_c and the length
+        # of the per-stream layer_c state vector
+        _k2i = {k: i for i, k in enumerate(config.res_keys)}
+        self.layer_names = tuple(
+            lname for lname, keys in config.layer_config
+            if any(k in _k2i for k in keys)
+        )
         # multi-stream state bank: real deployments watch several operating
         # conditions concurrently (04:145-161 evaluates 12) — each stream
         # key carries its own RF(t) recurrence state; "default" preserves
@@ -265,8 +282,7 @@ class OnlineMonitor:
         self._step = jax.jit(self._step_fn)
         self._vstep = None  # lazily-jitted vmapped step (observe_many)
 
-    @staticmethod
-    def _fresh_state() -> MonitorState:
+    def _fresh_state(self) -> MonitorState:
         # HOST numpy scalars, dtypes matching the jitted step's outputs: the
         # bank lives on the host so observe_many can pack S streams with one
         # np.stack instead of per-call eager device stacks (each eager op is
@@ -280,6 +296,7 @@ class OnlineMonitor:
             n_seen=np.int32(0),
             v_first_set=np.bool_(False),
             glitch_run=np.float32(0.0),
+            layer_c=np.zeros(len(self.layer_names), np.float32),
         )
 
     def _build_step(self):
@@ -288,12 +305,6 @@ class OnlineMonitor:
         key_to_idx = {k: i for i, k in enumerate(cfg.res_keys)}
         layer_w = dict(cfg.layer_weights)
         head = self.diagnosis
-        # layers that actually contribute (non-empty key sets), in config
-        # order — the column order of MonitorOutput.layer_scores
-        self.layer_names = tuple(
-            lname for lname, keys in cfg.layer_config
-            if any(k in key_to_idx for k in keys)
-        )
 
         def step(params, state: MonitorState, x_raw, v_meas, mu, sigma):
             x_norm = self.scaler_x.transform(x_raw)
@@ -344,13 +355,26 @@ class OnlineMonitor:
             # yet it still silently disables v_alarm for those rows.
             glitch = ~(jnp.isfinite(s_tot) & jnp.isfinite(v_meas))
             # first-ever sample contributes no risk (C[0]=0 semantics, 04:262)
-            s_tot = jnp.where(
-                (state.n_seen == 0) & (jnp.arange(s_tot.shape[0]) == 0),
-                0.0, s_tot,
+            gate = glitch | (
+                (state.n_seen == 0) & (jnp.arange(s_tot.shape[0]) == 0)
             )
-            s_tot = jnp.where(glitch, 0.0, s_tot)
+            s_tot = jnp.where(gate, 0.0, s_tot)
 
             rf_inst, rf_smooth, c_series = _rf_block(s_tot, state, cfg)
+
+            # per-layer risk-integral continuation: the SAME leaky
+            # recurrence applied to each layer's gated term, so
+            # Σ_l C_l ≡ C at every sample — live attribution of the risk
+            # level, carried across blocks like C itself
+            layer_gated = jnp.where(gate[:, None], 0.0, layer_scores)
+            lam_vec = jnp.full(layer_gated.shape[0], cfg.lambda_decay)
+            if layer_gated.shape[1]:
+                lc_series = jax.vmap(
+                    lambda col, init: linear_recurrence_scan(lam_vec, col, init),
+                    in_axes=(1, 0), out_axes=1,
+                )(layer_gated, state.layer_c)
+            else:
+                lc_series = layer_gated
 
             # consecutive-glitch run length: run[i] = glitch[i]·(run[i-1]+1),
             # the same first-order recurrence as C[t] → same associative scan
@@ -377,6 +401,7 @@ class OnlineMonitor:
                 n_seen=state.n_seen + s_tot.shape[0],
                 v_first_set=v_first_set,
                 glitch_run=glitch_series[-1],
+                layer_c=lc_series[-1],
             )
             # NaN comparisons are False, so pre-baseline (non-finite) samples
             # in the capturing block never alarm; the flag guards the
@@ -403,7 +428,7 @@ class OnlineMonitor:
                 fault = (None, None)
             return new_state, (
                 rf_inst, rf_smooth, r, v_pred, v_alarm, glitch, sensor_alarm,
-                fault, layer_scores,
+                fault, layer_scores, lc_series,
             )
 
         return step
@@ -432,7 +457,7 @@ class OnlineMonitor:
 
     def _pack(self, out_host) -> MonitorOutput:
         (rf_inst, rf_smooth, r, v_pred, v_alarm, glitch, sensor_alarm,
-         (probs, pred), layer_scores) = out_host
+         (probs, pred), layer_scores, layer_c) = out_host
         return MonitorOutput(
             rf_smooth=rf_smooth,
             rf_inst=rf_inst,
@@ -446,6 +471,7 @@ class OnlineMonitor:
             fault_probs=probs,
             fault_pred=pred,
             layer_scores=layer_scores,
+            layer_c=layer_c,
         )
 
     def observe(self, x_raw, v_measured, stream: str = "default") -> MonitorOutput:
@@ -542,7 +568,8 @@ class OnlineMonitor:
     def save_state_bank(self, path: str) -> str:
         """Snapshot every stream's RF(t) carry state + counters (npz).
 
-        The bank is six host scalars per stream, so a snapshot is
+        The bank is six host scalars + the per-layer C_l vector per
+        stream, so a snapshot is
         microseconds of pure host work — cheap enough to take after every
         request.  The write is atomic (tmp + rename, same discipline as
         `utils.checkpoint`) so a crash mid-write can never leave a torn
@@ -575,9 +602,21 @@ class OnlineMonitor:
         Restored scalars are cast to the fresh-state dtypes, so the jitted
         step keeps its single compile signature across a save/load cycle."""
         d = np.load(path if path.endswith(".npz") else path + ".npz")
+        fresh = self._fresh_state()
+        # layer_c may be absent from snapshots written before the live
+        # attribution existed (or under a different layer config): the RF
+        # recurrence itself restores exactly, the attribution restarts
+        # from zero and re-fills with the integral's own ~1/(1−λ) memory
+        optional = {
+            f for f in ("layer_c",)
+            if f"state_{f}" not in d
+            or d[f"state_{f}"].shape[1:] != np.asarray(
+                getattr(fresh, f)).shape
+        }
         missing = [
             k for k in ["streams", "n_seen"]
-            + [f"state_{f}" for f in MonitorState._fields]
+            + [f"state_{f}" for f in MonitorState._fields
+               if f not in optional]
             if k not in d
         ]
         if missing:
@@ -587,24 +626,36 @@ class OnlineMonitor:
         if len(set(streams)) != n:
             raise ValueError(f"state-bank file {path!r} has duplicate streams")
         for f in MonitorState._fields:
-            # full-shape check: the state fields are scalars per stream, so
-            # anything but exactly (n,) — including 0-d or (n, k) arrays —
-            # must fail loudly at load time, not as an opaque shape error
+            if f in optional:
+                continue
+            # full-shape check: per-stream scalars must be exactly (n,)
+            # and vector fields (n, L) — including 0-d or mis-sized arrays
+            # — or fail loudly at load time, not as an opaque shape error
             # inside the jitted step on the next observe
-            if d[f"state_{f}"].shape != (n,):
+            want = (n,) + np.asarray(getattr(fresh, f)).shape
+            if d[f"state_{f}"].shape != want:
                 raise ValueError(
                     f"state-bank field state_{f} has shape "
-                    f"{d[f'state_{f}'].shape}, want ({n},) for {n} streams"
+                    f"{d[f'state_{f}'].shape}, want {want} for {n} streams"
                 )
         if d["n_seen"].shape != (n,):
             raise ValueError(
                 f"state-bank n_seen has shape {d['n_seen'].shape} for "
                 f"{n} streams"
             )
-        fresh = self._fresh_state()
+        if optional:
+            import sys as _sys
+
+            print(
+                f"note: state-bank {path!r} lacks {sorted(optional)} "
+                "(older snapshot or different layer config); those fields "
+                "restart fresh — the RF recurrence itself resumes exactly",
+                file=_sys.stderr,
+            )
         self._streams = {
             s: MonitorState(*(
-                np.asarray(d[f"state_{f}"][i]).astype(
+                np.asarray(getattr(fresh, f)).copy() if f in optional
+                else np.asarray(d[f"state_{f}"][i]).astype(
                     np.asarray(getattr(fresh, f)).dtype
                 )[()]
                 for f in MonitorState._fields

@@ -14,7 +14,8 @@ invariance the streaming tests prove).
            "fault_probs": [[...]], "fault_pred": [...],     (with a head)
            "fault_names": [...], "n_seen": int,
            "stream": "...", "stream_n_seen": int,
-           "layer_names": [...], "layer_scores": [[...]]}   (risk attribution)
+           "layer_names": [...], "layer_scores": [[...]],   (risk attribution)
+           "layer_c": [[...]]}       (per-layer risk-integral composition)
     POST /observe_many  {"streams": [...], "x": (S,B,8), "v": (S,B)}
         → {"results": {stream: <observe payload>}, "n_seen": int}
         (a whole fleet advances in ONE vmapped device program)
@@ -111,11 +112,17 @@ def _json_payload(out, monitor: OnlineMonitor, stream: str = "default") -> dict:
         "stream": stream,
         "stream_n_seen": monitor.stream_n_seen(stream),
         # per-layer risk attribution (04:244-259): which physics layer —
-        # voltage / gas / temp — is driving each sample's S_tot
+        # voltage / gas / temp — is driving each sample's S_tot, and the
+        # carried per-layer risk integral C_l (row sums ≡ the unclipped C,
+        # so row/rowsum is the exact live attribution of the risk level)
         "layer_names": list(monitor.layer_names),
         "layer_scores": [
             _finite_or_null(row)
             for row in np.round(np.asarray(out.layer_scores, np.float64), 6)
+        ],
+        "layer_c": [
+            _finite_or_null(row)
+            for row in np.round(np.asarray(out.layer_c, np.float64), 6)
         ],
     }
     if out.fault_probs is not None:
@@ -190,23 +197,35 @@ def _render_metrics(monitor: OnlineMonitor, stats: dict) -> str:
         label = f'stream="{_prom_escape(s)}"'
         per_stream.append(
             (label, float(state.rf_smooth), float(state.glitch_run),
-             monitor.stream_n_seen(s))
+             monitor.stream_n_seen(s), np.asarray(state.layer_c, float))
         )
-    for label, rf, _, _ in per_stream:
+    for label, rf, _, _, _ in per_stream:
         lines.append(f"pinnfc_stream_rf_smooth{{{label}}} {rf:.6g}")
     lines += [
         "# HELP pinnfc_stream_glitch_run Consecutive non-finite samples "
         "ending the stream (sensor-outage indicator).",
         "# TYPE pinnfc_stream_glitch_run gauge",
     ]
-    for label, _, run, _ in per_stream:
+    for label, _, run, _, _ in per_stream:
         lines.append(f"pinnfc_stream_glitch_run{{{label}}} {run:.6g}")
     lines += [
         "# HELP pinnfc_stream_n_seen Samples scored per stream.",
         "# TYPE pinnfc_stream_n_seen counter",
     ]
-    for label, _, _, n in per_stream:
+    for label, _, _, n, _ in per_stream:
         lines.append(f"pinnfc_stream_n_seen{{{label}}} {n}")
+    lines += [
+        "# HELP pinnfc_stream_layer_c Per-layer risk-integral composition "
+        "(sums to the unclipped C): which physics layer is driving the "
+        "stream's risk right now.",
+        "# TYPE pinnfc_stream_layer_c gauge",
+    ]
+    for label, _, _, _, lc in per_stream:
+        for name, v in zip(monitor.layer_names, lc):
+            lines.append(
+                f'pinnfc_stream_layer_c{{{label},'
+                f'layer="{_prom_escape(name)}"}} {v:.6g}'
+            )
     return "\n".join(lines) + "\n"
 
 

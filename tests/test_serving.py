@@ -115,6 +115,9 @@ class TestOnlineMonitor:
             chunks.append(mon_b.observe(x_raw[s : s + 50], v_meas[s : s + 50]))
         stream = np.concatenate([c.rf_smooth for c in chunks])
         np.testing.assert_allclose(stream, full.rf_smooth, rtol=1e-5, atol=1e-7)
+        # the per-layer risk integral carries across blocks too
+        stream_lc = np.concatenate([c.layer_c for c in chunks])
+        np.testing.assert_allclose(stream_lc, full.layer_c, rtol=1e-5, atol=1e-6)
 
     def test_alarm_flags(self, setup):
         params, d, mu, sigma, x_raw, v_meas = setup
@@ -161,6 +164,13 @@ class TestOnlineMonitor:
             out.layer_scores.sum(axis=1), np.asarray(want["s_tot"]),
             rtol=1e-5, atol=1e-6,
         )
+        # the carried per-layer integral decomposes C exactly: row sums of
+        # the streamed layer_c reconstruct the offline unclipped C series
+        np.testing.assert_allclose(
+            out.layer_c.sum(axis=1), np.asarray(want["c"]),
+            rtol=1e-4, atol=1e-4,
+        )
+        assert (out.layer_c >= 0).all()
 
     def test_from_checkpoint(self, setup, tmp_path):
         params, d, mu, sigma, x_raw, v_meas = setup
@@ -939,6 +949,31 @@ class TestStateBankPersistence:
         # continuing from a snapshot must not cost a second compile
         assert mon2._step._cache_size() == 1
 
+    def test_load_older_snapshot_without_layer_c(self, setup, tmp_path, capsys):
+        """A snapshot written before the live attribution existed (no
+        state_layer_c) must still restore: the RF recurrence resumes
+        bit-exactly and the attribution restarts from zero."""
+        params, d, mu, sigma, x_raw, v_meas = setup
+        ref = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        for m in (ref, mon):
+            m.observe(x_raw[:64], v_meas[:64], stream="a")
+        path = mon.save_state_bank(str(tmp_path / "bank"))
+        payload = dict(np.load(path))
+        del payload["state_layer_c"]
+        old = str(tmp_path / "old.npz")
+        np.savez(old, **payload)
+
+        mon2 = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        mon2.load_state_bank(old)
+        assert "layer_c" in capsys.readouterr().err
+        np.testing.assert_array_equal(
+            np.asarray(mon2._streams["a"].layer_c), np.zeros(3, np.float32)
+        )
+        out_ref = ref.observe(x_raw[64:128], v_meas[64:128], stream="a")
+        out_new = mon2.observe(x_raw[64:128], v_meas[64:128], stream="a")
+        np.testing.assert_array_equal(out_new.rf_smooth, out_ref.rf_smooth)
+
     def test_load_validates_schema(self, setup, tmp_path):
         params, d, mu, sigma, x_raw, v_meas = setup
         mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
@@ -1082,6 +1117,18 @@ class TestMetricsEndpoint:
         )
         want = float(mon._streams["stack-1"].rf_smooth)
         assert float(rf_line.rsplit(" ", 1)[1]) == pytest.approx(want, rel=1e-4)
+        # live per-layer risk composition gauges (one per layer per stream)
+        for j, layer in enumerate(mon.layer_names):
+            lc_line = next(
+                l for l in text.splitlines()
+                if l.startswith(
+                    f'pinnfc_stream_layer_c{{stream="stack-1",layer="{layer}"}}'
+                )
+            )
+            want_lc = float(np.asarray(mon._streams["stack-1"].layer_c)[j])
+            assert float(lc_line.rsplit(" ", 1)[1]) == pytest.approx(
+                want_lc, rel=1e-4, abs=1e-9
+            )
 
         # a second scrape counts the first one
         text2 = self._scrape(port)
