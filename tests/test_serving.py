@@ -534,6 +534,9 @@ class TestMultiStream:
                 np.testing.assert_allclose(
                     got.layer_scores, want.layer_scores, rtol=1e-5, atol=1e-7
                 )
+                np.testing.assert_allclose(
+                    got.layer_c, want.layer_c, rtol=1e-5, atol=1e-7
+                )
         assert mon.stream_n_seen("s1") == 80
 
     # reuse the class-scoped head fixture
