@@ -332,7 +332,7 @@ def cmd_risk(args) -> int:
             )
             # explainability companion: stacked per-layer C_l(t)
             plot_rf_attribution(
-                a, cfg.warn_threshold,
+                a,
                 os.path.join(
                     args.plot_dir,
                     f"rf_attr_{a.current_target:.0f}A_{a.fault_name}.png",

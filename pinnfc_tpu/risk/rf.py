@@ -115,6 +115,17 @@ def compute_rf_time_series(
     }
 
 
+def _leaky_integral_f64(s: np.ndarray, lam: float) -> np.ndarray:
+    """C[t] = λ·C[t-1] + S[t] with C[0] = 0 (the loop starts at t=1,
+    04:262-264) ≡ IIR filter b=[1], a=[1, -λ] on S with S[0] zeroed —
+    exact f64, shared by the numpy backend and the per-layer attribution."""
+    from scipy.signal import lfilter
+
+    s_shift = np.asarray(s, np.float64).copy()
+    s_shift[0] = 0.0
+    return lfilter([1.0], [1.0, -lam], s_shift)
+
+
 def _compute_rf_numpy(residuals, mu, sigma, config: RiskConfig) -> Dict:
     """f64 CPU path, exact w.r.t. the reference's sequential loops: the two
     first-order recurrences run through ``scipy.signal.lfilter`` (IIR filters
@@ -145,11 +156,7 @@ def _compute_rf_numpy(residuals, mu, sigma, config: RiskConfig) -> Dict:
         s_layers[layer_name] = s_l
         s_tot += layer_w.get(layer_name, 1.0) * s_l
 
-    # C[t] = λ·C[t-1] + S[t], C[0] = 0  ≡  IIR filter b=[1], a=[1, -λ] on
-    # S with S[0] zeroed
-    s_shift = s_tot.copy()
-    s_shift[0] = 0.0
-    c = lfilter([1.0], [1.0, -config.lambda_decay], s_shift)
+    c = _leaky_integral_f64(s_tot, config.lambda_decay)
 
     c_clip = np.clip(c, 0.0, config.c_max)
     k, c0 = config.k_logistic, config.c0_logistic
@@ -276,18 +283,18 @@ def compute_rf_advance_for_condition(
     # the risk exactly — Σ_l C_l[t] = C[t], and the shares of C_l at the
     # alarm instant (last sample when the RF never fired) tell the
     # operator WHICH physics layer drove the warning.
-    from scipy.signal import lfilter
-
     layer_w = dict(config.layer_weights)
     t_anchor = idx_rf if idx_rf is not None else len(idx_all) - 1
     # ONE batched fetch: per-layer np.asarray would cost a relay round
     # trip each on remote-attached TPUs (~23 ms apiece, 12 conditions)
     s_layers_host = jax.device_get(rf["s_layers"])
-    layer_c = {}
-    for name, s in s_layers_host.items():
-        s_w = layer_w.get(name, 1.0) * np.asarray(s, float)
-        s_w[0] = 0.0  # C[0] = 0: sample 0 never enters the integral
-        layer_c[name] = lfilter([1.0], [1.0, -config.lambda_decay], s_w)
+    layer_c = {
+        name: _leaky_integral_f64(
+            layer_w.get(name, 1.0) * np.asarray(s, float),
+            config.lambda_decay,
+        )
+        for name, s in s_layers_host.items()
+    }
     sums = {name: float(c[t_anchor]) for name, c in layer_c.items()}
     total_s = sum(sums.values())
     layer_shares = (

@@ -486,7 +486,7 @@ def plot_rf_condition(advance, warn_threshold: float, danger_threshold: float, s
     return _finish(fig, save_path)
 
 
-def plot_rf_attribution(advance, warn_threshold: float, save_path: str):
+def plot_rf_attribution(advance, save_path: str):
     """Time-resolved composition of the risk integral: stacked per-layer
     C_l(t) (Σ_l C_l = C exactly, rf.py) with the RF/voltage alarm markers —
     shows WHICH physics layer built up the risk that crossed the

@@ -155,11 +155,7 @@ class TestPlots:
         mu, sigma = estimate_mu_sigma_normal(arr)
         adv = compute_rf_advance_for_condition(arr, mu, sigma, "水淹", 108.0, cfg)
         assert adv is not None and adv.layer_c
-        _check(
-            plot_rf_attribution(
-                adv, cfg.warn_threshold, str(tmp_path / "rf_attr.png")
-            )
-        )
+        _check(plot_rf_attribution(adv, str(tmp_path / "rf_attr.png")))
 
     def test_tsne_embed(self, rng):
         from pinnfc_tpu.viz import tsne_embed
