@@ -35,6 +35,8 @@ Threading note: ``http.server`` handles requests serially by default,
 which is exactly right here — the monitor's recurrence state makes
 ``observe`` order-dependent, so one in-flight request at a time is the
 correct concurrency model (scale-out is per-stack, one monitor each).
+SIGTERM drains gracefully (in-flight request finishes, snapshot
+included, listener closes, exit 0) — see ``serve``.
 
 Start from the CLI: ``pinnfc serve --ckpt ck --mat F01_output.mat
 [--head head.npz] [--port 8787]``.
@@ -455,7 +457,15 @@ def serve(
 
     With ``state_path``, an existing snapshot is restored before serving
     and the bank is re-snapshotted after every state-mutating request —
-    restarting the process resumes every stream bit-exactly."""
+    restarting the process resumes every stream bit-exactly.
+
+    SIGTERM (the orchestrator's stop signal) drains gracefully: the
+    in-flight request finishes (its snapshot included), the listener
+    closes, and the process exits 0 — the default signal action would
+    kill mid-request without running the ``finally`` cleanup."""
+    import signal
+    import threading
+
     if state_path is not None:
         if os.path.exists(
             state_path if state_path.endswith(".npz") else state_path + ".npz"
@@ -468,8 +478,22 @@ def serve(
         # must fail at startup, not degrade persistence silently per-request
         monitor.save_state_bank(state_path)
     server = make_server(monitor, host, port, state_path=state_path)
+
+    def _graceful(signum, frame):
+        print("received SIGTERM — draining and shutting down", flush=True)
+        # shutdown() must come from another thread: it blocks until the
+        # serve_forever loop (this thread, mid-signal) acknowledges
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    # install BEFORE announcing readiness — an orchestrator may stop the
+    # pod the moment the readiness line appears
+    old_handler = None
+    in_main = threading.current_thread() is threading.main_thread()
+    if max_requests is None and in_main:
+        old_handler = signal.signal(signal.SIGTERM, _graceful)
     print(f"serving OnlineMonitor on http://{host}:{port} "
-          f"(POST /observe, /observe_many, /reset, GET /health, /metrics)")
+          f"(POST /observe, /observe_many, /reset, GET /health, /metrics)",
+          flush=True)
     try:
         if max_requests is None:
             server.serve_forever()
@@ -477,4 +501,7 @@ def serve(
             for _ in range(max_requests):
                 server.handle_request()
     finally:
+        if old_handler is not None:
+            signal.signal(signal.SIGTERM, old_handler)
         server.server_close()
+        print("server closed", flush=True)

@@ -469,6 +469,61 @@ class TestHttpServer:
             assert code == 400 and "JSON object" in body["error"], path
 
 
+class TestGracefulShutdown:
+    def test_sigterm_drains_and_exits_zero(self, setup, tmp_path):
+        """`cli serve` under SIGTERM (the orchestrator's stop signal) must
+        drain gracefully: exit 0, close the listener, and leave the state
+        bank snapshot behind — the default signal action would kill the
+        process mid-request with no cleanup."""
+        import os
+        import signal
+        import subprocess
+        import sys
+        import time
+
+        from pinnfc_tpu.data.contract import INDEX, save_comprehensive_results
+        from pinnfc_tpu.utils import save_checkpoint
+
+        params, d, mu, sigma, x_raw, v_meas = setup
+        ckpt = str(tmp_path / "ckpt")
+        save_checkpoint(ckpt, params, d.scaler_x, d.scaler_y)
+        arr = np.zeros((100, 22))
+        arr[:, 0:8] = x_raw[:100]
+        arr[:, INDEX["y_true"]] = v_meas[:100]
+        mat = str(tmp_path / "F01.mat")
+        save_comprehensive_results(arr, mat)
+        bank = str(tmp_path / "bank.npz")
+
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "pinnfc_tpu.cli", "serve",
+             "--mat", mat, "--ckpt", ckpt, "--port", "0",
+             "--state-path", bank],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        try:
+            deadline = time.time() + 120
+            lines = []
+            while time.time() < deadline:
+                line = proc.stdout.readline()
+                lines.append(line)
+                if "serving OnlineMonitor" in line:
+                    break
+            else:
+                raise AssertionError(f"server never came up: {lines}")
+            proc.send_signal(signal.SIGTERM)
+            out, _ = proc.communicate(timeout=60)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        assert proc.returncode == 0, out
+        assert "draining" in out and "server closed" in out
+        assert os.path.exists(bank)  # startup writability probe snapshot
+
+
 class TestMultiStream:
     """Multi-stream state bank (VERDICT r3 #8): one monitor watches several
     operating conditions concurrently (04:145-161); per-stream RF(t) state,
