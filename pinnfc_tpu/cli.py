@@ -576,9 +576,19 @@ def cmd_serve(args) -> int:
     mu, sigma = estimate_mu_sigma_normal(arr)
     head = DiagnosisHead.load(args.head) if args.head else None
     glitch_n = getattr(args, "glitch_alarm_n", None)
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        import jax
+
+        from pinnfc_tpu.parallel import make_mesh
+
+        if jax.device_count() > 1:
+            mesh = make_mesh(jax.device_count())
+            print(f"fleet sharding: streams over {jax.device_count()} devices")
     monitor = OnlineMonitor.from_checkpoint(
         args.ckpt, mu, sigma, RiskConfig(), head,
         glitch_alarm_n=glitch_n if glitch_n is not None else _glitch_default(),
+        mesh=mesh,
     )
     serve(monitor, host=args.host, port=args.port,
           max_requests=args.max_requests,
@@ -746,6 +756,10 @@ def main(argv: Optional[list] = None) -> int:
                     help="preemption-safe serving: snapshot the per-stream "
                          "RF(t) state bank here after every request and "
                          "restore it on restart (atomic npz)")
+    sv.add_argument("--data-parallel", action="store_true",
+                    help="shard /observe_many's stream axis over all visible "
+                         "devices (fleet scoring is collective-free; capacity "
+                         "scales linearly with chips)")
     sv.set_defaults(fn=cmd_serve)
 
     b = sub.add_parser("bench", help="headline benchmark (one JSON line)")

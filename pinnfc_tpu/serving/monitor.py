@@ -245,11 +245,17 @@ class OnlineMonitor:
         config: RiskConfig = RiskConfig(),
         diagnosis: DiagnosisHead | None = None,
         glitch_alarm_n: int = DEFAULT_GLITCH_ALARM_N,
+        mesh=None,
     ):
         if glitch_alarm_n < 1:
             raise ValueError(
                 f"glitch_alarm_n must be >= 1 (a run of 0 would alarm on "
                 f"every healthy sample), got {glitch_alarm_n}"
+            )
+        if mesh is not None and "data" not in mesh.axis_names:
+            raise ValueError(
+                f"monitor mesh needs a 'data' axis to shard streams over, "
+                f"got axes {mesh.axis_names}"
             )
         self.params = params
         self.scaler_x = scaler_x
@@ -281,6 +287,11 @@ class OnlineMonitor:
         self._step_fn = self._build_step()
         self._step = jax.jit(self._step_fn)
         self._vstep = None  # lazily-jitted vmapped step (observe_many)
+        # fleet sharding: observe_many shards the STREAM axis over this
+        # mesh's 'data' axis — streams never interact, so the program is
+        # collective-free and fleet throughput scales linearly with chips
+        self.mesh = mesh
+        self._mesh_replicated = None  # lazily mesh-replicated (params, μ, σ)
 
     def _fresh_state(self) -> MonitorState:
         # HOST numpy scalars, dtypes matching the jitted step's outputs: the
@@ -509,10 +520,18 @@ class OnlineMonitor:
         Equivalent to S ``observe`` calls (parity-tested), but the state
         bank is stacked and the jitted step vmaps over the stream axis —
         a co-located fleet polling at one cadence costs one dispatch, not
-        S round trips.  Returns {stream: MonitorOutput}."""
+        S round trips.  Returns {stream: MonitorOutput}.
+
+        With a ``mesh`` (constructor arg, 'data' axis), the stream axis is
+        additionally SHARDED across devices: fleet scoring is
+        embarrassingly parallel (streams never interact), so the compiled
+        program contains zero collectives (regression-tested) and fleet
+        capacity scales linearly with chips.  S is padded to a multiple of
+        the axis size with fresh-state dummy streams whose results are
+        never read back into the bank."""
         streams = list(streams)
-        x_bank = jnp.asarray(np.asarray(x_bank, np.float32))
-        v_bank = jnp.asarray(np.asarray(v_bank, np.float32))
+        x_bank = np.asarray(x_bank, np.float32)
+        v_bank = np.asarray(v_bank, np.float32)
         if x_bank.ndim != 3 or x_bank.shape[0] != len(streams):
             raise ValueError(
                 f"x_bank must be (S={len(streams)}, B, 8), got {x_bank.shape}"
@@ -538,15 +557,23 @@ class OnlineMonitor:
         bank = jax.tree_util.tree_map(
             lambda *xs: np.stack(xs), *jax.device_get(states)
         )
-        new_bank, out = self._vstep(
-            self.params, bank, x_bank, v_bank, self.mu, self.sigma
-        )
+        if self.mesh is not None and self.mesh.shape["data"] > 1:
+            params, mu, sigma, bank, x_in, v_in = self._shard_fleet(
+                bank, x_bank, v_bank
+            )
+        else:
+            params, mu, sigma = self.params, self.mu, self.sigma
+            x_in, v_in = jnp.asarray(x_bank), jnp.asarray(v_bank)
+        new_bank, out = self._vstep(params, bank, x_in, v_in, mu, sigma)
         # ONE batched device→host fetch for the whole bank (same ~23 ms
         # relay-RTT-per-device_get economics as observe())
         new_bank, out_host = jax.device_get((new_bank, out))
         results = {}
         for i, s in enumerate(streams):
-            # numpy slices — per-stream states stay host-resident
+            # numpy slices — per-stream states stay host-resident; on the
+            # sharded path any pad rows sit BEYOND index S-1 and are
+            # simply never read
+
             self._streams[s] = jax.tree_util.tree_map(
                 lambda a, i=i: a[i], new_bank
             )
@@ -555,6 +582,51 @@ class OnlineMonitor:
                 jax.tree_util.tree_map(lambda a, i=i: a[i], out_host)
             )
         return results
+
+    def _shard_fleet(self, bank, x_bank, v_bank):
+        """Place one observe_many call's inputs sharded over the mesh.
+
+        The stream axis pads up to a multiple of the mesh's 'data' size
+        with FRESH-state zero-input dummy streams (device_put needs
+        divisibility; the pad rows are discarded by the caller), every
+        per-stream array shards over 'data', and params/μ/σ replicate
+        once per monitor (cached — replication is a real transfer on
+        remote-attached chips)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mesh
+        pad = (-x_bank.shape[0]) % mesh.shape["data"]
+        if pad:
+            x_bank = np.concatenate(
+                [x_bank, np.zeros((pad,) + x_bank.shape[1:], x_bank.dtype)]
+            )
+            v_bank = np.concatenate(
+                [v_bank, np.zeros((pad,) + v_bank.shape[1:], v_bank.dtype)]
+            )
+            fresh = self._fresh_state()
+            bank = jax.tree_util.tree_map(
+                lambda a, f: np.concatenate(
+                    [a, np.broadcast_to(np.asarray(f),
+                                        (pad,) + np.asarray(f).shape)]
+                ),
+                bank, fresh,
+            )
+
+        def shard(a):
+            spec = P("data", *([None] * (np.ndim(a) - 1)))
+            return jax.device_put(a, NamedSharding(mesh, spec))
+
+        if self._mesh_replicated is None:
+            from pinnfc_tpu.parallel.mesh import replicate
+
+            self._mesh_replicated = replicate(
+                mesh, (self.params, self.mu, self.sigma)
+            )
+        params, mu, sigma = self._mesh_replicated
+        return (
+            params, mu, sigma,
+            jax.tree_util.tree_map(shard, bank), shard(x_bank), shard(v_bank),
+        )
 
     def reset(self, stream: str | None = None) -> None:
         """Reset one stream's state, or (default) the whole bank."""
@@ -676,6 +748,7 @@ class OnlineMonitor:
         config: RiskConfig = RiskConfig(),
         diagnosis: DiagnosisHead | None = None,
         glitch_alarm_n: int = DEFAULT_GLITCH_ALARM_N,
+        mesh=None,
     ) -> "OnlineMonitor":
         """Restore params + scalers saved by utils.checkpoint.save_checkpoint."""
         from pinnfc_tpu.utils.checkpoint import load_checkpoint
@@ -683,5 +756,5 @@ class OnlineMonitor:
         ckpt = load_checkpoint(path)
         return cls(
             ckpt["params"], ckpt["scaler_x"], ckpt["scaler_y"], mu, sigma,
-            config, diagnosis, glitch_alarm_n=glitch_alarm_n,
+            config, diagnosis, glitch_alarm_n=glitch_alarm_n, mesh=mesh,
         )

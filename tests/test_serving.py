@@ -1215,3 +1215,90 @@ class TestMetricsEndpoint:
         text = self._scrape(port)
         assert 'pinnfc_requests_total{path="<other>",code="404"} 3' in text
         assert "no-such-route" not in text
+
+
+class TestShardedFleet:
+    """Fleet sharding: ``OnlineMonitor(mesh=...)`` shards observe_many's
+    STREAM axis over the mesh's 'data' axis.  Streams never interact, so
+    (a) the sharded fleet must match the single-device vmap exactly —
+    including when S is not divisible by the axis size (fresh-state
+    padding) — and (b) the compiled program must contain ZERO collectives
+    (same guard discipline as test_parallel.TestHloCollectiveGuards: any
+    collective here means a sharding annotation drifted and the fleet
+    stopped scaling linearly)."""
+
+    @staticmethod
+    def _mesh():
+        from pinnfc_tpu.parallel import make_mesh
+
+        return make_mesh(jax.device_count())
+
+    def test_sharded_fleet_matches_unsharded(self, setup):
+        params, d, mu, sigma, x_raw, v_meas = setup
+        mesh = self._mesh()
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma,
+                            mesh=mesh)
+        ref = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        # S=5 on an 8-device axis -> exercises the fresh-state pad path
+        streams = [f"s{i}" for i in range(5)]
+        x_bank = np.stack([x_raw[40 * i: 40 * (i + 1)] for i in range(5)])
+        v_bank = np.stack(
+            [v_meas[40 * i: 40 * (i + 1)] - 0.05 * i for i in range(5)]
+        )
+        for rnd in (0, 1):  # second round: carried state must continue
+            xb = x_bank + 0.01 * rnd
+            got = mon.observe_many(xb, v_bank, streams)
+            want = ref.observe_many(xb, v_bank, streams)
+            for s in streams:
+                np.testing.assert_allclose(
+                    got[s].rf_smooth, want[s].rf_smooth, rtol=1e-6, atol=1e-7
+                )
+                np.testing.assert_allclose(
+                    got[s].layer_c, want[s].layer_c, rtol=1e-5, atol=1e-7
+                )
+                np.testing.assert_array_equal(got[s].v_alarm, want[s].v_alarm)
+                np.testing.assert_array_equal(got[s].glitch, want[s].glitch)
+        # pad streams never leak into the bank; counters advance normally
+        assert set(mon.streams) == {"default", *streams}
+        for s in streams:
+            assert mon.stream_n_seen(s) == 80
+            np.testing.assert_allclose(
+                np.asarray(mon._streams[s].c),
+                np.asarray(ref._streams[s].c), rtol=1e-6, atol=1e-7,
+            )
+
+    def test_fleet_program_collective_free(self, setup):
+        import re
+
+        params, d, mu, sigma, x_raw, v_meas = setup
+        mesh = self._mesh()
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma,
+                            mesh=mesh)
+        n = jax.device_count()
+        streams = [f"s{i}" for i in range(n)]
+        x_bank = np.stack([x_raw[:16]] * n).astype(np.float32)
+        v_bank = np.stack([v_meas[:16]] * n).astype(np.float32)
+        mon.observe_many(x_bank, v_bank, streams)  # builds _vstep + bank
+        bank = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs),
+            *jax.device_get([mon._streams[s] for s in streams]),
+        )
+        p, mu_r, sg, bank_s, x_s, v_s = mon._shard_fleet(bank, x_bank, v_bank)
+        txt = mon._vstep.lower(
+            p, bank_s, x_s, v_s, mu_r, sg
+        ).compile().as_text()
+        counts = {
+            k: len(re.findall(" " + k + r"\(", txt))
+            for k in ("all-reduce", "all-gather", "all-to-all",
+                      "collective-permute", "reduce-scatter")
+        }
+        assert all(v == 0 for v in counts.values()), counts
+
+    def test_mesh_needs_data_axis(self, setup):
+        from jax.sharding import Mesh
+
+        params, d, mu, sigma, _x, _v = setup
+        devs = np.array(jax.devices())
+        with pytest.raises(ValueError, match="data"):
+            OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma,
+                          mesh=Mesh(devs, ("model",)))
