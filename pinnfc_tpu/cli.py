@@ -461,6 +461,45 @@ def cmd_ensemble(args) -> int:
     return 0
 
 
+def _monitor_fleet(monitor, results, block: int) -> int:
+    """Streaming fleet replay: every (current, fault) risk condition of
+    04:145-161 as a concurrent stream, one vmapped observe_many dispatch
+    per lockstep block (sharded over the mesh with --data-parallel)."""
+    import numpy as np
+
+    from pinnfc_tpu.serving import fleet_replay
+
+    table = fleet_replay(monitor, results, block=block)
+    if not table:
+        print("no risk conditions present in this artifact")
+        return 1
+    print(
+        f"fleet replay: {len(table)} conditions as concurrent streams "
+        f"(block {block})"
+    )
+    fmt = "none"
+    print(f"{'fault':<14}{'I[A]':>6}{'n':>7}{'warn':>7}{'danger':>8}"
+          f"{'v_alarm':>9}{'advance':>9}  driver")
+    for r in table:
+        driver = ""
+        if r.layer_shares:
+            name = max(r.layer_shares, key=r.layer_shares.get)
+            driver = f"{name} {r.layer_shares[name]:.0%}"
+        print(
+            f"{r.fault_name:<14}{r.current_target:>6g}{r.n_samples:>7}"
+            f"{fmt if r.first_warn is None else r.first_warn:>7}"
+            f"{fmt if r.first_danger is None else r.first_danger:>8}"
+            f"{fmt if r.first_v_alarm is None else r.first_v_alarm:>9}"
+            f"{fmt if r.advance is None else r.advance:>9}  {driver}"
+        )
+    warned = [r for r in table if r.advance is not None]
+    if warned:
+        mean_adv = np.mean([r.advance for r in warned])
+        print(f"mean RF lead over the voltage alarm: {mean_adv:.0f} samples "
+              f"({len(warned)}/{len(table)} conditions with both alarms)")
+    return 0
+
+
 def cmd_monitor(args) -> int:
     """Streaming replay: feed a comprehensive_results artifact through the
     OnlineMonitor block by block, as a deployed scorer would consume live
@@ -500,10 +539,23 @@ def cmd_monitor(args) -> int:
             written = head.save(args.save_head)
             print(f"diagnosis head → {written}")
     glitch_n = getattr(args, "glitch_alarm_n", None)
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        import jax
+
+        from pinnfc_tpu.parallel import make_mesh
+
+        if jax.device_count() > 1:
+            mesh = make_mesh(jax.device_count())
+            print(f"fleet sharding: streams over {jax.device_count()} devices")
     monitor = OnlineMonitor.from_checkpoint(
         args.ckpt, mu, sigma, cfg, head,
         glitch_alarm_n=glitch_n if glitch_n is not None else _glitch_default(),
+        mesh=mesh,
     )
+
+    if getattr(args, "fleet", False):
+        return _monitor_fleet(monitor, results, args.block)
 
     rows = arr
     if args.fault_label is not None:
@@ -734,6 +786,13 @@ def main(argv: Optional[list] = None) -> int:
                    help="persist the fitted diagnosis head (.npz)")
     m.add_argument("--glitch-alarm-n", type=int, default=None,
                    help="sensor_alarm after N consecutive non-finite samples")
+    m.add_argument("--fleet", action="store_true",
+                   help="replay ALL 12 (current, fault) risk conditions "
+                        "(04:145-161) as concurrent streams — one vmapped "
+                        "observe_many dispatch per lockstep block")
+    m.add_argument("--data-parallel", action="store_true",
+                   help="with --fleet: shard the stream axis over all "
+                        "visible devices (collective-free)")
     m.set_defaults(fn=cmd_monitor)
 
     sv = sub.add_parser(

@@ -228,23 +228,20 @@ class ConditionAdvance:
         return max(self.layer_shares, key=self.layer_shares.get)
 
 
-def compute_rf_advance_for_condition(
-    results,
-    mu: np.ndarray,
-    sigma: np.ndarray,
+def condition_row_indices(
+    arr: np.ndarray,
     fault_name: str,
     current_target: float,
     config: RiskConfig = RiskConfig(),
     index_range: Optional[Tuple[int, Optional[int]]] = None,
-    backend: str = "jax",
-) -> Optional[ConditionAdvance]:
-    """Mask rows by fault class ∧ |I − target| ≤ tol, evaluate RF on the
-    sub-sequence, compare against the dynamic voltage threshold
-    V(0) − voltage_drop (04:304-408)."""
-    arr = results.array if isinstance(results, ComprehensiveResults) else np.asarray(results)
+) -> Optional[np.ndarray]:
+    """Row indices of one (fault, current) evaluation condition: fault
+    class ∧ |I − target| ≤ tol, then the optional relative slice
+    (04:304-340 selection semantics).  Returns None when the condition is
+    absent from the artifact — shared by the offline advance table and the
+    streaming fleet replay so both select the exact same sub-sequences."""
     labels = arr[:, INDEX["label"]].astype(int)
     current = arr[:, INDEX["x0"]].astype(float)
-    voltage = arr[:, INDEX["y_true"]].astype(float)
 
     if fault_name not in FAULT_RANGE_MAP:
         raise ValueError(f"unknown fault '{fault_name}'")
@@ -264,6 +261,30 @@ def compute_rf_advance_for_condition(
         if start >= end:
             return None
         idx_all = idx_all[start:end]
+    return idx_all
+
+
+def compute_rf_advance_for_condition(
+    results,
+    mu: np.ndarray,
+    sigma: np.ndarray,
+    fault_name: str,
+    current_target: float,
+    config: RiskConfig = RiskConfig(),
+    index_range: Optional[Tuple[int, Optional[int]]] = None,
+    backend: str = "jax",
+) -> Optional[ConditionAdvance]:
+    """Mask rows by fault class ∧ |I − target| ≤ tol, evaluate RF on the
+    sub-sequence, compare against the dynamic voltage threshold
+    V(0) − voltage_drop (04:304-408)."""
+    arr = results.array if isinstance(results, ComprehensiveResults) else np.asarray(results)
+    voltage = arr[:, INDEX["y_true"]].astype(float)
+
+    idx_all = condition_row_indices(
+        arr, fault_name, current_target, config, index_range
+    )
+    if idx_all is None:
+        return None
 
     sub = arr[idx_all]
     v_sub = voltage[idx_all]

@@ -1302,3 +1302,125 @@ class TestShardedFleet:
         with pytest.raises(ValueError, match="data"):
             OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma,
                           mesh=Mesh(devs, ("model",)))
+
+
+class TestFleetReplay:
+    """Streaming fleet replay (serving/replay.py): every (current, fault)
+    risk condition of 04:145-161 advances as a concurrent stream of ONE
+    monitor.  The fleet path (vmapped observe_many for full blocks +
+    per-stream partial tails) must reproduce, condition for condition,
+    what an independent single-stream monitor sees on the same rows."""
+
+    CONDITIONS = (
+        (108.0, "水淹", None),
+        (270.0, "膜干", None),
+        (108.0, "膜干", (0, 40)),
+    )
+
+    @pytest.fixture(scope="class")
+    def artifact(self, setup):
+        from pinnfc_tpu.data.contract import INDEX
+
+        params, d, mu, sigma, x_raw, v_meas = setup
+        n = len(x_raw)
+        arr = np.zeros((n, 22))
+        arr[:, 0:8] = x_raw
+        v = v_meas.copy()
+        # three condition segments with different lengths; collapse the
+        # voltage inside each so the dynamic alarm fires
+        segs = [(0, 150, 1, 108.0), (150, 300, 7, 270.0), (300, 391, 8, 108.0)]
+        for lo, hi, label, current in segs:
+            arr[lo:hi, INDEX["label"]] = label
+            arr[lo:hi, 0] = current
+            v[lo:hi] = v[lo:hi] - np.linspace(0, 0.8, hi - lo)
+        arr[:, INDEX["y_true"]] = v
+        return arr
+
+    def _sequential_oracle(self, setup, arr, block):
+        """Per-condition replay through INDEPENDENT monitors."""
+        from pinnfc_tpu.risk import condition_row_indices
+
+        params, d, mu, sigma, _x, _v = setup
+        from pinnfc_tpu.data.contract import INDEX
+
+        out = {}
+        for current, fault, index_range in self.CONDITIONS:
+            mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+            idx = condition_row_indices(arr, fault, current, mon.config,
+                                        index_range)
+            x = arr[idx, 0:8].astype(np.float32)
+            v = arr[idx, INDEX["y_true"]].astype(np.float32)
+            first = {"warn": None, "danger": None, "v_alarm": None}
+            pos = 0
+            while pos < len(x):
+                o = mon.observe(x[pos: pos + block], v[pos: pos + block])
+                for name, flags in (("warn", o.warn), ("danger", o.danger),
+                                    ("v_alarm", o.v_alarm)):
+                    if first[name] is None and flags.any():
+                        first[name] = pos + int(np.argmax(flags))
+                pos += len(o.rf_smooth)
+            out[f"{fault}@{current:g}A"] = (first, len(x))
+        return out
+
+    def test_fleet_matches_independent_monitors(self, setup, artifact):
+        from pinnfc_tpu.serving import fleet_replay
+
+        params, d, mu, sigma, _x, _v = setup
+        block = 64
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        table = fleet_replay(mon, artifact, conditions=self.CONDITIONS,
+                             block=block)
+        assert [r.stream for r in table] == [
+            "水淹@108A", "膜干@270A", "膜干@108A"
+        ]
+        want = self._sequential_oracle(setup, artifact, block)
+        for r in table:
+            first, n = want[r.stream]
+            assert r.n_samples == n
+            assert r.first_warn == first["warn"], r.stream
+            assert r.first_danger == first["danger"], r.stream
+            assert r.first_v_alarm == first["v_alarm"], r.stream
+            if r.first_warn is not None and r.first_v_alarm is not None:
+                assert r.advance == r.first_v_alarm - r.first_warn
+        # the induced collapse must actually alarm somewhere, and the
+        # attribution shares must be a valid composition
+        assert any(r.first_v_alarm is not None for r in table)
+        for r in table:
+            if r.layer_shares:
+                assert abs(sum(r.layer_shares.values()) - 1.0) < 1e-5
+        # fleet streams live in the bank like any others
+        assert set(r.stream for r in table) <= set(mon.streams)
+
+    def test_fleet_replay_sharded(self, setup, artifact):
+        """Same replay with the stream axis sharded over the mesh."""
+        from pinnfc_tpu.parallel import make_mesh
+        from pinnfc_tpu.serving import fleet_replay
+
+        params, d, mu, sigma, _x, _v = setup
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma,
+                            mesh=make_mesh(jax.device_count()))
+        ref = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        got = fleet_replay(mon, artifact, conditions=self.CONDITIONS, block=64)
+        want = fleet_replay(ref, artifact, conditions=self.CONDITIONS, block=64)
+        for g, w in zip(got, want):
+            assert g.stream == w.stream
+            assert g.first_warn == w.first_warn
+            assert g.first_danger == w.first_danger
+            assert g.first_v_alarm == w.first_v_alarm
+
+    def test_cli_monitor_fleet(self, setup, artifact, tmp_path, capsys):
+        from pinnfc_tpu.cli import main
+        from pinnfc_tpu.data.contract import save_comprehensive_results
+        from pinnfc_tpu.utils import save_checkpoint
+
+        params, d, mu, sigma, _x, _v = setup
+        ckpt = str(tmp_path / "ckpt")
+        save_checkpoint(ckpt, params, d.scaler_x, d.scaler_y)
+        mat = str(tmp_path / "F01.mat")
+        save_comprehensive_results(artifact, mat)
+        rc = main(["monitor", "--mat", mat, "--ckpt", ckpt, "--fleet",
+                   "--block", "64"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "fleet replay:" in out
+        assert "膜干" in out and "水淹" in out
