@@ -63,6 +63,22 @@ def _glitch_default() -> int:
     return DEFAULT_GLITCH_ALARM_N
 
 
+def _campaign_from_args(args):
+    """--normal-mat/--fault-dir → CampaignConfig (None when neither given;
+    ValueError when only one is)."""
+    if not (getattr(args, "normal_mat", None) or getattr(args, "fault_dir", None)):
+        return None
+    from pinnfc_tpu.data import CampaignConfig
+
+    if not (getattr(args, "normal_mat", None) and getattr(args, "fault_dir", None)):
+        raise ValueError("real campaigns need BOTH --normal-mat and --fault-dir")
+    campaign = CampaignConfig.from_dir(
+        args.normal_mat, args.fault_dir, seed=args.seed
+    )
+    print(f"campaign: {args.normal_mat} + faults from {args.fault_dir}")
+    return campaign
+
+
 def cmd_train(args) -> int:
     from pinnfc_tpu.pipeline import run_training_pipeline
     from pinnfc_tpu.utils import save_checkpoint
@@ -80,20 +96,11 @@ def cmd_train(args) -> int:
               file=sys.stderr)
         return 2
 
-    campaign = None
-    if getattr(args, "normal_mat", None) or getattr(args, "fault_dir", None):
-        from pinnfc_tpu.data import CampaignConfig
-
-        if not (getattr(args, "normal_mat", None) and getattr(args, "fault_dir", None)):
-            print(
-                "real campaigns need BOTH --normal-mat and --fault-dir",
-                file=sys.stderr,
-            )
-            return 2
-        campaign = CampaignConfig.from_dir(
-            args.normal_mat, args.fault_dir, seed=args.seed
-        )
-        print(f"campaign: {args.normal_mat} + faults from {args.fault_dir}")
+    try:
+        campaign = _campaign_from_args(args)
+    except ValueError as e:
+        print(e, file=sys.stderr)
+        return 2
 
     mesh = None
     if getattr(args, "data_parallel", False):
@@ -154,6 +161,52 @@ def cmd_train(args) -> int:
             res.results, os.path.join(args.plot_dir, "temp_comparison.png"), bl
         )
         print("training figures →", args.plot_dir)
+    return 0
+
+
+def cmd_score(args) -> int:
+    """Score a NEW campaign with an EXISTING checkpoint — no retraining.
+
+    The reference must re-run the full 42k-step schedule to get an artifact
+    for fresh measurements (01:2143-2187); here the checkpoint's params +
+    training scalers make the trained model a reusable asset: new data is
+    normalized through the CHECKPOINT's scalers and goes straight to the
+    MC-dropout exporter, producing a 22-column artifact that every
+    downstream stage (auc/gmm/risk/compare/monitor) consumes unchanged."""
+    from pinnfc_tpu.pipeline import run_scoring_pipeline
+
+    cfg = _train_config(args)  # mc_times/dropout/smoothing/seed; no schedule
+    n_normal = getattr(args, "n_normal", None) or (1500 if args.small else 6000)
+    n_fault = getattr(args, "n_fault", None) or (200 if args.small else 800)
+
+    try:
+        campaign = _campaign_from_args(args)
+    except ValueError as e:
+        print(e, file=sys.stderr)
+        return 2
+
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        import jax
+
+        from pinnfc_tpu.parallel import make_mesh
+
+        mesh = make_mesh(jax.device_count())
+        print(f"MC export sharded over {jax.device_count()} devices")
+
+    res = run_scoring_pipeline(
+        args.ckpt,
+        cfg,
+        campaign=campaign,
+        mat_path=args.mat_out,
+        n_normal=n_normal,
+        n_fault=n_fault,
+        verbose=True,
+        mesh=mesh,
+    )
+    print(json.dumps({"metrics": res.metrics, "timings": res.timings}, indent=2))
+    if args.mat_out:
+        print(f"comprehensive_results → {args.mat_out}")
     return 0
 
 
@@ -372,14 +425,26 @@ def cmd_run_all(args) -> int:
     mat_path = os.path.join(args.out_dir, "F01_output.mat")
 
     plot_dir = os.path.join(args.out_dir, "figures")
-    ns = argparse.Namespace(
-        small=args.small, seed=args.seed, mat_out=mat_path,
-        ckpt=os.path.join(args.out_dir, "pinn_ckpt"), plot_dir=plot_dir,
-        normal_mat=getattr(args, "normal_mat", None),
-        fault_dir=getattr(args, "fault_dir", None),
-        steps_scale=getattr(args, "steps_scale", None),
-    )
-    rc = cmd_train(ns)
+    from_ckpt = getattr(args, "from_ckpt", None)
+    if from_ckpt:
+        # reuse a trained model: the score stage replaces the 42k-step
+        # train stage (the reference has no such shortcut — 01:2143-2187)
+        ns = argparse.Namespace(
+            small=args.small, seed=args.seed, mat_out=mat_path,
+            ckpt=from_ckpt,
+            normal_mat=getattr(args, "normal_mat", None),
+            fault_dir=getattr(args, "fault_dir", None),
+        )
+        rc = cmd_score(ns)
+    else:
+        ns = argparse.Namespace(
+            small=args.small, seed=args.seed, mat_out=mat_path,
+            ckpt=os.path.join(args.out_dir, "pinn_ckpt"), plot_dir=plot_dir,
+            normal_mat=getattr(args, "normal_mat", None),
+            fault_dir=getattr(args, "fault_dir", None),
+            steps_scale=getattr(args, "steps_scale", None),
+        )
+        rc = cmd_train(ns)
     if rc:
         return rc
     gmm_result = None
@@ -699,6 +764,31 @@ def main(argv: Optional[list] = None) -> int:
                         "(<type>_<108|270|405>A.mat, Chinese or ASCII stems)")
     t.set_defaults(fn=cmd_train)
 
+    sc = sub.add_parser(
+        "score",
+        help="score a NEW campaign with an existing checkpoint — normalize "
+             "through the checkpoint's scalers, MC-dropout export, no "
+             "retraining (the reference must re-run the 42k-step schedule)",
+    )
+    sc.add_argument("--ckpt", required=True, help="checkpoint from `train --ckpt`")
+    sc.add_argument("--mat-out", default="F01_scored.mat")
+    sc.add_argument("--small", action="store_true",
+                    help="reduced MC sample count / synthetic data size")
+    sc.add_argument("--seed", type=int, default=42,
+                    help="MC key seed (the training seed reproduces the "
+                         "train-time export bit-for-bit on the same data)")
+    sc.add_argument("--n-normal", type=int, default=None,
+                    help="synthetic normal rows (default 6000; 1500 with --small)")
+    sc.add_argument("--n-fault", type=int, default=None,
+                    help="rows per fault segment (default 800; 200 with --small)")
+    sc.add_argument("--normal-mat", default=None,
+                    help="new campaign: normal-operation .mat")
+    sc.add_argument("--fault-dir", default=None,
+                    help="new campaign: directory with the 12 fault .mat files")
+    sc.add_argument("--data-parallel", action="store_true",
+                    help="shard the MC export's rows over all visible devices")
+    sc.set_defaults(fn=cmd_score)
+
     for name, fn, extra in (
         ("auc", cmd_auc, {"auc": True}),
         ("gmm", cmd_gmm, {"tsne": True, "data_parallel": True}),
@@ -748,6 +838,10 @@ def main(argv: Optional[list] = None) -> int:
 
     r = sub.add_parser("run-all", help="full pipeline 01→02/03/04/05")
     r.add_argument("--out-dir", required=True)
+    r.add_argument("--from-ckpt", default=None,
+                   help="skip training: score the campaign with this "
+                        "existing checkpoint (see `score`), then run every "
+                        "downstream stage on the scored artifact")
     r.add_argument("--small", action="store_true")
     r.add_argument("--steps-scale", type=float, default=None,
                    help="multiply every stage's step count")

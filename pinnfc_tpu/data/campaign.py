@@ -102,9 +102,13 @@ def load_campaign(
     return normal, fault_list
 
 
-def load_campaign_dataset(config: CampaignConfig) -> FuelCellDataset:
+def load_campaign_dataset(config: CampaignConfig, scalers=None) -> FuelCellDataset:
     """Campaign files → combined, normalized, labelled dataset — the exact
-    object ``run_training_pipeline(dataset=...)`` consumes."""
+    object ``run_training_pipeline(dataset=...)`` consumes.
+
+    ``scalers=(scaler_x, scaler_y)`` normalizes through a trained
+    checkpoint's affine constants instead of re-fitting on this campaign
+    (the scoring path — see ``combine_and_normalize``)."""
     normal, fault_list = load_campaign(config)
     if not fault_list:
         warnings.warn("campaign contains no loadable fault segments")
@@ -114,6 +118,7 @@ def load_campaign_dataset(config: CampaignConfig) -> FuelCellDataset:
         training_rate=config.training_rate,
         noise_config=config.noise_config,
         seed=config.seed,
+        scalers=scalers,
     )
 
 

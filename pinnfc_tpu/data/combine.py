@@ -61,7 +61,17 @@ def combine_and_normalize(
     training_rate: float = 1.0,
     noise_config: Optional[Dict] = None,
     seed: int = 42,
+    scalers: Optional[Tuple[AffineScaler, AffineScaler]] = None,
 ) -> FuelCellDataset:
+    """Combine segments and normalize (see module docstring).
+
+    ``scalers=(scaler_x, scaler_y)`` skips the fit and normalizes through
+    the GIVEN affine constants instead — the scoring path: a trained model
+    operates in the normalized space defined by ITS OWN training campaign,
+    so new measurements scored against a checkpoint must go through the
+    checkpoint's scalers, never scalers re-fit on the new data (which would
+    silently shift every input the model sees).  Fit-on-normal-train
+    (01:266-274) remains the default when ``scalers`` is None."""
     x_normal, y_normal = normal_data
     x_normal = np.asarray(x_normal, np.float64)
     y_normal = np.asarray(y_normal, np.float64).reshape(-1, 1)
@@ -109,9 +119,18 @@ def combine_and_normalize(
         )
     train_indices = np.arange(n_train)
 
-    # Scalers fit ONLY on the normal training subset (01:271-274).
-    scaler_x = AffineScaler.fit(x_normal[train_indices])
-    scaler_y = AffineScaler.fit(y_normal[train_indices])
+    if scalers is not None:
+        scaler_x, scaler_y = scalers
+        if np.asarray(scaler_x.scale).shape[0] != x_combined.shape[1]:
+            raise ValueError(
+                f"injected scaler_x covers "
+                f"{np.asarray(scaler_x.scale).shape[0]} features, data has "
+                f"{x_combined.shape[1]}"
+            )
+    else:
+        # Scalers fit ONLY on the normal training subset (01:271-274).
+        scaler_x = AffineScaler.fit(x_normal[train_indices])
+        scaler_y = AffineScaler.fit(y_normal[train_indices])
 
     # cast on the host: a float64 numpy input to jnp.asarray(..., f32) would
     # dispatch an eager convert_element_type on device — seconds per call

@@ -1,0 +1,136 @@
+"""Offline scoring: checkpoint + new measurements → artifact, no retraining.
+
+The reference cannot do this — script 01 always retrains before exporting
+(01:2143-2187).  The contract under test: scoring normalizes the new data
+through the CHECKPOINT's scalers (the model's own normalized space), and
+scoring the training campaign with the training seed reproduces the
+train-time export bit-for-bit.
+"""
+
+import dataclasses as dc
+
+import numpy as np
+import pytest
+
+from pinnfc_tpu.config import StageConfig, TrainConfig
+from pinnfc_tpu.data import load_comprehensive_results
+from pinnfc_tpu.data.synthetic import synthesize_stack_data
+from pinnfc_tpu.pipeline import run_scoring_pipeline, run_training_pipeline
+from pinnfc_tpu.utils import save_checkpoint
+
+N_NORMAL, N_FAULT = 500, 80
+
+
+def _mini_config(seed=0):
+    sched = (
+        StageConfig("dnn", 150, lr=0.01),
+        StageConfig("lambda_v", 40, lr=1e-3, dnn_para=False),
+        StageConfig("thermal", 80, lr=1.0),
+        StageConfig("hydrogen", 40, lr=0.1, lr_gamma=0.9),
+        StageConfig("oxygen", 40, lr=0.01, lr_gamma=0.9),
+    )
+    return TrainConfig(schedule=sched, mc_times=40, seed=seed)
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    cfg = _mini_config()
+    res = run_training_pipeline(cfg, n_normal=N_NORMAL, n_fault=N_FAULT)
+    ckpt = str(tmp_path_factory.mktemp("score") / "ckpt")
+    save_checkpoint(ckpt, res.params, res.dataset.scaler_x, res.dataset.scaler_y)
+    return cfg, res, ckpt
+
+
+class TestScoringPipeline:
+    def test_training_campaign_scores_bit_exact(self, trained):
+        """Same data source, same seed → the scored artifact IS the
+        train-time export (stored scalers ≡ fit scalers; same MC key
+        derivation)."""
+        cfg, res, ckpt = trained
+        scored = run_scoring_pipeline(
+            ckpt, cfg, n_normal=N_NORMAL, n_fault=N_FAULT
+        )
+        assert np.array_equal(scored.results.array, res.results.array)
+
+    def test_new_campaign_uses_checkpoint_scalers(self, trained):
+        """A shifted campaign must NOT re-fit the scalers: the normalized
+        space stays the checkpoint's, and the artifact's input columns
+        round-trip the new raw measurements."""
+        cfg, res, ckpt = trained
+        cfg2 = dc.replace(cfg, seed=7)  # different synthetic campaign
+        scored = run_scoring_pipeline(ckpt, cfg2, n_normal=300, n_fault=50)
+
+        # scalers are the checkpoint's (fit on the TRAINING campaign) ...
+        np.testing.assert_array_equal(
+            np.asarray(scored.dataset.scaler_x.data_min),
+            np.asarray(res.dataset.scaler_x.data_min),
+        )
+        # ... and deliberately NOT a re-fit on the new campaign's rows
+        normal, faults = synthesize_stack_data(n_normal=300, n_fault=50, seed=7)
+        new_fit_min = np.min(np.asarray(normal[0], np.float32), axis=0)
+        assert not np.array_equal(
+            np.asarray(scored.dataset.scaler_x.data_min), new_fit_min
+        )
+
+        # exported cols 0-7 de-normalize back to the raw new measurements
+        raw = np.vstack([normal[0]] + [x for x, _, _ in faults])
+        np.testing.assert_allclose(
+            scored.results.array[:, 0:8], raw, rtol=2e-4, atol=1e-3
+        )
+
+    def test_scored_artifact_feeds_downstream(self, trained):
+        """The scored artifact satisfies the 22-column contract the
+        downstream stages consume."""
+        cfg, _res, ckpt = trained
+        cfg2 = dc.replace(cfg, seed=7)
+        scored = run_scoring_pipeline(ckpt, cfg2, n_normal=300, n_fault=50)
+        arr = scored.results.array
+        assert arr.shape == (300 + 12 * 50, 22)
+        assert np.isfinite(arr).all()
+        # residual identity col 12 = col 8 − col 9 (01:1940)
+        np.testing.assert_allclose(arr[:, 12], arr[:, 8] - arr[:, 9], atol=1e-9)
+
+    def test_checkpoint_without_scalers_rejected(self, trained, tmp_path):
+        cfg, res, _ = trained
+        bare = str(tmp_path / "bare_ckpt")
+        save_checkpoint(bare, res.params)  # no scalers
+        with pytest.raises(ValueError, match="no scalers"):
+            run_scoring_pipeline(bare, cfg, n_normal=100, n_fault=20)
+
+
+class TestScoreCli:
+    def test_cli_score_writes_artifact(self, trained, tmp_path, capsys):
+        from pinnfc_tpu.cli import main
+
+        cfg, _res, ckpt = trained
+        out = str(tmp_path / "scored.mat")
+        rc = main([
+            "score", "--ckpt", ckpt, "--mat-out", out, "--small",
+            "--n-normal", "200", "--n-fault", "30", "--seed", "3",
+        ])
+        assert rc == 0
+        results = load_comprehensive_results(out)
+        assert results.array.shape == (200 + 12 * 30, 22)
+        assert "comprehensive_results" in capsys.readouterr().out
+
+    def test_run_all_from_ckpt_skips_training(self, trained, tmp_path, capsys):
+        """`run-all --from-ckpt` replaces the train stage with the score
+        stage and still runs every downstream stage on the scored artifact
+        (the reference has no retrain-free path)."""
+        import os
+
+        from pinnfc_tpu.cli import main
+
+        _cfg, _res, ckpt = trained
+        out = str(tmp_path / "runall")
+        rc = main(["run-all", "--out-dir", out, "--small",
+                   "--from-ckpt", ckpt])
+        assert rc == 0
+        stdout = capsys.readouterr().out
+        assert "run-all complete" in stdout
+        for token in ("AUC=", "accuracy", "advance", "Supervised_LR",
+                      "streamed"):
+            assert token in stdout, token
+        assert os.path.exists(os.path.join(out, "F01_output.mat"))
+        # no training happened: run-all wrote no fresh checkpoint
+        assert not os.path.exists(os.path.join(out, "pinn_ckpt"))
