@@ -21,9 +21,11 @@ from __future__ import annotations
 
 import dataclasses
 import time
+import warnings
 from typing import Dict, Optional
 
 import jax
+import numpy as np
 
 from pinnfc_tpu.config import TrainConfig
 from pinnfc_tpu.data.combine import FuelCellDataset, combine_and_normalize
@@ -32,6 +34,27 @@ from pinnfc_tpu.data.synthetic import synthesize_stack_data
 from pinnfc_tpu.models.pinn import PinnParams
 from pinnfc_tpu.pipeline.export import build_comprehensive_results
 from pinnfc_tpu.pipeline.train_pipeline import evaluate_voltage_metrics
+
+
+# Distribution-shift alarm threshold: on the model's own training campaign
+# the fit-on-normal-train MinMax scalers (01:266-274) place every normal
+# row inside [-1, 1] by construction, so any sizable out-of-range fraction
+# on a NEW campaign means its normal operating conditions drifted from the
+# ones the checkpoint was trained on.
+OOB_WARN_FRACTION = 0.05
+
+
+def _normal_out_of_range_fraction(dataset: FuelCellDataset) -> float:
+    """Fraction of NORMAL-labelled rows with any feature outside [-1, 1]
+    after normalization through the (checkpoint's) scalers.  Fault rows are
+    excluded — they exceed the range even in training, by design."""
+    labels = dataset.info.fault_labels(int(dataset.x_test.shape[0]))
+    x_normal = np.asarray(dataset.x_test)[labels == 0]
+    if x_normal.size == 0:
+        return 0.0
+    tol = 1e-5  # f32 round-off on the affine transform
+    out = np.any((x_normal < -1.0 - tol) | (x_normal > 1.0 + tol), axis=1)
+    return float(np.mean(out))
 
 
 @dataclasses.dataclass
@@ -104,6 +127,19 @@ def run_scoring_pipeline(
         )
     timings["data_s"] = time.perf_counter() - t0
 
+    oob = _normal_out_of_range_fraction(dataset)
+    if oob > OOB_WARN_FRACTION:
+        warnings.warn(
+            f"{oob:.1%} of the campaign's NORMAL rows fall outside the "
+            "checkpoint scalers' [-1, 1] training range — the new campaign "
+            "has drifted from the conditions this model was trained on; "
+            "scores may be unreliable (consider retraining)",
+            stacklevel=2,
+        )
+    if verbose:
+        print(f"drift check: {oob:.2%} of normal rows outside the "
+              "checkpoint's training range")
+
     # same key derivation as run_training_pipeline: scoring the training
     # campaign with the training seed reproduces the train-time export
     rng = jax.random.key(config.seed + 1, impl=config.model.rng_impl)
@@ -122,6 +158,7 @@ def run_scoring_pipeline(
     timings["export_s"] = time.perf_counter() - t0
 
     metrics = evaluate_voltage_metrics(params, dataset, results=results)
+    metrics["normal_oob_frac"] = oob
 
     if mat_path is not None:
         save_comprehensive_results(results, mat_path)

@@ -46,11 +46,18 @@ class TestScoringPipeline:
         """Same data source, same seed → the scored artifact IS the
         train-time export (stored scalers ≡ fit scalers; same MC key
         derivation)."""
+        import warnings as w
+
         cfg, res, ckpt = trained
-        scored = run_scoring_pipeline(
-            ckpt, cfg, n_normal=N_NORMAL, n_fault=N_FAULT
-        )
+        with w.catch_warnings(record=True) as caught:
+            w.simplefilter("always")
+            scored = run_scoring_pipeline(
+                ckpt, cfg, n_normal=N_NORMAL, n_fault=N_FAULT
+            )
         assert np.array_equal(scored.results.array, res.results.array)
+        # the model's own campaign shows zero drift and raises no warning
+        assert scored.metrics["normal_oob_frac"] == 0.0
+        assert not [c for c in caught if "drifted" in str(c.message)]
 
     def test_new_campaign_uses_checkpoint_scalers(self, trained):
         """A shifted campaign must NOT re-fit the scalers: the normalized
@@ -89,6 +96,25 @@ class TestScoringPipeline:
         assert np.isfinite(arr).all()
         # residual identity col 12 = col 8 − col 9 (01:1940)
         np.testing.assert_allclose(arr[:, 12], arr[:, 8] - arr[:, 9], atol=1e-9)
+
+    def test_drift_check_warns_on_shifted_campaign(self, trained):
+        """A campaign whose normal operating point moved beyond the
+        checkpoint's training range raises the drift warning."""
+        from pinnfc_tpu.data import combine_and_normalize
+
+        cfg, res, ckpt = trained
+        normal, faults = synthesize_stack_data(
+            n_normal=300, n_fault=50, seed=7
+        )
+        shifted_normal = (np.asarray(normal[0]) * 1.5, normal[1])
+        shifted_faults = [(np.asarray(x) * 1.5, y, nm) for x, y, nm in faults]
+        ds = combine_and_normalize(
+            shifted_normal, shifted_faults, seed=7,
+            scalers=(res.dataset.scaler_x, res.dataset.scaler_y),
+        )
+        with pytest.warns(UserWarning, match="drifted"):
+            scored = run_scoring_pipeline(ckpt, cfg, dataset=ds)
+        assert scored.metrics["normal_oob_frac"] > 0.5
 
     def test_checkpoint_without_scalers_rejected(self, trained, tmp_path):
         cfg, res, _ = trained
