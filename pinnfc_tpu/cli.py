@@ -141,27 +141,31 @@ def cmd_train(args) -> int:
     if args.mat_out:
         print(f"comprehensive_results → {args.mat_out}")
     if getattr(args, "plot_dir", None):
-        from pinnfc_tpu.viz import (
-            plot_detailed_results,
-            plot_split_overview,
-            plot_temp_comparison,
-            plot_uncertainty,
-        )
-
-        os.makedirs(args.plot_dir, exist_ok=True)
-        bl = res.dataset.info.boundary_lines
-        plot_uncertainty(res.results, bl, os.path.join(args.plot_dir, "uncertainty.png"))
-        plot_detailed_results(
-            res.results, os.path.join(args.plot_dir, "detailed.png"), bl
-        )
-        plot_split_overview(res.results, bl, os.path.join(args.plot_dir, "split.png"))
-        # true vs physics-model temperature, the reference main's inline
-        # figure (01:2208-2228)
-        plot_temp_comparison(
-            res.results, os.path.join(args.plot_dir, "temp_comparison.png"), bl
-        )
-        print("training figures →", args.plot_dir)
+        _emit_train_figures(res, args.plot_dir)
     return 0
+
+
+def _emit_train_figures(res, plot_dir: str) -> None:
+    """The script-01 figure set — artifact-derived, so it applies to both
+    trained and scored results (PipelineResult or ScoreResult)."""
+    from pinnfc_tpu.viz import (
+        plot_detailed_results,
+        plot_split_overview,
+        plot_temp_comparison,
+        plot_uncertainty,
+    )
+
+    os.makedirs(plot_dir, exist_ok=True)
+    bl = res.dataset.info.boundary_lines
+    plot_uncertainty(res.results, bl, os.path.join(plot_dir, "uncertainty.png"))
+    plot_detailed_results(res.results, os.path.join(plot_dir, "detailed.png"), bl)
+    plot_split_overview(res.results, bl, os.path.join(plot_dir, "split.png"))
+    # true vs physics-model temperature, the reference main's inline
+    # figure (01:2208-2228)
+    plot_temp_comparison(
+        res.results, os.path.join(plot_dir, "temp_comparison.png"), bl
+    )
+    print("training figures →", plot_dir)
 
 
 def cmd_score(args) -> int:
@@ -207,6 +211,8 @@ def cmd_score(args) -> int:
     print(json.dumps({"metrics": res.metrics, "timings": res.timings}, indent=2))
     if args.mat_out:
         print(f"comprehensive_results → {args.mat_out}")
+    if getattr(args, "plot_dir", None):
+        _emit_train_figures(res, args.plot_dir)
     return 0
 
 
@@ -431,7 +437,7 @@ def cmd_run_all(args) -> int:
         # train stage (the reference has no such shortcut — 01:2143-2187)
         ns = argparse.Namespace(
             small=args.small, seed=args.seed, mat_out=mat_path,
-            ckpt=from_ckpt,
+            ckpt=from_ckpt, plot_dir=plot_dir,
             normal_mat=getattr(args, "normal_mat", None),
             fault_dir=getattr(args, "fault_dir", None),
         )
@@ -772,6 +778,9 @@ def main(argv: Optional[list] = None) -> int:
     )
     sc.add_argument("--ckpt", required=True, help="checkpoint from `train --ckpt`")
     sc.add_argument("--mat-out", default="F01_scored.mat")
+    sc.add_argument("--plot-dir", default=None,
+                    help="emit the script-01 figure set for the scored "
+                         "artifact (uncertainty/detailed/split/temp)")
     sc.add_argument("--small", action="store_true",
                     help="reduced MC sample count / synthetic data size")
     sc.add_argument("--seed", type=int, default=42,

@@ -128,16 +128,24 @@ class TestScoreCli:
     def test_cli_score_writes_artifact(self, trained, tmp_path, capsys):
         from pinnfc_tpu.cli import main
 
+        import os
+
         cfg, _res, ckpt = trained
         out = str(tmp_path / "scored.mat")
+        figs = str(tmp_path / "figs")
         rc = main([
             "score", "--ckpt", ckpt, "--mat-out", out, "--small",
             "--n-normal", "200", "--n-fault", "30", "--seed", "3",
+            "--plot-dir", figs,
         ])
         assert rc == 0
         results = load_comprehensive_results(out)
         assert results.array.shape == (200 + 12 * 30, 22)
         assert "comprehensive_results" in capsys.readouterr().out
+        # the script-01 figure set applies to scored artifacts too
+        for f in ("uncertainty_aleatoric.png", "uncertainty_epistemic.png",
+                  "detailed.png", "split.png", "temp_comparison.png"):
+            assert os.path.exists(os.path.join(figs, f)), f
 
     def test_run_all_from_ckpt_skips_training(self, trained, tmp_path, capsys):
         """`run-all --from-ckpt` replaces the train stage with the score
@@ -160,3 +168,7 @@ class TestScoreCli:
         assert os.path.exists(os.path.join(out, "F01_output.mat"))
         # no training happened: run-all wrote no fresh checkpoint
         assert not os.path.exists(os.path.join(out, "pinn_ckpt"))
+        # ... but the score stage still emitted the script-01 figures
+        assert os.path.exists(
+            os.path.join(out, "figures", "temp_comparison.png")
+        )
