@@ -124,6 +124,33 @@ class TestScoringPipeline:
             run_scoring_pipeline(bare, cfg, n_normal=100, n_fault=20)
 
 
+class TestScoringDataParallel:
+    def test_score_mesh_matches_single_device(self, trained):
+        """run_scoring_pipeline(mesh=) shards the MC export's rows over the
+        mesh's 'data' axis; with deterministic MC (dropout=0) the scored
+        artifact must equal the single-device one exactly (same padding/trim
+        contract as TestShardedExport, reached through the scoring entry)."""
+        import jax
+
+        from pinnfc_tpu.parallel import make_mesh
+
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 devices (CPU simulation run)")
+
+        cfg, _res, ckpt = trained
+        # 301 normal + 12*47 fault rows = 865, not divisible by 8 →
+        # exercises the pad/trim path through the scoring wrapper
+        cfg2 = dc.replace(cfg, seed=7, mc_dropout=0.0, mc_times=16)
+        single = run_scoring_pipeline(ckpt, cfg2, n_normal=301, n_fault=47)
+        assert single.results.array.shape[0] % 8 != 0
+        dp = run_scoring_pipeline(
+            ckpt, cfg2, n_normal=301, n_fault=47, mesh=make_mesh(8)
+        )
+        np.testing.assert_allclose(
+            dp.results.array, single.results.array, rtol=1e-5, atol=1e-6
+        )
+
+
 class TestScoreCli:
     def test_cli_score_writes_artifact(self, trained, tmp_path, capsys):
         from pinnfc_tpu.cli import main
