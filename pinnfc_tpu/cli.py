@@ -134,8 +134,27 @@ def cmd_train(args) -> int:
         )
     print(json.dumps({"metrics": res.metrics, "timings": res.timings}, indent=2))
     if args.ckpt:
+        import datetime
+
+        import pinnfc_tpu
+        from pinnfc_tpu.config import train_config_to_dict
+
         save_checkpoint(
-            args.ckpt, res.params, res.dataset.scaler_x, res.dataset.scaler_y
+            args.ckpt, res.params, res.dataset.scaler_x, res.dataset.scaler_y,
+            meta={
+                "framework_version": pinnfc_tpu.__version__,
+                "created": datetime.datetime.now(
+                    datetime.timezone.utc
+                ).isoformat(timespec="seconds"),
+                "config": train_config_to_dict(cfg),
+                "n_normal": n_normal,
+                "n_fault": n_fault,
+                "campaign": (
+                    {"normal_mat": args.normal_mat, "fault_dir": args.fault_dir}
+                    if campaign is not None else None
+                ),
+                "metrics": res.metrics,
+            },
         )
         print(f"checkpoint → {args.ckpt}")
     if args.mat_out:
@@ -177,9 +196,33 @@ def cmd_score(args) -> int:
     normalized through the CHECKPOINT's scalers and goes straight to the
     MC-dropout exporter, producing a 22-column artifact that every
     downstream stage (auc/gmm/risk/compare/monitor) consumes unchanged."""
-    from pinnfc_tpu.pipeline import run_scoring_pipeline
+    import dataclasses as dc
 
-    cfg = _train_config(args)  # mc_times/dropout/smoothing/seed; no schedule
+    from pinnfc_tpu.pipeline import run_scoring_pipeline
+    from pinnfc_tpu.utils import load_checkpoint_meta
+
+    # "score like you trained": the checkpoint's provenance sidecar carries
+    # the training config, so by default the MC export (mc_times/dropout/
+    # smoothing/precision) and the seed match the run that wrote the
+    # checkpoint — scoring the training campaign is then bit-exact with the
+    # train-time export without re-typing any flags
+    meta = load_checkpoint_meta(args.ckpt)
+    if (meta is not None and "config" in meta
+            and not getattr(args, "ignore_ckpt_config", False)):
+        from pinnfc_tpu.config import train_config_from_dict
+
+        cfg = train_config_from_dict(meta["config"])
+        if args.small:
+            cfg = dc.replace(cfg, mc_times=200)
+        if args.seed is not None:
+            cfg = dc.replace(cfg, seed=args.seed)
+        print(f"config from checkpoint meta: mc_times={cfg.mc_times} "
+              f"dropout={cfg.mc_dropout} seed={cfg.seed} "
+              f"(--ignore-ckpt-config for CLI flags only)")
+    else:
+        if args.seed is None:
+            args.seed = 42
+        cfg = _train_config(args)  # mc_times/dropout/smoothing/seed
     n_normal = getattr(args, "n_normal", None) or (1500 if args.small else 6000)
     n_fault = getattr(args, "n_fault", None) or (200 if args.small else 800)
 
@@ -214,6 +257,61 @@ def cmd_score(args) -> int:
     if getattr(args, "plot_dir", None):
         _emit_train_figures(res, args.plot_dir)
     return 0
+
+
+def cmd_inspect(args) -> int:
+    """Describe a checkpoint without running anything: provenance metadata
+    (training config / data sizes / final metrics from the .meta.json
+    sidecar), the parameter tree with shapes and counts, and the stored
+    normalization ranges."""
+    import numpy as np
+
+    from pinnfc_tpu.utils import load_checkpoint
+
+    ckpt = load_checkpoint(args.ckpt)
+
+    meta = ckpt.get("meta")
+    if meta is not None:
+        print(json.dumps({"meta": meta}, indent=2, ensure_ascii=False))
+    else:
+        print("meta: none (checkpoint saved without a .meta.json sidecar)")
+
+    leaves = jax_tree_leaves_with_paths(ckpt["params"])
+    total = 0
+    print("params:")
+    for path, arr in leaves:
+        a = np.asarray(arr)
+        total += a.size
+        print(f"  {path:40s} {str(a.shape):14s} {a.dtype}")
+    print(f"  total: {total:,} parameters")
+
+    for name in ("scaler_x", "scaler_y"):
+        s = ckpt.get(name)
+        if s is None:
+            print(f"{name}: absent")
+            continue
+        lo = np.asarray(s.data_min).ravel()
+        hi = np.asarray(s.data_max).ravel()
+        rng = ", ".join(f"[{a:.4g}, {b:.4g}]" for a, b in zip(lo, hi))
+        print(f"{name}: {lo.size} features, training ranges {rng}")
+    if "step" in ckpt:
+        print(f"step: {int(np.asarray(ckpt['step']))}")
+    return 0
+
+
+def jax_tree_leaves_with_paths(tree, prefix=""):
+    """(path, leaf) pairs in deterministic order — dicts and list/tuple
+    nodes, matching the checkpoint flattener (utils/checkpoint.py)."""
+    out = []
+    if isinstance(tree, dict):
+        for k in tree:
+            out += jax_tree_leaves_with_paths(tree[k], f"{prefix}{k}/")
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out += jax_tree_leaves_with_paths(v, f"{prefix}{i}/")
+    else:
+        out.append((prefix.rstrip("/"), tree))
+    return out
 
 
 def cmd_auc(args) -> int:
@@ -783,9 +881,15 @@ def main(argv: Optional[list] = None) -> int:
                          "artifact (uncertainty/detailed/split/temp)")
     sc.add_argument("--small", action="store_true",
                     help="reduced MC sample count / synthetic data size")
-    sc.add_argument("--seed", type=int, default=42,
-                    help="MC key seed (the training seed reproduces the "
-                         "train-time export bit-for-bit on the same data)")
+    sc.add_argument("--seed", type=int, default=None,
+                    help="MC key seed (default: the checkpoint's training "
+                         "seed from its .meta.json sidecar, which makes "
+                         "scoring the training campaign bit-exact; 42 for "
+                         "pre-metadata checkpoints)")
+    sc.add_argument("--ignore-ckpt-config", action="store_true",
+                    help="ignore the checkpoint's stored training config "
+                         "and build the MC-export settings from CLI flags "
+                         "alone")
     sc.add_argument("--n-normal", type=int, default=None,
                     help="synthetic normal rows (default 6000; 1500 with --small)")
     sc.add_argument("--n-fault", type=int, default=None,
@@ -797,6 +901,14 @@ def main(argv: Optional[list] = None) -> int:
     sc.add_argument("--data-parallel", action="store_true",
                     help="shard the MC export's rows over all visible devices")
     sc.set_defaults(fn=cmd_score)
+
+    ins = sub.add_parser(
+        "inspect",
+        help="describe a checkpoint: provenance metadata, parameter tree, "
+             "stored normalization ranges (no device work)",
+    )
+    ins.add_argument("--ckpt", required=True)
+    ins.set_defaults(fn=cmd_inspect)
 
     for name, fn, extra in (
         ("auc", cmd_auc, {"auc": True}),

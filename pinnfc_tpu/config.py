@@ -75,6 +75,19 @@ class TrainConfig:
     log_every: int = 1000
 
 
+def train_config_to_dict(cfg: TrainConfig) -> Dict:
+    """JSON-serializable view of a ``TrainConfig`` (checkpoint metadata)."""
+    return dataclasses.asdict(cfg)
+
+
+def train_config_from_dict(d: Dict) -> TrainConfig:
+    """Inverse of ``train_config_to_dict`` (tolerates JSON's tuple→list)."""
+    model = ModelConfig(**{**d["model"], "layers": tuple(d["model"]["layers"])})
+    schedule = tuple(StageConfig(**s) for s in d["schedule"])
+    rest = {k: v for k, v in d.items() if k not in ("model", "schedule")}
+    return TrainConfig(model=model, schedule=schedule, **rest)
+
+
 @dataclasses.dataclass(frozen=True)
 class AucConfig:
     """Supervised / unsupervised AUC evaluation (script 02 constants)."""

@@ -68,7 +68,7 @@ class ScoreResult:
 
 def run_scoring_pipeline(
     ckpt_path: str,
-    config: TrainConfig = TrainConfig(),
+    config: Optional[TrainConfig] = None,
     dataset: Optional[FuelCellDataset] = None,
     campaign=None,
     mat_path: Optional[str] = None,
@@ -88,8 +88,22 @@ def run_scoring_pipeline(
     training, so scoring the training campaign with the training seed is
     bit-exact against the train-time export.  With ``mesh``, MC sampling
     shards rows over the mesh's 'data' axis (see ``build_comprehensive_results``).
+
+    ``config=None`` adopts the checkpoint's stored training config (the
+    ``.meta.json`` provenance sidecar ``cli train --ckpt`` writes), falling
+    back to ``TrainConfig()`` for pre-metadata checkpoints — "score like
+    you trained" without restating any settings.
     """
-    from pinnfc_tpu.utils.checkpoint import load_checkpoint
+    from pinnfc_tpu.utils.checkpoint import load_checkpoint, load_checkpoint_meta
+
+    if config is None:
+        meta = load_checkpoint_meta(ckpt_path)
+        if meta is not None and "config" in meta:
+            from pinnfc_tpu.config import train_config_from_dict
+
+            config = train_config_from_dict(meta["config"])
+        else:
+            config = TrainConfig()
 
     timings: Dict[str, float] = {}
 

@@ -1,5 +1,6 @@
 from pinnfc_tpu.utils.checkpoint import (
     load_checkpoint,
+    load_checkpoint_meta,
     load_params_npz,
     save_checkpoint,
     save_params_npz,
@@ -9,6 +10,7 @@ from pinnfc_tpu.utils.compilation_cache import enable_compilation_cache
 
 __all__ = [
     "load_checkpoint",
+    "load_checkpoint_meta",
     "load_params_npz",
     "save_checkpoint",
     "save_params_npz",

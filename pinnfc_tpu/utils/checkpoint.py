@@ -73,15 +73,37 @@ def load_params_npz(path: str) -> Dict[str, Any]:
     return listify(nested)
 
 
+def _meta_path(path: str) -> str:
+    return os.path.abspath(path) + ".meta.json"
+
+
 def save_checkpoint(
     path: str,
     params: Dict[str, Any],
     scaler_x: Optional[AffineScaler] = None,
     scaler_y: Optional[AffineScaler] = None,
     step: int = 0,
+    meta: Optional[Dict[str, Any]] = None,
 ) -> None:
     """Orbax checkpoint of params (+ scalers as arrays).  Falls back to npz
-    when Orbax is unavailable."""
+    when Orbax is unavailable.
+
+    ``meta`` (JSON-serializable provenance — training config, data sizes,
+    final metrics) is written to a ``<path>.meta.json`` sidecar so it can be
+    read without deserializing any arrays; ``cli score`` uses it to default
+    the MC-export settings to the ones the checkpoint was trained with."""
+    if meta is not None:
+        import json
+
+        from pinnfc_tpu.utils.io import atomic_write_text
+
+        atomic_write_text(
+            _meta_path(path),
+            json.dumps(
+                meta, indent=2, ensure_ascii=False,
+                default=lambda o: o.item() if hasattr(o, "item") else str(o),
+            ),
+        )
     payload: Dict[str, Any] = {"params": params, "step": np.asarray(step)}
     if scaler_x is not None:
         payload["scaler_x"] = scaler_x.to_numpy()
@@ -131,4 +153,20 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         out["scaler_x"] = AffineScaler.from_numpy(out["scaler_x"])
     if "scaler_y" in out:
         out["scaler_y"] = AffineScaler.from_numpy(out["scaler_y"])
+    meta = load_checkpoint_meta(path)
+    if meta is not None:
+        out["meta"] = meta
     return out
+
+
+def load_checkpoint_meta(path: str) -> Optional[Dict[str, Any]]:
+    """Read the ``<path>.meta.json`` provenance sidecar (None if absent —
+    checkpoints written before metadata existed, or saved without it).
+    Cheap: no array deserialization."""
+    import json
+
+    try:
+        with open(_meta_path(path)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None

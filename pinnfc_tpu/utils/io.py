@@ -26,6 +26,16 @@ def ensure_parent(path: str) -> None:
         os.makedirs(parent, exist_ok=True)
 
 
+def atomic_write_text(path: str, text: str) -> None:
+    """Atomic text write (tmp file + ``os.replace``), same discipline as
+    ``atomic_savez`` — used for checkpoint metadata sidecars."""
+    ensure_parent(path)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, path)
+
+
 def atomic_savez(path: str, **arrays) -> None:
     """Atomic ``np.savez``: write a tmp file, then rename over ``path``.
 

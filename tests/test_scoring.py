@@ -34,10 +34,16 @@ def _mini_config(seed=0):
 
 @pytest.fixture(scope="module")
 def trained(tmp_path_factory):
+    from pinnfc_tpu.config import train_config_to_dict
+
     cfg = _mini_config()
     res = run_training_pipeline(cfg, n_normal=N_NORMAL, n_fault=N_FAULT)
     ckpt = str(tmp_path_factory.mktemp("score") / "ckpt")
-    save_checkpoint(ckpt, res.params, res.dataset.scaler_x, res.dataset.scaler_y)
+    save_checkpoint(
+        ckpt, res.params, res.dataset.scaler_x, res.dataset.scaler_y,
+        meta={"config": train_config_to_dict(cfg),
+              "n_normal": N_NORMAL, "n_fault": N_FAULT},
+    )
     return cfg, res, ckpt
 
 
@@ -116,6 +122,15 @@ class TestScoringPipeline:
             scored = run_scoring_pipeline(ckpt, cfg, dataset=ds)
         assert scored.metrics["normal_oob_frac"] > 0.5
 
+    def test_meta_config_adopted_when_none_given(self, trained):
+        """config=None adopts the checkpoint's stored training config
+        ("score like you trained"): with no settings restated, scoring the
+        training campaign still reproduces the train-time export
+        bit-for-bit."""
+        _cfg, res, ckpt = trained
+        scored = run_scoring_pipeline(ckpt, n_normal=N_NORMAL, n_fault=N_FAULT)
+        assert np.array_equal(scored.results.array, res.results.array)
+
     def test_checkpoint_without_scalers_rejected(self, trained, tmp_path):
         cfg, res, _ = trained
         bare = str(tmp_path / "bare_ckpt")
@@ -173,6 +188,36 @@ class TestScoreCli:
         for f in ("uncertainty_aleatoric.png", "uncertainty_epistemic.png",
                   "detailed.png", "split.png", "temp_comparison.png"):
             assert os.path.exists(os.path.join(figs, f)), f
+
+    def test_cli_score_defaults_from_meta(self, trained, tmp_path, capsys):
+        """With no --seed and no --small, `cli score` adopts the
+        checkpoint's training config (mc_times=40, seed=0 here) and says
+        so; the scored artifact is the bit-exact train-time export."""
+        from pinnfc_tpu.cli import main
+
+        cfg, res, ckpt = trained
+        out = str(tmp_path / "scored_meta.mat")
+        rc = main(["score", "--ckpt", ckpt, "--mat-out", out,
+                   "--n-normal", str(N_NORMAL), "--n-fault", str(N_FAULT)])
+        assert rc == 0
+        stdout = capsys.readouterr().out
+        assert f"mc_times={cfg.mc_times}" in stdout
+        assert f"seed={cfg.seed}" in stdout
+        results = load_comprehensive_results(out)
+        assert np.array_equal(results.array, np.asarray(res.results.array))
+
+    def test_cli_inspect_describes_checkpoint(self, trained, capsys):
+        from pinnfc_tpu.cli import main
+
+        cfg, _res, ckpt = trained
+        rc = main(["inspect", "--ckpt", ckpt])
+        assert rc == 0
+        stdout = capsys.readouterr().out
+        assert '"n_normal": 500' in stdout          # meta sidecar
+        assert f'"mc_times": {cfg.mc_times}' in stdout
+        assert "mlp/hidden/0/w" in stdout           # param tree
+        assert "total:" in stdout
+        assert "scaler_x: 8 features" in stdout     # stored ranges
 
     def test_run_all_from_ckpt_skips_training(self, trained, tmp_path, capsys):
         """`run-all --from-ckpt` replaces the train stage with the score

@@ -10,6 +10,7 @@ from pinnfc_tpu.utils import (
     MetricsLogger,
     StepTimer,
     load_checkpoint,
+    load_checkpoint_meta,
     load_params_npz,
     save_checkpoint,
     save_params_npz,
@@ -63,6 +64,49 @@ class TestCheckpoint:
             np.asarray(loaded["scaler_x"].scale), np.asarray(sx.scale)
         )
         assert int(np.asarray(loaded["step"])) == 7
+        # saved without meta: no sidecar, no 'meta' key
+        assert "meta" not in loaded
+        assert load_checkpoint_meta(path) is None
+
+    def test_meta_sidecar_roundtrip(self, tmp_path):
+        """Provenance metadata rides a .meta.json sidecar: readable without
+        deserializing arrays (load_checkpoint_meta) and attached to the
+        full load; numpy scalars in metrics are JSON-coerced."""
+        params = init_pinn(jax.random.PRNGKey(1), (8, 8, 1))
+        path = str(tmp_path / "ckpt")
+        meta = {
+            "framework_version": "0.1.0",
+            "n_normal": 6000,
+            "metrics": {"v_mae": np.float32(0.0064)},  # numpy scalar ok
+        }
+        save_checkpoint(path, params, meta=meta)
+        peeked = load_checkpoint_meta(path)
+        assert peeked["n_normal"] == 6000
+        assert abs(peeked["metrics"]["v_mae"] - 0.0064) < 1e-6
+        assert load_checkpoint(path)["meta"] == peeked
+
+    def test_train_config_dict_roundtrip(self):
+        """train_config_to_dict survives JSON (tuples→lists) and rebuilds
+        an EQUAL TrainConfig — the contract `cli score`'s 'score like you
+        trained' default rests on."""
+        import json
+
+        from pinnfc_tpu.config import (
+            StageConfig,
+            TrainConfig,
+            train_config_from_dict,
+            train_config_to_dict,
+        )
+
+        cfg = TrainConfig(
+            schedule=(StageConfig("dnn", 5, lr=0.01),
+                      StageConfig("thermal", 3, lr=1.0, lr_gamma=0.9)),
+            mc_times=17, seed=3,
+        )
+        rebuilt = train_config_from_dict(
+            json.loads(json.dumps(train_config_to_dict(cfg)))
+        )
+        assert rebuilt == cfg
 
 
 class TestObservability:
