@@ -285,6 +285,22 @@ def cmd_inspect(args) -> int:
         print(f"  {path:40s} {str(a.shape):14s} {a.dtype}")
     print(f"  total: {total:,} parameters")
 
+    # the identified physics parameters — the explainable core of the PINN
+    from pinnfc_tpu.models.pinn import LAMBDA_INIT, LAMBDA_NAMES
+
+    print("identified physics parameters (λ):")
+    for group, names in LAMBDA_NAMES.items():
+        vals = ckpt["params"].get(group)
+        if vals is None:
+            continue
+        vals = np.asarray(vals).ravel()
+        inits = np.asarray(LAMBDA_INIT[group]).ravel()
+        for i, name in enumerate(names):
+            moved = "" if np.isclose(vals[i], inits[i]) else (
+                f"  (init {inits[i]:.6g})"
+            )
+            print(f"  {group}[{i}] = {vals[i]:<12.6g} {name}{moved}")
+
     for name in ("scaler_x", "scaler_y"):
         s = ckpt.get(name)
         if s is None:

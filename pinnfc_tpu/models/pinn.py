@@ -60,6 +60,39 @@ LAMBDA_BOUNDS = {
 
 LAMBDA_GROUPS = ("lam_v", "lam_t", "lam_h", "lam_o")
 
+# Physical meaning of each identified λ — the "explainable" parameters the
+# schedule trains (formulas: physics/voltage.py, thermal.py, hydrogen.py,
+# oxygen.py; reference registrations 01:441-533).  'reserved' entries are
+# registered upstream but enter no formula (λ4's 'lambda_3' name shadowing
+# is the documented quirk; λH4/λO4 are likewise unused).
+LAMBDA_NAMES = {
+    "lam_v": (
+        "r — area-specific ohmic resistance [Ω·cm²]",
+        "i0 — exchange current density [A/cm²]",
+        "i_l — limiting current density [A/cm²]",
+        "reserved (no gradient: upstream 'lambda_3' name shadowing, 01:468)",
+    ),
+    "lam_t": (
+        "kT1 — current coeff (simple T) / coolant-heat scale (Euler)",
+        "kT2 — thermal mass (Euler denominator; no grad in simple stage)",
+        "kT3 — coolant-flow coeff (simple T) / radiation scale (Euler)",
+        "kT4 — electrochemical-heat scale (Euler; no grad in simple stage)",
+        "kT5 — simple-model temperature offset [°C]",
+    ),
+    "lam_h": (
+        "H2 target excess ratio at low current",
+        "H2 ratio slope per normalized current",
+        "H2 piecewise-knee current threshold [A]",
+        "reserved (enters no formula)",
+    ),
+    "lam_o": (
+        "O2 target excess ratio at low current",
+        "O2 ratio slope per normalized current",
+        "O2 piecewise-knee current threshold [A]",
+        "reserved (enters no formula)",
+    ),
+}
+
 
 def init_pinn(key, layers: Sequence[int] = (8, 256, 256, 256, 1)) -> PinnParams:
     """Fresh PINN parameter pytree."""

@@ -218,6 +218,9 @@ class TestScoreCli:
         assert "mlp/hidden/0/w" in stdout           # param tree
         assert "total:" in stdout
         assert "scaler_x: 8 features" in stdout     # stored ranges
+        # the identified physics parameters, with physical names
+        assert "lam_v[0]" in stdout
+        assert "ohmic resistance" in stdout
 
     def test_run_all_from_ckpt_skips_training(self, trained, tmp_path, capsys):
         """`run-all --from-ckpt` replaces the train stage with the score
