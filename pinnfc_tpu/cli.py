@@ -133,6 +133,7 @@ def cmd_train(args) -> int:
             ckpt_every=getattr(args, "ckpt_every", None),
         )
     print(json.dumps({"metrics": res.metrics, "timings": res.timings}, indent=2))
+    _print_lambda_table(res.params)
     if args.ckpt:
         import datetime
 
@@ -285,21 +286,7 @@ def cmd_inspect(args) -> int:
         print(f"  {path:40s} {str(a.shape):14s} {a.dtype}")
     print(f"  total: {total:,} parameters")
 
-    # the identified physics parameters — the explainable core of the PINN
-    from pinnfc_tpu.models.pinn import LAMBDA_INIT, LAMBDA_NAMES
-
-    print("identified physics parameters (λ):")
-    for group, names in LAMBDA_NAMES.items():
-        vals = ckpt["params"].get(group)
-        if vals is None:
-            continue
-        vals = np.asarray(vals).ravel()
-        inits = np.asarray(LAMBDA_INIT[group]).ravel()
-        for i, name in enumerate(names):
-            moved = "" if np.isclose(vals[i], inits[i]) else (
-                f"  (init {inits[i]:.6g})"
-            )
-            print(f"  {group}[{i}] = {vals[i]:<12.6g} {name}{moved}")
+    _print_lambda_table(ckpt["params"])
 
     for name in ("scaler_x", "scaler_y"):
         s = ckpt.get(name)
@@ -313,6 +300,27 @@ def cmd_inspect(args) -> int:
     if "step" in ckpt:
         print(f"step: {int(np.asarray(ckpt['step']))}")
     return 0
+
+
+def _print_lambda_table(params) -> None:
+    """The identified physics parameters — the explainable core of the
+    PINN — with their physical names (models/pinn.py LAMBDA_NAMES)."""
+    import numpy as np
+
+    from pinnfc_tpu.models.pinn import LAMBDA_INIT, LAMBDA_NAMES
+
+    print("identified physics parameters (λ):")
+    for group, names in LAMBDA_NAMES.items():
+        vals = params.get(group)
+        if vals is None:
+            continue
+        vals = np.asarray(vals).ravel()
+        inits = np.asarray(LAMBDA_INIT[group]).ravel()
+        for i, name in enumerate(names):
+            moved = "" if np.isclose(vals[i], inits[i]) else (
+                f"  (init {inits[i]:.6g})"
+            )
+            print(f"  {group}[{i}] = {vals[i]:<12.6g} {name}{moved}")
 
 
 def jax_tree_leaves_with_paths(tree, prefix=""):
