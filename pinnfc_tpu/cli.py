@@ -277,7 +277,7 @@ def cmd_inspect(args) -> int:
     else:
         print("meta: none (checkpoint saved without a .meta.json sidecar)")
 
-    leaves = jax_tree_leaves_with_paths(ckpt["params"])
+    leaves = _tree_leaves_with_paths(ckpt["params"])
     total = 0
     print("params:")
     for path, arr in leaves:
@@ -323,16 +323,16 @@ def _print_lambda_table(params) -> None:
             print(f"  {group}[{i}] = {vals[i]:<12.6g} {name}{moved}")
 
 
-def jax_tree_leaves_with_paths(tree, prefix=""):
+def _tree_leaves_with_paths(tree, prefix=""):
     """(path, leaf) pairs in deterministic order — dicts and list/tuple
     nodes, matching the checkpoint flattener (utils/checkpoint.py)."""
     out = []
     if isinstance(tree, dict):
         for k in tree:
-            out += jax_tree_leaves_with_paths(tree[k], f"{prefix}{k}/")
+            out += _tree_leaves_with_paths(tree[k], f"{prefix}{k}/")
     elif isinstance(tree, (list, tuple)):
         for i, v in enumerate(tree):
-            out += jax_tree_leaves_with_paths(v, f"{prefix}{i}/")
+            out += _tree_leaves_with_paths(v, f"{prefix}{i}/")
     else:
         out.append((prefix.rstrip("/"), tree))
     return out

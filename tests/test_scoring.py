@@ -206,6 +206,21 @@ class TestScoreCli:
         results = load_comprehensive_results(out)
         assert np.array_equal(results.array, np.asarray(res.results.array))
 
+    def test_cli_score_ignore_ckpt_config(self, trained, tmp_path, capsys):
+        """--ignore-ckpt-config builds the config from CLI flags alone
+        (mc_times=200 via --small instead of the checkpoint's 40)."""
+        from pinnfc_tpu.cli import main
+
+        _cfg, _res, ckpt = trained
+        out = str(tmp_path / "scored_flags.mat")
+        rc = main(["score", "--ckpt", ckpt, "--mat-out", out, "--small",
+                   "--ignore-ckpt-config",
+                   "--n-normal", "150", "--n-fault", "20"])
+        assert rc == 0
+        stdout = capsys.readouterr().out
+        assert "config from checkpoint meta" not in stdout
+        assert load_comprehensive_results(out).array.shape == (390, 22)
+
     def test_cli_inspect_describes_checkpoint(self, trained, capsys):
         from pinnfc_tpu.cli import main
 
