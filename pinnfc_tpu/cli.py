@@ -220,6 +220,9 @@ def cmd_score(args) -> int:
         print(f"config from checkpoint meta: mc_times={cfg.mc_times} "
               f"dropout={cfg.mc_dropout} seed={cfg.seed} "
               f"(--ignore-ckpt-config for CLI flags only)")
+        # downstream helpers (_campaign_from_args) read args.seed — keep it
+        # in step with the resolved config, never None
+        args.seed = cfg.seed
     else:
         if args.seed is None:
             args.seed = 42

@@ -221,6 +221,30 @@ class TestScoreCli:
         assert "config from checkpoint meta" not in stdout
         assert load_comprehensive_results(out).array.shape == (390, 22)
 
+    def test_cli_score_campaign_with_meta_defaults(self, trained, tmp_path,
+                                                   capsys):
+        """Meta adoption with a REAL campaign and no --seed: args.seed is
+        resolved from the checkpoint config before campaign loading (a None
+        seed would make the combine nondeterministic), so two runs produce
+        the identical artifact."""
+        from pinnfc_tpu.cli import main
+        from pinnfc_tpu.data.campaign import write_campaign_mats
+
+        _cfg, _res, ckpt = trained
+        normal, faults = synthesize_stack_data(n_normal=150, n_fault=20, seed=9)
+        camp = write_campaign_mats(str(tmp_path / "camp"), normal, faults)
+
+        arrays = []
+        for i in range(2):
+            out = str(tmp_path / f"scored_camp{i}.mat")
+            rc = main(["score", "--ckpt", ckpt, "--mat-out", out,
+                       "--normal-mat", camp.normal_path,
+                       "--fault-dir", str(tmp_path / "camp")])
+            assert rc == 0
+            arrays.append(load_comprehensive_results(out).array)
+        capsys.readouterr()
+        np.testing.assert_array_equal(arrays[0], arrays[1])
+
     def test_cli_inspect_describes_checkpoint(self, trained, capsys):
         from pinnfc_tpu.cli import main
 
