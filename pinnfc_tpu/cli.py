@@ -559,7 +559,10 @@ def cmd_run_all(args) -> int:
     from_ckpt = getattr(args, "from_ckpt", None)
     if from_ckpt:
         # reuse a trained model: the score stage replaces the 42k-step
-        # train stage (the reference has no such shortcut — 01:2143-2187)
+        # train stage (the reference has no such shortcut — 01:2143-2187).
+        # seed=None lets the checkpoint's stored training seed win (meta
+        # adoption) so run-all --from-ckpt on the training campaign
+        # reproduces the train-time artifact; an explicit --seed overrides.
         ns = argparse.Namespace(
             small=args.small, seed=args.seed, mat_out=mat_path,
             ckpt=from_ckpt, plot_dir=plot_dir,
@@ -569,7 +572,8 @@ def cmd_run_all(args) -> int:
         rc = cmd_score(ns)
     else:
         ns = argparse.Namespace(
-            small=args.small, seed=args.seed, mat_out=mat_path,
+            small=args.small, mat_out=mat_path,
+            seed=args.seed if args.seed is not None else 42,
             ckpt=os.path.join(args.out_dir, "pinn_ckpt"), plot_dir=plot_dir,
             normal_mat=getattr(args, "normal_mat", None),
             fault_dir=getattr(args, "fault_dir", None),
@@ -985,6 +989,8 @@ def main(argv: Optional[list] = None) -> int:
         s.set_defaults(fn=fn)
 
     r = sub.add_parser("run-all", help="full pipeline 01→02/03/04/05")
+    # (--seed default None: the train stage falls back to 42; the
+    # --from-ckpt score stage falls back to the checkpoint's training seed)
     r.add_argument("--out-dir", required=True)
     r.add_argument("--from-ckpt", default=None,
                    help="skip training: score the campaign with this "
@@ -993,7 +999,7 @@ def main(argv: Optional[list] = None) -> int:
     r.add_argument("--small", action="store_true")
     r.add_argument("--steps-scale", type=float, default=None,
                    help="multiply every stage's step count")
-    r.add_argument("--seed", type=int, default=42)
+    r.add_argument("--seed", type=int, default=None)
     r.add_argument("--normal-mat", default=None,
                    help="real campaign: normal-operation .mat")
     r.add_argument("--fault-dir", default=None,
