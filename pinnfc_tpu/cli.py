@@ -185,7 +185,7 @@ def _emit_train_figures(res, plot_dir: str) -> None:
     plot_temp_comparison(
         res.results, os.path.join(plot_dir, "temp_comparison.png"), bl
     )
-    print("training figures →", plot_dir)
+    print("figures →", plot_dir)  # emitted for trained AND scored artifacts
 
 
 def cmd_score(args) -> int:
@@ -217,6 +217,15 @@ def cmd_score(args) -> int:
             cfg = dc.replace(cfg, mc_times=200)
         if args.seed is not None:
             cfg = dc.replace(cfg, seed=args.seed)
+        # synthetic data sizes default to the TRAINING campaign's too, so a
+        # bare `cli score` on the training data reproduces the train-time
+        # artifact whatever sizes training used (explicit flags / --small
+        # still override)
+        if not args.small:
+            if getattr(args, "n_normal", None) is None:
+                args.n_normal = meta.get("n_normal")
+            if getattr(args, "n_fault", None) is None:
+                args.n_fault = meta.get("n_fault")
         print(f"config from checkpoint meta: mc_times={cfg.mc_times} "
               f"dropout={cfg.mc_dropout} seed={cfg.seed} "
               f"(--ignore-ckpt-config for CLI flags only)")
@@ -267,12 +276,29 @@ def cmd_inspect(args) -> int:
     """Describe a checkpoint without running anything: provenance metadata
     (training config / data sizes / final metrics from the .meta.json
     sidecar), the parameter tree with shapes and counts, and the stored
-    normalization ranges."""
+    normalization ranges.  Works while the accelerator relay is
+    unreachable: the raw loader does no jnp conversions, and the process
+    is pinned to the CPU backend (orbax's restore initializes the default
+    backend — measured +10 s on a HEALTHY axon relay, a hang on a dead
+    one) — introspection needs no device."""
     import numpy as np
 
-    from pinnfc_tpu.utils import load_checkpoint
+    from pinnfc_tpu.utils.checkpoint import _flatten, load_checkpoint_raw
 
-    ckpt = load_checkpoint(args.ckpt)
+    unset = object()
+    prev_platforms = unset
+    try:
+        import jax
+
+        prev_platforms = jax.config.jax_platforms  # usually None (unset)
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        prev_platforms = unset  # backend already initialized: best effort
+    try:
+        ckpt = load_checkpoint_raw(args.ckpt)
+    finally:
+        if prev_platforms is not unset:
+            jax.config.update("jax_platforms", prev_platforms)
 
     meta = ckpt.get("meta")
     if meta is not None:
@@ -280,13 +306,13 @@ def cmd_inspect(args) -> int:
     else:
         print("meta: none (checkpoint saved without a .meta.json sidecar)")
 
-    leaves = _tree_leaves_with_paths(ckpt["params"])
+    # _flatten is the checkpoint's own flattener, so the printed paths are
+    # exactly what the npz fallback stores
     total = 0
     print("params:")
-    for path, arr in leaves:
-        a = np.asarray(arr)
-        total += a.size
-        print(f"  {path:40s} {str(a.shape):14s} {a.dtype}")
+    for path, arr in _flatten(ckpt["params"]).items():
+        total += arr.size
+        print(f"  {path:40s} {str(arr.shape):14s} {arr.dtype}")
     print(f"  total: {total:,} parameters")
 
     _print_lambda_table(ckpt["params"])
@@ -296,8 +322,8 @@ def cmd_inspect(args) -> int:
         if s is None:
             print(f"{name}: absent")
             continue
-        lo = np.asarray(s.data_min).ravel()
-        hi = np.asarray(s.data_max).ravel()
+        lo = np.asarray(s["data_min"]).ravel()
+        hi = np.asarray(s["data_max"]).ravel()
         rng = ", ".join(f"[{a:.4g}, {b:.4g}]" for a, b in zip(lo, hi))
         print(f"{name}: {lo.size} features, training ranges {rng}")
     if "step" in ckpt:
@@ -324,21 +350,6 @@ def _print_lambda_table(params) -> None:
                 f"  (init {inits[i]:.6g})"
             )
             print(f"  {group}[{i}] = {vals[i]:<12.6g} {name}{moved}")
-
-
-def _tree_leaves_with_paths(tree, prefix=""):
-    """(path, leaf) pairs in deterministic order — dicts and list/tuple
-    nodes, matching the checkpoint flattener (utils/checkpoint.py)."""
-    out = []
-    if isinstance(tree, dict):
-        for k in tree:
-            out += _tree_leaves_with_paths(tree[k], f"{prefix}{k}/")
-    elif isinstance(tree, (list, tuple)):
-        for i, v in enumerate(tree):
-            out += _tree_leaves_with_paths(v, f"{prefix}{i}/")
-    else:
-        out.append((prefix.rstrip("/"), tree))
-    return out
 
 
 def cmd_auc(args) -> int:

@@ -91,19 +91,11 @@ def save_checkpoint(
     ``meta`` (JSON-serializable provenance — training config, data sizes,
     final metrics) is written to a ``<path>.meta.json`` sidecar so it can be
     read without deserializing any arrays; ``cli score`` uses it to default
-    the MC-export settings to the ones the checkpoint was trained with."""
-    if meta is not None:
-        import json
-
-        from pinnfc_tpu.utils.io import atomic_write_text
-
-        atomic_write_text(
-            _meta_path(path),
-            json.dumps(
-                meta, indent=2, ensure_ascii=False,
-                default=lambda o: o.item() if hasattr(o, "item") else str(o),
-            ),
-        )
+    the MC-export settings to the ones the checkpoint was trained with.
+    The sidecar is written AFTER the arrays (a save that dies mid-way never
+    leaves provenance describing arrays that were not written), and a save
+    WITHOUT meta removes any stale sidecar a previous occupant of the path
+    left behind — the sidecar must never describe a different model."""
     payload: Dict[str, Any] = {"params": params, "step": np.asarray(step)}
     if scaler_x is not None:
         payload["scaler_x"] = scaler_x.to_numpy()
@@ -121,11 +113,34 @@ def save_checkpoint(
         ckptr.save(path, payload, force=True)
     except ImportError:
         save_params_npz(payload, path + ".npz")
+    if meta is not None:
+        import json
+
+        from pinnfc_tpu.utils.io import atomic_write_text
+
+        atomic_write_text(
+            _meta_path(path),
+            # numpy scalars AND arrays both coerce via tolist (item()
+            # raises on multi-element arrays)
+            json.dumps(
+                meta, indent=2, ensure_ascii=False,
+                default=lambda o: o.tolist() if hasattr(o, "tolist")
+                else str(o),
+            ),
+        )
+    else:
+        try:
+            os.remove(_meta_path(path))
+        except FileNotFoundError:
+            pass
 
 
-def load_checkpoint(path: str) -> Dict[str, Any]:
-    """Load an Orbax (or npz-fallback) checkpoint; arrays come back as host
-    numpy regardless of the platform that wrote them."""
+def load_checkpoint_raw(path: str) -> Dict[str, Any]:
+    """Like ``load_checkpoint`` but keeps the scalers as their raw numpy
+    dicts (``AffineScaler.to_numpy`` layout) instead of rebuilding
+    ``AffineScaler`` objects: no jnp conversions of our own, so host-numpy
+    checkpoints introspect (``cli inspect``) without waking the accelerator
+    relay."""
     try:
         import orbax.checkpoint as ocp
 
@@ -149,24 +164,41 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         # saved by the npz fallback (no orbax at save time)
         payload = load_params_npz(path + ".npz")
     out = dict(payload)
-    if "scaler_x" in out:
-        out["scaler_x"] = AffineScaler.from_numpy(out["scaler_x"])
-    if "scaler_y" in out:
-        out["scaler_y"] = AffineScaler.from_numpy(out["scaler_y"])
     meta = load_checkpoint_meta(path)
     if meta is not None:
         out["meta"] = meta
     return out
 
 
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    """Load an Orbax (or npz-fallback) checkpoint; arrays come back as host
+    numpy regardless of the platform that wrote them, scalers as
+    ``AffineScaler`` objects, provenance (if any) under ``'meta'``."""
+    out = load_checkpoint_raw(path)
+    if "scaler_x" in out:
+        out["scaler_x"] = AffineScaler.from_numpy(out["scaler_x"])
+    if "scaler_y" in out:
+        out["scaler_y"] = AffineScaler.from_numpy(out["scaler_y"])
+    return out
+
+
 def load_checkpoint_meta(path: str) -> Optional[Dict[str, Any]]:
     """Read the ``<path>.meta.json`` provenance sidecar (None if absent —
     checkpoints written before metadata existed, or saved without it).
-    Cheap: no array deserialization."""
+    Cheap: no array deserialization.  A corrupt sidecar (e.g. truncated by
+    a non-atomic copy channel) must never block loading intact arrays: it
+    degrades to None with a warning."""
     import json
+    import warnings
 
     try:
         with open(_meta_path(path)) as f:
             return json.load(f)
     except FileNotFoundError:
+        return None
+    except (OSError, json.JSONDecodeError, UnicodeDecodeError) as e:
+        warnings.warn(
+            f"ignoring unreadable checkpoint metadata sidecar "
+            f"{_meta_path(path)!r}: {e}", stacklevel=2,
+        )
         return None

@@ -190,15 +190,15 @@ class TestScoreCli:
             assert os.path.exists(os.path.join(figs, f)), f
 
     def test_cli_score_defaults_from_meta(self, trained, tmp_path, capsys):
-        """With no --seed and no --small, `cli score` adopts the
-        checkpoint's training config (mc_times=40, seed=0 here) and says
-        so; the scored artifact is the bit-exact train-time export."""
+        """A completely bare `cli score --ckpt --mat-out` adopts the
+        checkpoint's training config AND data sizes (mc_times=40, seed=0,
+        500/80 here) and says so; the scored artifact is the bit-exact
+        train-time export with zero flags restated."""
         from pinnfc_tpu.cli import main
 
         cfg, res, ckpt = trained
         out = str(tmp_path / "scored_meta.mat")
-        rc = main(["score", "--ckpt", ckpt, "--mat-out", out,
-                   "--n-normal", str(N_NORMAL), "--n-fault", str(N_FAULT)])
+        rc = main(["score", "--ckpt", ckpt, "--mat-out", out])
         assert rc == 0
         stdout = capsys.readouterr().out
         assert f"mc_times={cfg.mc_times}" in stdout

@@ -71,19 +71,45 @@ class TestCheckpoint:
     def test_meta_sidecar_roundtrip(self, tmp_path):
         """Provenance metadata rides a .meta.json sidecar: readable without
         deserializing arrays (load_checkpoint_meta) and attached to the
-        full load; numpy scalars in metrics are JSON-coerced."""
+        full load; numpy scalars AND arrays in metrics are JSON-coerced."""
         params = init_pinn(jax.random.PRNGKey(1), (8, 8, 1))
         path = str(tmp_path / "ckpt")
         meta = {
             "framework_version": "0.1.0",
             "n_normal": 6000,
-            "metrics": {"v_mae": np.float32(0.0064)},  # numpy scalar ok
+            "metrics": {"v_mae": np.float32(0.0064),   # numpy scalar ok
+                        "per_fault": np.array([0.9, 0.8])},  # array ok
         }
         save_checkpoint(path, params, meta=meta)
         peeked = load_checkpoint_meta(path)
         assert peeked["n_normal"] == 6000
         assert abs(peeked["metrics"]["v_mae"] - 0.0064) < 1e-6
+        assert peeked["metrics"]["per_fault"] == [0.9, 0.8]
         assert load_checkpoint(path)["meta"] == peeked
+
+    def test_meta_sidecar_hygiene(self, tmp_path):
+        """(a) Re-saving the same path WITHOUT meta removes the stale
+        sidecar — provenance must never describe a different model.
+        (b) A corrupt sidecar degrades to meta=None with a warning instead
+        of blocking the intact arrays."""
+        from pinnfc_tpu.utils.checkpoint import _meta_path
+
+        params = init_pinn(jax.random.PRNGKey(1), (8, 8, 1))
+        path = str(tmp_path / "ckpt")
+        save_checkpoint(path, params, meta={"n_normal": 1})
+        assert load_checkpoint_meta(path) == {"n_normal": 1}
+
+        save_checkpoint(path, params)  # no meta → sidecar gone
+        assert load_checkpoint_meta(path) is None
+        assert "meta" not in load_checkpoint(path)
+
+        save_checkpoint(path, params, meta={"n_normal": 2})
+        with open(_meta_path(path), "w") as f:
+            f.write('{"n_normal": 2')  # truncated mid-write by a copy tool
+        with pytest.warns(UserWarning, match="unreadable checkpoint metadata"):
+            loaded = load_checkpoint(path)
+        assert "meta" not in loaded
+        assert "params" in loaded  # arrays still load
 
     def test_train_config_dict_roundtrip(self):
         """train_config_to_dict survives JSON (tuples→lists) and rebuilds
