@@ -63,6 +63,28 @@ def _glitch_default() -> int:
     return DEFAULT_GLITCH_ALARM_N
 
 
+def _print_ckpt_provenance(ckpt_path: str) -> None:
+    """One line saying WHICH model is about to serve (from the .meta.json
+    sidecar, if the checkpoint has one) — so serving logs identify the
+    artifact the same way `cli inspect` does."""
+    from pinnfc_tpu.utils import load_checkpoint_meta
+
+    meta = load_checkpoint_meta(ckpt_path)
+    if meta is None:
+        return
+    bits = [f"created={meta['created']}" if "created" in meta else None,
+            (f"seed={meta['config']['seed']}"
+             if isinstance(meta.get("config"), dict)
+             and "seed" in meta["config"] else None),
+            (f"voltage_mae={meta['metrics']['voltage_mae']:.4g}"
+             if isinstance(meta.get("metrics"), dict)
+             and isinstance(meta["metrics"].get("voltage_mae"), float)
+             else None)]
+    bits = [b for b in bits if b]
+    if bits:
+        print(f"checkpoint provenance: {' '.join(bits)}")
+
+
 def _campaign_from_args(args):
     """--normal-mat/--fault-dir → CampaignConfig (None when neither given;
     ValueError when only one is)."""
@@ -759,6 +781,7 @@ def cmd_monitor(args) -> int:
         if jax.device_count() > 1:
             mesh = make_mesh(jax.device_count())
             print(f"fleet sharding: streams over {jax.device_count()} devices")
+    _print_ckpt_provenance(args.ckpt)
     monitor = OnlineMonitor.from_checkpoint(
         args.ckpt, mu, sigma, cfg, head,
         glitch_alarm_n=glitch_n if glitch_n is not None else _glitch_default(),
@@ -848,6 +871,7 @@ def cmd_serve(args) -> int:
         if jax.device_count() > 1:
             mesh = make_mesh(jax.device_count())
             print(f"fleet sharding: streams over {jax.device_count()} devices")
+    _print_ckpt_provenance(args.ckpt)
     monitor = OnlineMonitor.from_checkpoint(
         args.ckpt, mu, sigma, RiskConfig(), head,
         glitch_alarm_n=glitch_n if glitch_n is not None else _glitch_default(),

@@ -279,6 +279,8 @@ class TestScoreCli:
         for token in ("AUC=", "accuracy", "advance", "Supervised_LR",
                       "streamed"):
             assert token in stdout, token
+        # the serving stage announces WHICH model it loaded (meta sidecar)
+        assert "checkpoint provenance:" in stdout
         assert os.path.exists(os.path.join(out, "F01_output.mat"))
         # no training happened: run-all wrote no fresh checkpoint
         assert not os.path.exists(os.path.join(out, "pinn_ckpt"))
