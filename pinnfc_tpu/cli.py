@@ -63,26 +63,30 @@ def _glitch_default() -> int:
     return DEFAULT_GLITCH_ALARM_N
 
 
-def _print_ckpt_provenance(ckpt_path: str) -> None:
+def _print_ckpt_provenance(ckpt_path: str):
     """One line saying WHICH model is about to serve (from the .meta.json
     sidecar, if the checkpoint has one) — so serving logs identify the
-    artifact the same way `cli inspect` does."""
+    artifact the same way `cli inspect` does.  Returns the compact summary
+    dict (or None) so `cli serve` can expose it on GET /health."""
     from pinnfc_tpu.utils import load_checkpoint_meta
 
     meta = load_checkpoint_meta(ckpt_path)
     if meta is None:
-        return
-    bits = [f"created={meta['created']}" if "created" in meta else None,
-            (f"seed={meta['config']['seed']}"
-             if isinstance(meta.get("config"), dict)
-             and "seed" in meta["config"] else None),
-            (f"voltage_mae={meta['metrics']['voltage_mae']:.4g}"
-             if isinstance(meta.get("metrics"), dict)
-             and isinstance(meta["metrics"].get("voltage_mae"), float)
-             else None)]
-    bits = [b for b in bits if b]
-    if bits:
-        print(f"checkpoint provenance: {' '.join(bits)}")
+        return None
+    summary = {}
+    for key in ("created", "framework_version"):
+        if key in meta:
+            summary[key] = meta[key]
+    if isinstance(meta.get("config"), dict) and "seed" in meta["config"]:
+        summary["seed"] = meta["config"]["seed"]
+    if isinstance(meta.get("metrics"), dict) and isinstance(
+        meta["metrics"].get("voltage_mae"), float
+    ):
+        summary["voltage_mae"] = meta["metrics"]["voltage_mae"]
+    if summary:
+        print("checkpoint provenance: "
+              + " ".join(f"{k}={v}" for k, v in summary.items()))
+    return summary or None
 
 
 def _campaign_from_args(args):
@@ -871,7 +875,7 @@ def cmd_serve(args) -> int:
         if jax.device_count() > 1:
             mesh = make_mesh(jax.device_count())
             print(f"fleet sharding: streams over {jax.device_count()} devices")
-    _print_ckpt_provenance(args.ckpt)
+    provenance = _print_ckpt_provenance(args.ckpt)
     monitor = OnlineMonitor.from_checkpoint(
         args.ckpt, mu, sigma, RiskConfig(), head,
         glitch_alarm_n=glitch_n if glitch_n is not None else _glitch_default(),
@@ -879,7 +883,8 @@ def cmd_serve(args) -> int:
     )
     serve(monitor, host=args.host, port=args.port,
           max_requests=args.max_requests,
-          state_path=getattr(args, "state_path", None))
+          state_path=getattr(args, "state_path", None),
+          provenance=provenance)
     return 0
 
 

@@ -21,7 +21,9 @@ invariance the streaming tests prove).
         (a whole fleet advances in ONE vmapped device program)
     POST /reset     {"stream": "stack-07"}          (optional; else all)
         → {"ok": true}
-    GET  /health    → {"ok": true, "n_seen": int, "streams": [...]}
+    GET  /health    → {"ok": true, "n_seen": int, "streams": [...],
+                       "provenance": {...}}  (provenance only when the
+                       serving checkpoint carried a .meta.json sidecar)
     GET  /metrics   → Prometheus text exposition: request/latency/sample
         counters plus per-stream RF gauges. The gauges read the monitor's
         HOST-resident state bank directly — scraping costs zero device
@@ -236,6 +238,7 @@ def make_server(
     host: str = "127.0.0.1",
     port: int = 8787,
     state_path: Optional[str] = None,
+    provenance: Optional[dict] = None,
 ) -> HTTPServer:
     """Build (but do not start) the HTTP server; call ``serve_forever()``
     or drive it with ``handle_request()`` in tests.
@@ -299,10 +302,14 @@ def make_server(
 
         def do_GET(self):
             if self.path == "/health":
-                self._reply(200, {
+                out = {
                     "ok": True, "n_seen": monitor.n_seen,
                     "streams": list(monitor.streams),
-                })
+                }
+                if provenance is not None:
+                    # which model is serving (checkpoint .meta.json summary)
+                    out["provenance"] = provenance
+                self._reply(200, out)
             elif self.path == "/metrics":
                 # render first, count after: a scrape reports the state as of
                 # its arrival, not itself (promhttp convention)
@@ -452,6 +459,7 @@ def serve(
     port: int = 8787,
     max_requests: Optional[int] = None,
     state_path: Optional[str] = None,
+    provenance: Optional[dict] = None,
 ) -> None:
     """Run the endpoint. ``max_requests`` bounds the loop (tests/demos).
 
@@ -477,7 +485,8 @@ def serve(
         # probe writability NOW: a misconfigured path (read-only dir, typo)
         # must fail at startup, not degrade persistence silently per-request
         monitor.save_state_bank(state_path)
-    server = make_server(monitor, host, port, state_path=state_path)
+    server = make_server(monitor, host, port, state_path=state_path,
+                         provenance=provenance)
 
     def _graceful(signum, frame):
         print("received SIGTERM — draining and shutting down", flush=True)

@@ -413,6 +413,33 @@ class TestHttpServer:
         except urllib.error.HTTPError as e:
             return e.code, j.loads(e.read())
 
+    def test_health_carries_provenance_when_given(self, setup):
+        """make_server(provenance=...) surfaces the checkpoint summary on
+        GET /health (and /health omits the key without one — the bare
+        `client` fixture path below)."""
+        import json as j
+        import threading
+        import urllib.request
+
+        from pinnfc_tpu.serving import make_server
+
+        params, d, mu, sigma, _x, _v = setup
+        mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma)
+        prov = {"created": "2026-01-01T00:00:00+00:00", "seed": 7}
+        server = make_server(mon, port=0, provenance=prov)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/health"
+            ) as r:
+                out = j.loads(r.read())
+        finally:
+            server.shutdown()
+            server.server_close()
+        assert out["provenance"] == prov
+
     def test_observe_matches_direct_monitor(self, setup, head_and_feats, client):
         import json as j
         import urllib.request
@@ -422,7 +449,9 @@ class TestHttpServer:
         port, _mon = client
 
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
-            assert j.loads(r.read())["ok"] is True
+            health = j.loads(r.read())
+            assert health["ok"] is True
+            assert "provenance" not in health  # none passed → key absent
 
         # two requests must continue the recurrence exactly like one direct
         # observe over the concatenation
