@@ -150,14 +150,31 @@ def _prom_escape(value: str) -> str:
     )
 
 
-def _render_metrics(monitor: OnlineMonitor, stats: dict) -> str:
+def _render_metrics(
+    monitor: OnlineMonitor, stats: dict, provenance: Optional[dict] = None
+) -> str:
     """Prometheus text exposition (v0.0.4) for the serving surface.
 
     Request/latency counters come from the handler's ``stats`` dict; the
     per-stream gauges read the monitor's host-resident state bank directly,
     so a scrape never touches the device (each eager device read costs a
     full relay round trip on remote-attached TPUs)."""
-    lines = [
+    lines = []
+    if provenance:
+        # the standard "info metric" pattern: constant 1 with the model's
+        # identity as labels, joinable onto every other series
+        labels = ",".join(
+            f'{k}="{_prom_escape(str(v))}"' for k, v in sorted(
+                provenance.items()
+            )
+        )
+        lines += [
+            "# HELP pinnfc_model_info The serving checkpoint's provenance "
+            "(.meta.json summary).",
+            "# TYPE pinnfc_model_info gauge",
+            f"pinnfc_model_info{{{labels}}} 1",
+        ]
+    lines += [
         "# HELP pinnfc_requests_total Requests served, by path and status code.",
         "# TYPE pinnfc_requests_total counter",
     ]
@@ -313,7 +330,7 @@ def make_server(
             elif self.path == "/metrics":
                 # render first, count after: a scrape reports the state as of
                 # its arrival, not itself (promhttp convention)
-                body = _render_metrics(monitor, stats).encode()
+                body = _render_metrics(monitor, stats, provenance).encode()
                 key = (self.path, 200)
                 stats["requests"][key] = stats["requests"].get(key, 0) + 1
                 self._reply_raw(

@@ -435,10 +435,17 @@ class TestHttpServer:
                 f"http://127.0.0.1:{port}/health"
             ) as r:
                 out = j.loads(r.read())
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics"
+            ) as r:
+                metrics = r.read().decode()
         finally:
             server.shutdown()
             server.server_close()
         assert out["provenance"] == prov
+        # Prometheus info-metric pattern: identity as labels, value 1
+        assert ('pinnfc_model_info{created="2026-01-01T00:00:00+00:00",'
+                'seed="7"} 1') in metrics
 
     def test_observe_matches_direct_monitor(self, setup, head_and_feats, client):
         import json as j
