@@ -160,6 +160,23 @@ def cmd_train(args) -> int:
         )
     print(json.dumps({"metrics": res.metrics, "timings": res.timings}, indent=2))
     _print_lambda_table(res.params)
+    if getattr(args, "metrics_jsonl", None):
+        import numpy as np
+
+        from pinnfc_tpu.utils import MetricsLogger
+
+        ml = MetricsLogger()
+        for i, (name, losses) in enumerate(res.log.stages):
+            losses = np.asarray(losses)
+            stride = max(1, losses.shape[0] // 100)  # ≤~100 points per stage
+            ml.log(step=i, event="stage", stage=name,
+                   n_iter=int(losses.shape[0]),
+                   final_loss=float(losses[-1]),
+                   loss_trace=[float(v) for v in losses[::stride]])
+        ml.log(step=len(res.log.stages), event="final",
+               **res.metrics, **res.timings)
+        ml.to_jsonl(args.metrics_jsonl)
+        print(f"metrics JSONL → {args.metrics_jsonl}")
     if args.ckpt:
         import datetime
 
@@ -922,6 +939,10 @@ def main(argv: Optional[list] = None) -> int:
                    help="rows per fault segment (default 800; 200 with --small)")
     t.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the pipeline")
+    t.add_argument("--metrics-jsonl", default=None,
+                   help="write structured run metrics: one JSONL row per "
+                        "stage (final loss + subsampled loss trace) plus a "
+                        "final row with the metric/timing tables")
     t.add_argument("--precision", choices=("highest", "default"), default=None,
                    help="MXU matmul precision: 'highest' = torch-parity f32 "
                         "(the default); 'default' = bf16 throughput mode "

@@ -208,6 +208,32 @@ class TestEnsembleCli:
         assert "2-D mesh" in out and "ensemble spread" in out
 
 
+class TestTrainMetricsJsonl:
+    def test_metrics_jsonl_written(self, tmp_path, capsys):
+        """`cli train --metrics-jsonl` writes one row per executed stage
+        (final loss + subsampled trace) plus a final metrics/timings row."""
+        import json
+
+        from pinnfc_tpu.cli import main
+
+        out = str(tmp_path / "run.jsonl")
+        rc = main(["train", "--small", "--steps-scale", "0.002",
+                   "--n-normal", "150", "--n-fault", "20",
+                   "--mat-out", str(tmp_path / "F01.mat"),
+                   "--metrics-jsonl", out])
+        assert rc == 0
+        rows = [json.loads(l) for l in open(out)]
+        stage_rows = [r for r in rows if r["event"] == "stage"]
+        assert len(stage_rows) == 7  # the small schedule's stage count
+        assert stage_rows[0]["stage"] == "0:dnn"  # TrainLog's "<idx>:<name>"
+        for r in stage_rows:
+            assert np.isfinite(r["final_loss"])
+            assert 1 <= len(r["loss_trace"]) <= 101
+        final = rows[-1]
+        assert final["event"] == "final"
+        assert "voltage_mae" in final and "train_s" in final
+
+
 class TestServeCli:
     def test_serve_happy_path(self, fake_mat, tmp_path):
         """`cli serve` end-to-end: checkpoint → HTTP endpoint → scored
