@@ -344,6 +344,37 @@ def cmd_inspect(args) -> int:
             jax.config.update("jax_platforms", prev_platforms)
 
     meta = ckpt.get("meta")
+    flat = _flatten(ckpt["params"])
+    total = int(sum(a.size for a in flat.values()))
+
+    if getattr(args, "json", False):
+        # machine-readable view for tooling (same content as the text form)
+        from pinnfc_tpu.models.pinn import LAMBDA_NAMES
+
+        out = {
+            "meta": meta,
+            "params": {p: {"shape": list(a.shape), "dtype": str(a.dtype)}
+                       for p, a in flat.items()},
+            "total_parameters": total,
+            "lambdas": {
+                g: {"values": np.asarray(ckpt["params"][g]).ravel().tolist(),
+                    "names": list(names)}
+                for g, names in LAMBDA_NAMES.items()
+                if g in ckpt["params"]
+            },
+            "scalers": {
+                name: {
+                    "data_min": np.asarray(s["data_min"]).ravel().tolist(),
+                    "data_max": np.asarray(s["data_max"]).ravel().tolist(),
+                }
+                for name in ("scaler_x", "scaler_y")
+                if (s := ckpt.get(name)) is not None
+            },
+            "step": int(np.asarray(ckpt["step"])) if "step" in ckpt else None,
+        }
+        print(json.dumps(out, indent=2, ensure_ascii=False))
+        return 0
+
     if meta is not None:
         print(json.dumps({"meta": meta}, indent=2, ensure_ascii=False))
     else:
@@ -351,10 +382,8 @@ def cmd_inspect(args) -> int:
 
     # _flatten is the checkpoint's own flattener, so the printed paths are
     # exactly what the npz fallback stores
-    total = 0
     print("params:")
-    for path, arr in _flatten(ckpt["params"]).items():
-        total += arr.size
+    for path, arr in flat.items():
         print(f"  {path:40s} {str(arr.shape):14s} {arr.dtype}")
     print(f"  total: {total:,} parameters")
 
@@ -1000,6 +1029,9 @@ def main(argv: Optional[list] = None) -> int:
              "stored normalization ranges (no device work)",
     )
     ins.add_argument("--ckpt", required=True)
+    ins.add_argument("--json", action="store_true",
+                     help="machine-readable output (meta, param shapes, "
+                          "named λ values, scaler ranges, step)")
     ins.set_defaults(fn=cmd_inspect)
 
     for name, fn, extra in (

@@ -261,6 +261,22 @@ class TestScoreCli:
         assert "lam_v[0]" in stdout
         assert "ohmic resistance" in stdout
 
+    def test_cli_inspect_json(self, trained, capsys):
+        """--json: machine-readable view, parseable and complete."""
+        import json
+
+        from pinnfc_tpu.cli import main
+
+        cfg, _res, ckpt = trained
+        rc = main(["inspect", "--ckpt", ckpt, "--json"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["meta"]["config"]["mc_times"] == cfg.mc_times
+        assert out["params"]["mlp/hidden/0/w"]["shape"] == [8, 256]
+        assert out["total_parameters"] > 100_000
+        assert len(out["lambdas"]["lam_t"]["values"]) == 5
+        assert len(out["scalers"]["scaler_x"]["data_min"]) == 8
+
     def test_run_all_from_ckpt_skips_training(self, trained, tmp_path, capsys):
         """`run-all --from-ckpt` replaces the train stage with the score
         stage and still runs every downstream stage on the scored artifact
