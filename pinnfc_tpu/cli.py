@@ -177,6 +177,8 @@ def cmd_train(args) -> int:
                **res.metrics, **res.timings)
         ml.to_jsonl(args.metrics_jsonl)
         print(f"metrics JSONL → {args.metrics_jsonl}")
+    if getattr(args, "tensorboard_dir", None):
+        _write_tensorboard(args.tensorboard_dir, res)
     if args.ckpt:
         import datetime
 
@@ -206,6 +208,29 @@ def cmd_train(args) -> int:
     if getattr(args, "plot_dir", None):
         _emit_train_figures(res, args.plot_dir)
     return 0
+
+
+def _write_tensorboard(logdir: str, res) -> None:
+    """Scalar event files for the run: per-stage loss curves on a global
+    step axis plus the final metric/timing tables (SURVEY §5 'optional
+    TensorBoard'; zero-dependency writer, utils/tbevents.py)."""
+    import numpy as np
+
+    from pinnfc_tpu.utils import EventFileWriter
+
+    with EventFileWriter(logdir) as w:
+        step = 0
+        for name, losses in res.log.stages:
+            losses = np.asarray(losses)
+            # full-resolution curves are cheap (~60 B/event) and TensorBoard
+            # downsamples for display; keep every step
+            for v in losses:
+                w.add_scalar(f"loss/{name}", float(v), step=step)
+                step += 1
+        finals = {f"final/{k}": float(v) for k, v in res.metrics.items()}
+        finals.update({f"time/{k}": float(v) for k, v in res.timings.items()})
+        w.add_scalars(finals, step=max(step - 1, 0))
+    print(f"tensorboard events → {logdir}")
 
 
 def _emit_train_figures(res, plot_dir: str) -> None:
@@ -972,6 +997,9 @@ def main(argv: Optional[list] = None) -> int:
                    help="write structured run metrics: one JSONL row per "
                         "stage (final loss + subsampled loss trace) plus a "
                         "final row with the metric/timing tables")
+    t.add_argument("--tensorboard-dir", default=None,
+                   help="write TensorBoard scalar event files (per-stage "
+                        "loss curves + final metrics; no TF/torch needed)")
     t.add_argument("--precision", choices=("highest", "default"), default=None,
                    help="MXU matmul precision: 'highest' = torch-parity f32 "
                         "(the default); 'default' = bf16 throughput mode "

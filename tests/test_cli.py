@@ -217,10 +217,11 @@ class TestTrainMetricsJsonl:
         from pinnfc_tpu.cli import main
 
         out = str(tmp_path / "run.jsonl")
+        tb_dir = str(tmp_path / "tb")
         rc = main(["train", "--small", "--steps-scale", "0.002",
                    "--n-normal", "150", "--n-fault", "20",
                    "--mat-out", str(tmp_path / "F01.mat"),
-                   "--metrics-jsonl", out])
+                   "--metrics-jsonl", out, "--tensorboard-dir", tb_dir])
         assert rc == 0
         rows = [json.loads(l) for l in open(out)]
         stage_rows = [r for r in rows if r["event"] == "stage"]
@@ -232,6 +233,27 @@ class TestTrainMetricsJsonl:
         final = rows[-1]
         assert final["event"] == "final"
         assert "voltage_mae" in final and "train_s" in final
+
+        # --tensorboard-dir on the same run: one event file whose per-stage
+        # loss curves match the JSONL stage rows exactly
+        import glob
+
+        from pinnfc_tpu.utils import read_events
+
+        files = glob.glob(tb_dir + "/events.out.tfevents.*")
+        assert len(files) == 1
+        ev = read_events(files[0])
+        by_tag = {}
+        for e in ev:
+            by_tag.setdefault(e.tag, []).append(e)
+        for r in stage_rows:
+            curve = by_tag[f"loss/{r['stage']}"]
+            assert len(curve) == r["n_iter"]
+            assert curve[-1].value == np.float32(r["final_loss"])
+        # global step axis: strictly increasing across stage boundaries
+        steps = [e.step for e in ev if e.tag.startswith("loss/")]
+        assert steps == sorted(steps) and len(set(steps)) == len(steps)
+        assert "final/voltage_mae" in by_tag and "time/train_s" in by_tag
 
 
 class TestServeCli:

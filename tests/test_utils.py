@@ -176,3 +176,66 @@ class TestProfileTrace:
 
         with profile_trace(enabled=False):
             pass
+
+
+class TestTensorboardEvents:
+    """utils/tbevents.py — dependency-free TensorBoard scalar event files
+    (SURVEY §5 'optional TensorBoard')."""
+
+    def test_crc32c_known_vectors(self):
+        # RFC 3720 §B.4 test vectors
+        from pinnfc_tpu.utils.tbevents import crc32c
+
+        assert crc32c(b"\x00" * 32) == 0x8A9136AA
+        assert crc32c(b"\xff" * 32) == 0x62A8AB43
+        assert crc32c(bytes(range(32))) == 0x46DD794E
+        assert crc32c(b"123456789") == 0xE3069283
+
+    def test_roundtrip_with_own_reader(self, tmp_path):
+        from pinnfc_tpu.utils import EventFileWriter, read_events
+
+        with EventFileWriter(str(tmp_path)) as w:
+            w.add_scalar("loss/dnn", 1.5, step=0, wall_time=123.25)
+            w.add_scalar("loss/dnn", 0.75, step=1)
+            w.add_scalars({"final/mae": 0.01, "time/train_s": 2.0}, step=7)
+            path = w.path
+        ev = read_events(path)
+        assert [(e.tag, e.step, e.value) for e in ev] == [
+            ("loss/dnn", 0, 1.5),
+            ("loss/dnn", 1, 0.75),
+            ("final/mae", 7, np.float32(0.01)),
+            ("time/train_s", 7, 2.0),
+        ]
+        assert ev[0].wall_time == 123.25
+
+    def test_corruption_is_detected(self, tmp_path):
+        from pinnfc_tpu.utils import EventFileWriter, read_events
+
+        with EventFileWriter(str(tmp_path)) as w:
+            w.add_scalar("a", 1.0, step=0)
+            path = w.path
+        blob = bytearray(open(path, "rb").read())
+        blob[-6] ^= 0xFF  # flip a payload byte of the last record
+        open(path, "wb").write(bytes(blob))
+        with pytest.raises(ValueError, match="CRC"):
+            read_events(path)
+
+    def test_tensorboard_itself_reads_our_file(self, tmp_path):
+        """The authoritative cross-check: TensorBoard's own EventAccumulator
+        parses a file produced by the hand-rolled writer."""
+        acc_mod = pytest.importorskip(
+            "tensorboard.backend.event_processing.event_accumulator"
+        )
+        from pinnfc_tpu.utils import EventFileWriter
+
+        with EventFileWriter(str(tmp_path)) as w:
+            for i, v in enumerate([3.0, 2.0, 1.25]):
+                w.add_scalar("loss/stage", v, step=i)
+            w.add_scalars({"final/mae": 0.5, "final/rmse": 0.9}, step=2)
+        acc = acc_mod.EventAccumulator(str(tmp_path))
+        acc.Reload()
+        assert set(acc.Tags()["scalars"]) == {
+            "loss/stage", "final/mae", "final/rmse"}
+        got = [(e.step, e.value) for e in acc.Scalars("loss/stage")]
+        assert got == [(0, 3.0), (1, 2.0), (2, 1.25)]
+        assert acc.Scalars("final/mae")[0].value == 0.5
