@@ -73,6 +73,12 @@ class TrainConfig:
     mc_dropout: float = 0.4
     smooth_window: int = 200  # uncertainty smoothing window (01:1972)
     log_every: int = 1000
+    # skip (rather than apply) any training step whose loss/grads are
+    # non-finite — the reference's try/except-and-continue loops
+    # (01:1204-1286, 01:1354-1396); off by default so the golden-parity
+    # trajectories keep the exact unguarded program (the guard recompiles
+    # the stage: same math, fusion-level ~1 ulp/step rounding differences)
+    skip_nonfinite: bool = False
 
 
 def train_config_to_dict(cfg: TrainConfig) -> Dict:

@@ -238,6 +238,7 @@ def run_training_pipeline(
         checkpoint_dir=checkpoint_dir,
         ckpt_every=ckpt_every,
         precision=config.model.precision,
+        skip_nonfinite=config.skip_nonfinite,
     )
     jax.block_until_ready(params)
     timings["train_s"] = time.perf_counter() - t0

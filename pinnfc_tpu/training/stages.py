@@ -75,7 +75,26 @@ def _adam(lr: float, step_size: int, gamma: float) -> optax.GradientTransformati
 # DNN stage (reference train_dnn, 01:929-964)
 # ---------------------------------------------------------------------------
 
-def _dnn_step(opt, x, y, dropout_p, precision):
+def _keep_if_nonfinite(loss, grads, new, old):
+    """Skip-and-continue for numerically blown-up steps — the TPU-native
+    equivalent of the reference's try/except-and-continue training loops
+    (01:1204-1286, 01:1354-1396; torch raises where JAX silently produces
+    NaN, which would otherwise poison params for every remaining step).
+
+    If the step's loss or ANY gradient leaf is non-finite, the parameter
+    update AND the optimizer-state advance are both discarded (the
+    reference's ``continue`` skips the optimizer step too).  ``where`` on a
+    scalar predicate lowers to a select, so on an all-finite trajectory the
+    guard passes the updated values through unchanged — but enabling it
+    recompiles the stage and XLA may fuse differently, so trajectories agree
+    only to fusion-level rounding (~1 ulp/step, measured), not bit-exactly."""
+    ok = jnp.isfinite(loss)
+    for g in jax.tree_util.tree_leaves(grads):
+        ok &= jnp.all(jnp.isfinite(g))
+    return jax.tree_util.tree_map(lambda a, b: jnp.where(ok, a, b), new, old)
+
+
+def _dnn_step(opt, x, y, dropout_p, precision, skip_nonfinite=False):
     """One Adam step on the MLP — shared by the monolithic stage scan and
     the chunked (mid-stage-checkpointed) scan so both run the identical
     per-step program."""
@@ -89,16 +108,21 @@ def _dnn_step(opt, x, y, dropout_p, precision):
     def step(carry, key):
         p, s = carry
         loss, grads = jax.value_and_grad(loss_fn)(p, key)
-        updates, s = opt.update(grads, s, p)
-        p = optax.apply_updates(p, updates)
-        return (p, s), loss
+        updates, s2 = opt.update(grads, s, p)
+        p2 = optax.apply_updates(p, updates)
+        if skip_nonfinite:
+            p2, s2 = _keep_if_nonfinite(loss, grads, (p2, s2), (p, s))
+        return (p2, s2), loss
 
     return step
 
 
 @partial(
     jax.jit,
-    static_argnames=("n_iter", "lr", "lr_step", "lr_gamma", "dropout_p", "precision"),
+    static_argnames=(
+        "n_iter", "lr", "lr_step", "lr_gamma", "dropout_p", "precision",
+        "skip_nonfinite",
+    ),
 )
 def train_dnn_stage(
     mlp_params,
@@ -111,6 +135,7 @@ def train_dnn_stage(
     lr_gamma: float = 0.8,
     dropout_p: float = 0.2,
     precision: str = "highest",
+    skip_nonfinite: bool = False,
 ) -> StageResult:
     """Full-batch Adam on the MLP with dropout active and λ frozen.
 
@@ -118,7 +143,7 @@ def train_dnn_stage(
     default) or 'default' (single-pass bf16 MXU inputs — the throughput
     mode; parameters and accumulation stay f32)."""
     opt = _adam(lr, lr_step, lr_gamma)
-    step = _dnn_step(opt, x, y, dropout_p, precision)
+    step = _dnn_step(opt, x, y, dropout_p, precision, skip_nonfinite)
     keys = jax.random.split(rng, n_iter)
     (mlp_params, _), losses = jax.lax.scan(
         step, (mlp_params, opt.init(mlp_params)), keys
@@ -130,6 +155,7 @@ def train_dnn_stage(
     jax.jit,
     static_argnames=(
         "n_iter", "length", "lr", "lr_step", "lr_gamma", "dropout_p", "precision",
+        "skip_nonfinite",
     ),
 )
 def train_dnn_chunk(
@@ -146,6 +172,7 @@ def train_dnn_chunk(
     lr_gamma: float = 0.8,
     dropout_p: float = 0.2,
     precision: str = "highest",
+    skip_nonfinite: bool = False,
 ):
     """``length`` steps of the DNN stage starting at step ``start``, carrying
     Adam + LR-schedule state across chunks.  The dropout key sequence is the
@@ -157,7 +184,7 @@ def train_dnn_chunk(
     keys = jax.lax.dynamic_slice_in_dim(
         jax.random.split(stage_key, n_iter), start, length
     )
-    step = _dnn_step(opt, x, y, dropout_p, precision)
+    step = _dnn_step(opt, x, y, dropout_p, precision, skip_nonfinite)
     (mlp_params, opt_state), losses = jax.lax.scan(
         step, (mlp_params, opt_state), keys
     )
@@ -168,17 +195,18 @@ def train_dnn_chunk(
 # Generic λ-vector stage (voltage / thermal / hydrogen / oxygen)
 # ---------------------------------------------------------------------------
 
-def _lambda_step(opt, loss_fn, lo, hi):
+def _lambda_step(opt, loss_fn, lo, hi, skip_nonfinite=False):
     """One Adam + box-clamp step on a λ vector — shared by the monolithic
     and chunked scans."""
 
     def step(carry, _):
         lam, s = carry
         loss, grads = jax.value_and_grad(loss_fn)(lam)
-        updates, s = opt.update(grads, s, lam)
-        lam = optax.apply_updates(lam, updates)
-        lam = jnp.clip(lam, lo, hi)
-        return (lam, s), loss
+        updates, s2 = opt.update(grads, s, lam)
+        lam2 = jnp.clip(optax.apply_updates(lam, updates), lo, hi)
+        if skip_nonfinite:
+            lam2, s2 = _keep_if_nonfinite(loss, grads, (lam2, s2), (lam, s))
+        return (lam2, s2), loss
 
     return step
 
@@ -191,21 +219,23 @@ def _fit_lambda(
     lr: float,
     lr_step: int,
     lr_gamma: float,
+    skip_nonfinite: bool = False,
 ) -> StageResult:
     """Adam + post-step box clamp over one λ vector, as a single scan."""
     opt = _adam(lr, lr_step, lr_gamma)
     lo, hi = jnp.asarray(bounds[0]), jnp.asarray(bounds[1])
-    step = _lambda_step(opt, loss_fn, lo, hi)
+    step = _lambda_step(opt, loss_fn, lo, hi, skip_nonfinite)
     (lam, _), losses = jax.lax.scan(
         step, (lam0, opt.init(lam0)), None, length=n_iter
     )
     return StageResult(lam, losses)
 
 
-def _scan_lambda_chunk(loss_fn, lam, opt_state, bounds, length, lr, lr_step, lr_gamma):
+def _scan_lambda_chunk(loss_fn, lam, opt_state, bounds, length, lr, lr_step,
+                       lr_gamma, skip_nonfinite=False):
     opt = _adam(lr, lr_step, lr_gamma)
     lo, hi = jnp.asarray(bounds[0]), jnp.asarray(bounds[1])
-    step = _lambda_step(opt, loss_fn, lo, hi)
+    step = _lambda_step(opt, loss_fn, lo, hi, skip_nonfinite)
     (lam, opt_state), losses = jax.lax.scan(
         step, (lam, opt_state), None, length=length
     )
@@ -226,7 +256,12 @@ def _lambda_v_loss_fn(x_norm, y_norm, u_pred_norm, scaler_x, scaler_y, dnn_para)
     return loss_fn
 
 
-@partial(jax.jit, static_argnames=("n_iter", "lr", "lr_step", "lr_gamma", "dnn_para"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_iter", "lr", "lr_step", "lr_gamma", "dnn_para", "skip_nonfinite",
+    ),
+)
 def train_lambda_v_stage(
     lam_v: jnp.ndarray,
     x_norm: jnp.ndarray,
@@ -239,6 +274,7 @@ def train_lambda_v_stage(
     lr_step: int = 1000,
     lr_gamma: float = 0.8,
     dnn_para: bool = False,
+    skip_nonfinite: bool = False,
 ) -> StageResult:
     """Voltage-λ stage (reference train_lambda, 01:966-1058).
 
@@ -251,12 +287,16 @@ def train_lambda_v_stage(
         x_norm, y_norm, u_pred_norm, scaler_x, scaler_y, dnn_para
     )
     return _fit_lambda(
-        loss_fn, lam_v, LAMBDA_BOUNDS["lam_v"], n_iter, lr, lr_step, lr_gamma
+        loss_fn, lam_v, LAMBDA_BOUNDS["lam_v"], n_iter, lr, lr_step, lr_gamma,
+        skip_nonfinite,
     )
 
 
 @partial(
-    jax.jit, static_argnames=("length", "lr", "lr_step", "lr_gamma", "dnn_para")
+    jax.jit,
+    static_argnames=(
+        "length", "lr", "lr_step", "lr_gamma", "dnn_para", "skip_nonfinite",
+    ),
 )
 def train_lambda_v_chunk(
     lam_v,
@@ -271,6 +311,7 @@ def train_lambda_v_chunk(
     lr_step: int = 1000,
     lr_gamma: float = 0.8,
     dnn_para: bool = False,
+    skip_nonfinite: bool = False,
 ):
     """``length`` steps of the voltage-λ stage from carried Adam state (the
     LR-schedule step count lives in ``opt_state``, so StepLR decay continues
@@ -280,11 +321,16 @@ def train_lambda_v_chunk(
     )
     return _scan_lambda_chunk(
         loss_fn, lam_v, opt_state, LAMBDA_BOUNDS["lam_v"], length,
-        lr, lr_step, lr_gamma,
+        lr, lr_step, lr_gamma, skip_nonfinite,
     )
 
 
-@partial(jax.jit, static_argnames=("group", "n_iter", "lr", "lr_step", "lr_gamma"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "group", "n_iter", "lr", "lr_step", "lr_gamma", "skip_nonfinite",
+    ),
+)
 def train_residual_stage(
     lam: jnp.ndarray,
     x_norm: jnp.ndarray,
@@ -294,6 +340,7 @@ def train_residual_stage(
     lr: float,
     lr_step: int = 1000,
     lr_gamma: float = 0.8,
+    skip_nonfinite: bool = False,
 ) -> StageResult:
     """Thermal / hydrogen / oxygen stage: loss = mean(f²) over one λ group
     (reference 01:1060-1399)."""
@@ -307,11 +354,17 @@ def train_residual_stage(
         return jnp.mean(residual(l, x_norm, scaler_x).f ** 2)
 
     return _fit_lambda(
-        loss_fn, lam, LAMBDA_BOUNDS[group], n_iter, lr, lr_step, lr_gamma
+        loss_fn, lam, LAMBDA_BOUNDS[group], n_iter, lr, lr_step, lr_gamma,
+        skip_nonfinite,
     )
 
 
-@partial(jax.jit, static_argnames=("group", "length", "lr", "lr_step", "lr_gamma"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "group", "length", "lr", "lr_step", "lr_gamma", "skip_nonfinite",
+    ),
+)
 def train_residual_chunk(
     lam,
     opt_state,
@@ -322,6 +375,7 @@ def train_residual_chunk(
     lr: float,
     lr_step: int = 1000,
     lr_gamma: float = 0.8,
+    skip_nonfinite: bool = False,
 ):
     """``length`` steps of a thermal/hydrogen/oxygen stage from carried
     Adam state (chunked mid-stage checkpointing)."""
@@ -336,7 +390,7 @@ def train_residual_chunk(
 
     return _scan_lambda_chunk(
         loss_fn, lam, opt_state, LAMBDA_BOUNDS[group], length,
-        lr, lr_step, lr_gamma,
+        lr, lr_step, lr_gamma, skip_nonfinite,
     )
 
 
@@ -381,8 +435,16 @@ def run_schedule(
     checkpoint_dir: Optional[str] = None,
     ckpt_every: Optional[int] = None,
     precision: str = "highest",
+    skip_nonfinite: bool = False,
 ) -> Tuple[PinnParams, TrainLog]:
     """Run the staged schedule, mutating the params pytree stage by stage.
+
+    With ``skip_nonfinite=True``, any step whose loss or gradients are
+    non-finite is skipped in place (params and optimizer state untouched) —
+    the TPU-native equivalent of the reference's try/except-and-continue
+    training loops (01:1204-1286, 01:1354-1396).  An all-finite run takes
+    the same update values through the guard's select, but the recompiled
+    program may fuse differently (≈1 ulp/step — see _keep_if_nonfinite).
 
     With ``mesh``, the batch rows are sharded over the mesh's 'data' axis and
     parameters replicated — every stage's jitted scan then runs SPMD with XLA
@@ -503,19 +565,20 @@ def run_schedule(
                     n_iter=stage.n_iter, length=m, lr=stage.lr,
                     lr_step=stage.lr_step, lr_gamma=stage.lr_gamma,
                     dropout_p=dropout_p, precision=precision,
+                    skip_nonfinite=skip_nonfinite,
                 )
             elif name == "lambda_v":
                 piece, opt_state, losses = train_lambda_v_chunk(
                     piece, opt_state, x_train, y_train, u_pred,
                     scaler_x, scaler_y, length=m, lr=stage.lr,
                     lr_step=stage.lr_step, lr_gamma=stage.lr_gamma,
-                    dnn_para=stage.dnn_para,
+                    dnn_para=stage.dnn_para, skip_nonfinite=skip_nonfinite,
                 )
             else:
                 piece, opt_state, losses = train_residual_chunk(
                     piece, opt_state, x_train, scaler_x, piece_key,
                     length=m, lr=stage.lr, lr_step=stage.lr_step,
-                    lr_gamma=stage.lr_gamma,
+                    lr_gamma=stage.lr_gamma, skip_nonfinite=skip_nonfinite,
                 )
             s += m
             losses_acc.append(np.asarray(losses))
@@ -558,7 +621,7 @@ def run_schedule(
                 params["mlp"], x_train, y_train, key,
                 n_iter=stage.n_iter, lr=stage.lr, lr_step=stage.lr_step,
                 lr_gamma=stage.lr_gamma, dropout_p=dropout_p,
-                precision=precision,
+                precision=precision, skip_nonfinite=skip_nonfinite,
             )
             params = {**params, "mlp": res.params}
         elif stage.name == "lambda_v":
@@ -570,6 +633,7 @@ def run_schedule(
                 params["lam_v"], x_train, y_train, u_pred, scaler_x, scaler_y,
                 n_iter=stage.n_iter, lr=stage.lr, lr_step=stage.lr_step,
                 lr_gamma=stage.lr_gamma, dnn_para=stage.dnn_para,
+                skip_nonfinite=skip_nonfinite,
             )
             params = {**params, "lam_v": res.params}
         elif stage.name in group_of:
@@ -577,7 +641,7 @@ def run_schedule(
             res = train_residual_stage(
                 params[group], x_train, scaler_x, group,
                 n_iter=stage.n_iter, lr=stage.lr, lr_step=stage.lr_step,
-                lr_gamma=stage.lr_gamma,
+                lr_gamma=stage.lr_gamma, skip_nonfinite=skip_nonfinite,
             )
             params = {**params, group: res.params}
         else:

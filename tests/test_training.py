@@ -430,3 +430,113 @@ class TestMidStageCheckpoint:
             np.testing.assert_allclose(
                 np.asarray(leaf_f), np.asarray(leaf_r), rtol=2e-6, atol=1e-7
             )
+
+
+class TestSkipNonfinite:
+    """skip_nonfinite guard — the TPU-native try/except-and-continue of the
+    reference training loops (01:1204-1286, 01:1354-1396)."""
+
+    def test_clean_run_matches_unguarded(self, train_data):
+        """On an all-finite trajectory the guard is a select(True, new, old);
+        the recompiled program may fuse differently, so agreement is to
+        fusion-level rounding (measured ~1 ulp/step, first steps exact) —
+        NOT a semantic divergence."""
+        x, y, *_ = train_data
+        params = init_mlp(jax.random.PRNGKey(0), (8, 16, 1))
+        a = train_dnn_stage(params, x, y, jax.random.PRNGKey(1), n_iter=30)
+        b = train_dnn_stage(params, x, y, jax.random.PRNGKey(1), n_iter=30,
+                            skip_nonfinite=True)
+        # the first steps are exactly equal (no fusion drift yet)
+        np.testing.assert_array_equal(np.asarray(a.losses[:2]),
+                                      np.asarray(b.losses[:2]))
+        for la, lb in zip(jax.tree_util.tree_leaves(a.params),
+                          jax.tree_util.tree_leaves(b.params)):
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb), atol=1e-5, rtol=1e-5
+            )
+        np.testing.assert_allclose(
+            np.asarray(a.losses), np.asarray(b.losses), rtol=1e-5, atol=1e-7
+        )
+
+    def test_poisoned_data_unguarded_destroys_guarded_survives(
+        self, train_data
+    ):
+        """One NaN row in the batch: without the guard params end NaN for
+        every remaining step; with it, every step skips in place and the
+        params (and Adam state) stay exactly at init."""
+        x, y, *_ = train_data
+        x_bad = np.asarray(x).copy()
+        x_bad[3, 0] = np.nan
+        x_bad = jnp.asarray(x_bad)
+        params = init_mlp(jax.random.PRNGKey(0), (8, 16, 1))
+
+        res_u = train_dnn_stage(params, x_bad, y, jax.random.PRNGKey(1),
+                                n_iter=50)
+        assert not all(
+            np.isfinite(np.asarray(l)).all()
+            for l in jax.tree_util.tree_leaves(res_u.params)
+        )
+
+        res_g = train_dnn_stage(params, x_bad, y, jax.random.PRNGKey(1),
+                                n_iter=50, skip_nonfinite=True)
+        for l0, l1 in zip(jax.tree_util.tree_leaves(params),
+                          jax.tree_util.tree_leaves(res_g.params)):
+            np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+        # the loss trace still reports the blown-up losses truthfully
+        assert not np.isfinite(np.asarray(res_g.losses)).any()
+
+    def test_lambda_stage_guarded(self, train_data):
+        """λ stages carry the same guard (the reference guards train_lambda
+        and the residual trainers alike)."""
+        x, y, sx, sy = train_data
+        x_bad = np.asarray(x).copy()
+        x_bad[0, :] = np.nan
+        x_bad = jnp.asarray(x_bad)
+        lam0 = jnp.asarray(LAMBDA_INIT["lam_t"])
+        res = train_residual_stage(lam0, x_bad, sx, "lam_t", n_iter=30,
+                                   lr=1.0, skip_nonfinite=True)
+        np.testing.assert_array_equal(np.asarray(res.params),
+                                      np.asarray(lam0))
+
+    def test_keep_if_nonfinite_grad_only_nan(self):
+        """A finite loss with one non-finite gradient leaf must also skip
+        (torch's backward would raise there; the loss alone can't tell)."""
+        from pinnfc_tpu.training.stages import _keep_if_nonfinite
+
+        old = {"a": jnp.zeros(3), "b": jnp.ones(2)}
+        new = {"a": jnp.full(3, 9.0), "b": jnp.full(2, 9.0)}
+        grads_bad = {"a": jnp.zeros(3), "b": jnp.array([1.0, jnp.nan])}
+        kept = _keep_if_nonfinite(jnp.float32(0.5), grads_bad, new, old)
+        np.testing.assert_array_equal(np.asarray(kept["a"]), np.zeros(3))
+        grads_ok = {"a": jnp.zeros(3), "b": jnp.ones(2)}
+        kept = _keep_if_nonfinite(jnp.float32(0.5), grads_ok, new, old)
+        np.testing.assert_array_equal(np.asarray(kept["a"]), np.full(3, 9.0))
+
+    def test_schedule_threads_flag_and_chunked_path(self, tiny_dataset):
+        """run_schedule(skip_nonfinite=True) with poisoned data finishes all
+        stages with finite params — monolithic AND chunked (ckpt_every)
+        execution, which share the guarded per-step program."""
+        d = tiny_dataset
+        x_bad = np.asarray(d.x_train).copy()
+        x_bad[1, 2] = np.inf
+        x_bad = jnp.asarray(x_bad)
+        schedule = (
+            StageConfig("dnn", 8, lr=0.01),
+            StageConfig("lambda_v", 8, lr=1e-3),
+            StageConfig("thermal", 8, lr=1.0),
+        )
+        params = init_pinn(jax.random.PRNGKey(0), (8, 16, 1))
+        out1, _ = run_schedule(
+            params, x_bad, d.y_train, d.scaler_x, d.scaler_y,
+            schedule=schedule, rng=jax.random.PRNGKey(7),
+            skip_nonfinite=True,
+        )
+        out2, _ = run_schedule(
+            params, x_bad, d.y_train, d.scaler_x, d.scaler_y,
+            schedule=schedule, rng=jax.random.PRNGKey(7),
+            skip_nonfinite=True, ckpt_every=3,
+        )
+        for l1, l2 in zip(jax.tree_util.tree_leaves(out1),
+                          jax.tree_util.tree_leaves(out2)):
+            assert np.isfinite(np.asarray(l1)).all()
+            np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
