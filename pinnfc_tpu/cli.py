@@ -342,6 +342,55 @@ def cmd_score(args) -> int:
     return 0
 
 
+def cmd_export_model(args) -> int:
+    """Serialize the checkpoint's eval-mode scorer into a self-contained
+    StableHLO artifact (serving/exported.py): MLP weights and both MinMax
+    scalers baked in as constants, symbolic batch dimension, lowered for
+    every requested platform in one file (default cpu,tpu — jax.export
+    cross-lowers without the hardware present).  The whole command runs on
+    the CPU backend, so it works while the accelerator relay is
+    unreachable; the artifact still targets TPU."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import pinnfc_tpu
+    from pinnfc_tpu.serving.exported import export_scorer
+    from pinnfc_tpu.utils import load_checkpoint, load_checkpoint_meta
+
+    platforms = tuple(
+        p.strip() for p in args.platforms.split(",") if p.strip()
+    )
+    if not platforms:
+        print("--platforms must name at least one target", file=sys.stderr)
+        return 2
+    ckpt = load_checkpoint(args.ckpt)
+    if "scaler_x" not in ckpt or "scaler_y" not in ckpt:
+        print(f"{args.ckpt} has no stored scalers — cannot build the "
+              "raw-units scorer", file=sys.stderr)
+        return 2
+    blob = export_scorer(
+        ckpt["params"], ckpt["scaler_x"], ckpt["scaler_y"],
+        platforms=platforms,
+    )
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    # provenance sidecar, same convention as checkpoints (.meta.json)
+    sidecar = {
+        "kind": "pinnfc_scorer_stablehlo",
+        "platforms": list(platforms),
+        "framework_version": pinnfc_tpu.__version__,
+        "signature": "f32[b,8] raw sensors -> (f32[b] v_pred, f32[b] log_var)",
+        "checkpoint": os.path.abspath(args.ckpt),
+        "checkpoint_meta": load_checkpoint_meta(args.ckpt),
+    }
+    with open(args.out + ".meta.json", "w") as f:
+        json.dump(sidecar, f, indent=2)
+    print(f"scorer ({','.join(platforms)}; any batch size) → {args.out} "
+          f"({len(blob):,} bytes)")
+    return 0
+
+
 def cmd_inspect(args) -> int:
     """Describe a checkpoint without running anything: provenance metadata
     (training config / data sizes / final metrics from the .meta.json
@@ -1068,6 +1117,20 @@ def main(argv: Optional[list] = None) -> int:
                      help="machine-readable output (meta, param shapes, "
                           "named λ values, scaler ranges, step)")
     ins.set_defaults(fn=cmd_inspect)
+
+    ex = sub.add_parser(
+        "export-model",
+        help="serialize the checkpoint's eval-mode scorer to a "
+             "self-contained StableHLO artifact (jax.export): weights + "
+             "scalers baked in, any batch size, multi-platform",
+    )
+    ex.add_argument("--ckpt", required=True)
+    ex.add_argument("--out", required=True,
+                    help="output artifact path (a .meta.json provenance "
+                         "sidecar is written alongside)")
+    ex.add_argument("--platforms", default="cpu,tpu",
+                    help="comma-separated lowering targets (default cpu,tpu)")
+    ex.set_defaults(fn=cmd_export_model)
 
     for name, fn, extra in (
         ("auc", cmd_auc, {"auc": True}),

@@ -4,11 +4,19 @@ from pinnfc_tpu.serving.monitor import (
     MonitorState,
     OnlineMonitor,
 )
+from pinnfc_tpu.serving.exported import (
+    build_scorer_fn,
+    export_scorer,
+    load_scorer,
+)
 from pinnfc_tpu.serving.replay import FleetConditionResult, fleet_replay
 from pinnfc_tpu.serving.server import make_server, serve
 
 __all__ = [
     "DiagnosisHead",
+    "build_scorer_fn",
+    "export_scorer",
+    "load_scorer",
     "FleetConditionResult",
     "MonitorOutput",
     "MonitorState",

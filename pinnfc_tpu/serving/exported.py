@@ -1,0 +1,98 @@
+"""Self-contained model artifacts via ``jax.export`` (StableHLO).
+
+The reference has no deployment story at all: weights are never saved
+(SURVEY §5 — the only persisted artifact is ``F01_output.mat``,
+01:2185-2187), so "serving" the model means re-running the Python
+training script.  pinnfc_tpu already persists checkpoints; this module
+goes one step further and serializes the *compiled function itself*:
+
+* the eval-mode scorer — raw sensor rows ``(B, 8)`` → physical-unit
+  voltage prediction ``(B,)`` + aleatoric log-variance ``(B,)`` — with
+  the MLP weights AND both MinMax scalers baked in as constants,
+* lowered to StableHLO with a **symbolic batch dimension** (one artifact
+  serves every batch size, no retracing), and
+* optionally **multi-platform** (``cpu`` + ``tpu`` in one artifact), so
+  the file exported on a dev box runs unchanged on a TPU server — and
+  vice versa — without the Python model code, the checkpoint, or even
+  this package being importable at load time (only jax).
+
+StableHLO carries jax.export's compatibility guarantees (forward/backward
+windows), which makes these artifacts the right unit for model registries
+and version pinning, unlike pickled params.
+
+``cli export-model`` wraps :func:`export_scorer`; the ``.meta.json``
+provenance sidecar convention matches ``utils.checkpoint``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pinnfc_tpu.data.scaling import AffineScaler
+from pinnfc_tpu.models.mlp import mlp_forward
+
+
+def build_scorer_fn(
+    params, scaler_x: AffineScaler, scaler_y: AffineScaler,
+    precision: str = "highest",
+) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
+    """The deterministic scorer: raw ``(B, 8)`` sensors → physical-unit
+    ``(v_pred (B,), log_var (B,))``.
+
+    This is the eval-mode forward of 01:1403-1411 composed with the MinMax
+    normalize/denormalize round trip the reference performs in numpy
+    (01:271-274, 01:2163); here both scalers are affine jnp constants that
+    fuse into the graph.  ``params`` is the PINN pytree (only the MLP piece
+    is used — λ's affect residuals, not the voltage prediction).
+    """
+    mlp = params["mlp"] if isinstance(params, dict) and "mlp" in params else params
+
+    def scorer(x_raw: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        x_norm = scaler_x.transform(x_raw)
+        pred_norm, log_var = mlp_forward(
+            mlp, x_norm, train=False, precision=precision
+        )
+        v = scaler_y.inverse(pred_norm)
+        return v[:, 0], log_var[:, 0]
+
+    return scorer
+
+
+def export_scorer(
+    params,
+    scaler_x: AffineScaler,
+    scaler_y: AffineScaler,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+    precision: str = "highest",
+    n_features: int = 8,
+) -> bytes:
+    """Serialize the scorer to a StableHLO artifact (bytes).
+
+    The batch dimension is symbolic — the artifact accepts any ``(B, 8)``
+    float32 batch.  ``platforms`` lowers one artifact for several targets
+    (jax.export cross-lowers without the hardware present).
+    """
+    from jax import export as jexport
+
+    fn = jax.jit(build_scorer_fn(params, scaler_x, scaler_y, precision))
+    spec = jax.ShapeDtypeStruct(
+        jexport.symbolic_shape(f"b, {n_features}"), jnp.float32
+    )
+    exp = jexport.export(fn, platforms=list(platforms))(spec)
+    return exp.serialize()
+
+
+def load_scorer(blob: bytes) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Deserialize an :func:`export_scorer` artifact into a callable.
+
+    Needs only jax at load time — no checkpoint, no model code.  The
+    callable is jitted (jax.export's ``.call`` composes with jit) and
+    accepts any batch size.
+    """
+    from jax import export as jexport
+
+    exp = jexport.deserialize(blob)
+    return jax.jit(exp.call)
