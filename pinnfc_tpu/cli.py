@@ -369,24 +369,55 @@ def cmd_export_model(args) -> int:
         print(f"{args.ckpt} has no stored scalers — cannot build the "
               "raw-units scorer", file=sys.stderr)
         return 2
-    blob = export_scorer(
-        ckpt["params"], ckpt["scaler_x"], ckpt["scaler_y"],
-        platforms=platforms,
-    )
+    if getattr(args, "monitor_step", False):
+        # the full streaming RF(t) block step; μ/σ are runtime inputs in
+        # the exported signature, so placeholder stats suffice here
+        import numpy as np
+
+        from pinnfc_tpu.serving import DiagnosisHead, OnlineMonitor
+        from pinnfc_tpu.serving.exported import export_monitor_step
+        from pinnfc_tpu.serving.monitor import MonitorState
+
+        head = (
+            DiagnosisHead.load(args.head)
+            if getattr(args, "head", None) else None
+        )
+        monitor = OnlineMonitor(
+            ckpt["params"], ckpt["scaler_x"], ckpt["scaler_y"],
+            mu=np.zeros(5, np.float32), sigma=np.ones(5, np.float32),
+            diagnosis=head,
+        )
+        blob = export_monitor_step(monitor, platforms=platforms)
+        signature = (
+            "(state tuple "
+            + "/".join(MonitorState._fields)
+            + ", f32[b,8] raw sensors, f32[b] v_meas, f32[5] mu, "
+              "f32[5] sigma) -> (state, outputs)"
+        )
+    else:
+        blob = export_scorer(
+            ckpt["params"], ckpt["scaler_x"], ckpt["scaler_y"],
+            platforms=platforms,
+        )
+        signature = "f32[b,8] raw sensors -> (f32[b] v_pred, f32[b] log_var)"
     with open(args.out, "wb") as f:
         f.write(blob)
     # provenance sidecar, same convention as checkpoints (.meta.json)
     sidecar = {
-        "kind": "pinnfc_scorer_stablehlo",
+        "kind": ("pinnfc_monitor_step_stablehlo"
+                 if getattr(args, "monitor_step", False)
+                 else "pinnfc_scorer_stablehlo"),
         "platforms": list(platforms),
         "framework_version": pinnfc_tpu.__version__,
-        "signature": "f32[b,8] raw sensors -> (f32[b] v_pred, f32[b] log_var)",
+        "signature": signature,
         "checkpoint": os.path.abspath(args.ckpt),
         "checkpoint_meta": load_checkpoint_meta(args.ckpt),
     }
     with open(args.out + ".meta.json", "w") as f:
         json.dump(sidecar, f, indent=2)
-    print(f"scorer ({','.join(platforms)}; any batch size) → {args.out} "
+    what = ("monitor step" if getattr(args, "monitor_step", False)
+            else "scorer")
+    print(f"{what} ({','.join(platforms)}; any batch size) → {args.out} "
           f"({len(blob):,} bytes)")
     return 0
 
@@ -1130,6 +1161,13 @@ def main(argv: Optional[list] = None) -> int:
                          "sidecar is written alongside)")
     ex.add_argument("--platforms", default="cpu,tpu",
                     help="comma-separated lowering targets (default cpu,tpu)")
+    ex.add_argument("--monitor-step", action="store_true",
+                    help="export the full streaming RF(t) block step "
+                         "(state in/out as a plain tuple; μ/σ runtime "
+                         "inputs) instead of the plain scorer")
+    ex.add_argument("--head", default=None,
+                    help="with --monitor-step: bake this DiagnosisHead "
+                         "(.npz) in for online fault typing")
     ex.set_defaults(fn=cmd_export_model)
 
     for name, fn, extra in (

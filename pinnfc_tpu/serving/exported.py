@@ -8,7 +8,9 @@ goes one step further and serializes the *compiled function itself*:
 
 * the eval-mode scorer — raw sensor rows ``(B, 8)`` → physical-unit
   voltage prediction ``(B,)`` + aleatoric log-variance ``(B,)`` — with
-  the MLP weights AND both MinMax scalers baked in as constants,
+  the MLP weights AND both MinMax scalers baked in as constants
+  (:func:`export_scorer`), or the full streaming RF(t) monitor block
+  step with carried state (:func:`export_monitor_step`),
 * lowered to StableHLO with a **symbolic batch dimension** (one artifact
   serves every batch size, no retracing), and
 * optionally **multi-platform** (``cpu`` + ``tpu`` in one artifact), so
@@ -82,6 +84,64 @@ def export_scorer(
         jexport.symbolic_shape(f"b, {n_features}"), jnp.float32
     )
     exp = jexport.export(fn, platforms=list(platforms))(spec)
+    return exp.serialize()
+
+
+def export_monitor_step(
+    monitor, platforms: Sequence[str] = ("cpu", "tpu")
+) -> bytes:
+    """Serialize an :class:`~pinnfc_tpu.serving.OnlineMonitor`'s block step
+    (params, scalers, risk config, glitch threshold, and the optional
+    diagnosis head all baked in) to a StableHLO artifact.
+
+    Exported signature (symbolic block size ``b``)::
+
+        (state, x_raw f32[b,8], v_meas f32[b], mu f32[5], sigma f32[5])
+          -> (state, (rf, rf_smooth, residuals f32[b,5], v_pred, v_alarm,
+                      glitch, sensor_alarm, (fault_probs, fault_pred),
+                      layer_scores f32[b,L], layer_c f32[b,L]))
+
+    ``state`` crosses the boundary as a PLAIN TUPLE in
+    ``MonitorState._fields`` order (recorded in the CLI sidecar), not as
+    the NamedTuple — the artifact's pytree signature must be expressible
+    with builtins so an external host can drive it with jax alone.  Feed
+    each returned state into the next call: the recurrence semantics are
+    exactly ``OnlineMonitor.observe``'s (same traced function), so the
+    carried RF(t)/EMA/attribution state round-trips identically.
+
+    ``mu``/``sigma`` stay runtime inputs: they are the per-operating-
+    condition normal statistics (04:179-199), the one thing a deployment
+    re-estimates per stream.
+    """
+    from jax import export as jexport
+
+    params = monitor.params
+    step_fn = monitor._step_fn
+    state_cls = type(monitor._fresh_state())
+
+    def fn(state_tuple, x_raw, v_meas, mu, sigma):
+        new_state, outs = step_fn(
+            params, state_cls(*state_tuple), x_raw, v_meas, mu, sigma
+        )
+        return tuple(new_state), outs
+
+    fresh = monitor._fresh_state()
+    state_spec = tuple(
+        jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype)
+        for a in fresh
+    )
+    import numpy as np
+
+    n_features = int(np.asarray(monitor.scaler_x.scale).shape[0])
+    n_res = int(monitor.mu.shape[0])
+    x_shape = jexport.symbolic_shape(f"b, {n_features}")
+    exp = jexport.export(jax.jit(fn), platforms=list(platforms))(
+        state_spec,
+        jax.ShapeDtypeStruct(x_shape, jnp.float32),
+        jax.ShapeDtypeStruct((x_shape[0],), jnp.float32),
+        jax.ShapeDtypeStruct((n_res,), jnp.float32),
+        jax.ShapeDtypeStruct((n_res,), jnp.float32),
+    )
     return exp.serialize()
 
 

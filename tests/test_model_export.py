@@ -108,3 +108,130 @@ class TestExportModelCli:
         save_checkpoint(ckpt, params, sx, sy)
         assert main(["export-model", "--ckpt", ckpt,
                      "--out", str(tmp_path / "o"), "--platforms", " ,"]) == 2
+
+
+class TestMonitorStepExport:
+    def test_exported_step_reproduces_observe(self, scorer_setup):
+        """Drive the exported monitor step externally (plain-tuple state,
+        jax-only) over 3 blocks: every per-sample output and the carried
+        state match OnlineMonitor.observe exactly (same traced function)."""
+        from jax import export as jexport
+
+        from pinnfc_tpu.serving import OnlineMonitor, export_monitor_step
+
+        params, sx, sy, rs = scorer_setup
+        mu = np.zeros(5, np.float32)
+        sigma = np.array([0.05, 0.05, 2.0, 0.1, 0.2], np.float32)
+        monitor = OnlineMonitor(params, sx, sy, mu, sigma)
+
+        blob = export_monitor_step(monitor, platforms=("cpu",))
+        exp = jexport.deserialize(blob)
+
+        state = tuple(monitor._fresh_state())
+        blocks = [
+            (rs.randn(b, 8).astype(np.float32) * 3,
+             rs.randn(b).astype(np.float32))
+            for b in (7, 16, 5)
+        ]
+        close = lambda a, b: np.testing.assert_allclose(  # noqa: E731
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )  # symbolic-batch lowering fuses differently: ulp-level only
+        for x, v in blocks:
+            state, outs = exp.call(state, x, v, mu, sigma)
+            state = jax.device_get(state)
+            (rf_inst, rf_smooth, r, v_pred, v_alarm, glitch, sensor_alarm,
+             (probs, pred), layer_scores, layer_c) = jax.device_get(outs)
+            ref = monitor.observe(x, v)
+            close(rf_inst, ref.rf_inst)
+            close(rf_smooth, ref.rf_smooth)
+            close(r, ref.residuals)
+            close(v_pred, ref.v_pred)
+            np.testing.assert_array_equal(v_alarm, ref.v_alarm)
+            np.testing.assert_array_equal(glitch, ref.glitch)
+            np.testing.assert_array_equal(sensor_alarm, ref.sensor_alarm)
+            close(layer_scores, ref.layer_scores)
+            close(layer_c, ref.layer_c)
+            assert probs is None and pred is None  # no head baked in
+        # the carried state round-trips (same tolerance story)
+        bank = monitor._streams["default"]
+        for got, want in zip(state, tuple(bank)):
+            close(got, want)
+
+    def test_exported_step_carries_diagnosis_head(self, scorer_setup):
+        """A baked DiagnosisHead ships inside the artifact: fault posterior
+        and prediction come back from the external call."""
+        from jax import export as jexport
+
+        from pinnfc_tpu.diagnosis.gmm import GMMParams
+        from pinnfc_tpu.serving import (
+            DiagnosisHead,
+            OnlineMonitor,
+            export_monitor_step,
+        )
+
+        params, sx, sy, rs = scorer_setup
+        mu = np.zeros(5, np.float32)
+        sigma = np.ones(5, np.float32)
+        k, d = 3, 2
+        means = rs.randn(k, d).astype(np.float64)
+        covs = np.stack([np.eye(d)] * k).astype(np.float64)
+        head = DiagnosisHead(
+            gmm=GMMParams(
+                weights=jnp.full(k, 1.0 / k),
+                means=jnp.asarray(means),
+                covariances=jnp.asarray(covs),
+                converged=jnp.asarray(True),
+                n_iter=jnp.asarray(1),
+                lower_bound=jnp.asarray(0.0),
+            ),
+            feature_indices=(1, 2),
+            comp_fault_prob=jnp.asarray(
+                rs.dirichlet(np.ones(4), size=k).astype(np.float32)
+            ),
+            class_names=("a", "b", "c", "d"),
+        )
+        monitor = OnlineMonitor(params, sx, sy, mu, sigma, diagnosis=head)
+        exp = jexport.deserialize(
+            export_monitor_step(monitor, platforms=("cpu",))
+        )
+        x = rs.randn(6, 8).astype(np.float32)
+        v = rs.randn(6).astype(np.float32)
+        state, outs = exp.call(tuple(monitor._fresh_state()), x, v, mu, sigma)
+        (*_, (probs, pred), _ls, _lc) = jax.device_get(outs)
+        ref = monitor.observe(x, v)
+        np.testing.assert_allclose(np.asarray(probs), ref.fault_probs,
+                                   rtol=1e-5, atol=1e-8)
+        np.testing.assert_array_equal(np.asarray(pred), ref.fault_pred)
+
+    def test_cli_monitor_step_export(self, tmp_path, scorer_setup):
+        """cli export-model --monitor-step: artifact + sidecar documenting
+        the state-tuple field order; drives one block externally."""
+        from jax import export as jexport
+
+        from pinnfc_tpu.cli import main
+        from pinnfc_tpu.serving import OnlineMonitor
+        from pinnfc_tpu.utils import save_checkpoint
+
+        params, sx, sy, rs = scorer_setup
+        ckpt = str(tmp_path / "ck")
+        save_checkpoint(ckpt, params, sx, sy)
+        out = str(tmp_path / "monitor.shlo")
+        assert main(["export-model", "--ckpt", ckpt, "--out", out,
+                     "--monitor-step", "--platforms", "cpu"]) == 0
+        sidecar = json.load(open(out + ".meta.json"))
+        assert sidecar["kind"] == "pinnfc_monitor_step_stablehlo"
+        assert "c/rf_smooth/v_first/n_seen/v_first_set/glitch_run/layer_c" \
+            in sidecar["signature"]
+
+        exp = jexport.deserialize(open(out, "rb").read())
+        mu = np.zeros(5, np.float32)
+        sigma = np.ones(5, np.float32)
+        monitor = OnlineMonitor(params, sx, sy, mu, sigma)
+        x = rs.randn(4, 8).astype(np.float32)
+        v = rs.randn(4).astype(np.float32)
+        state, outs = exp.call(tuple(monitor._fresh_state()), x, v, mu, sigma)
+        ref = monitor.observe(x, v)
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(outs[1])), ref.rf_smooth,
+            rtol=1e-5, atol=1e-6,
+        )
