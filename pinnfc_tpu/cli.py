@@ -162,25 +162,6 @@ def cmd_train(args) -> int:
         )
     print(json.dumps({"metrics": res.metrics, "timings": res.timings}, indent=2))
     _print_lambda_table(res.params)
-    if getattr(args, "metrics_jsonl", None):
-        import numpy as np
-
-        from pinnfc_tpu.utils import MetricsLogger
-
-        ml = MetricsLogger()
-        for i, (name, losses) in enumerate(res.log.stages):
-            losses = np.asarray(losses)
-            stride = max(1, losses.shape[0] // 100)  # ≤~100 points per stage
-            ml.log(step=i, event="stage", stage=name,
-                   n_iter=int(losses.shape[0]),
-                   final_loss=float(losses[-1]),
-                   loss_trace=[float(v) for v in losses[::stride]])
-        ml.log(step=len(res.log.stages), event="final",
-               **res.metrics, **res.timings)
-        ml.to_jsonl(args.metrics_jsonl)
-        print(f"metrics JSONL → {args.metrics_jsonl}")
-    if getattr(args, "tensorboard_dir", None):
-        _write_tensorboard(args.tensorboard_dir, res)
     if args.ckpt:
         import datetime
 
@@ -205,6 +186,27 @@ def cmd_train(args) -> int:
             },
         )
         print(f"checkpoint → {args.ckpt}")
+    # reporting surfaces AFTER the checkpoint: a bad --metrics-jsonl or
+    # --tensorboard-dir path must not discard an hours-long trained model
+    if getattr(args, "metrics_jsonl", None):
+        import numpy as np
+
+        from pinnfc_tpu.utils import MetricsLogger
+
+        ml = MetricsLogger()
+        for i, (name, losses) in enumerate(res.log.stages):
+            losses = np.asarray(losses)
+            stride = max(1, losses.shape[0] // 100)  # ≤~100 points per stage
+            ml.log(step=i, event="stage", stage=name,
+                   n_iter=int(losses.shape[0]),
+                   final_loss=float(losses[-1]),
+                   loss_trace=[float(v) for v in losses[::stride]])
+        ml.log(step=len(res.log.stages), event="final",
+               **res.metrics, **res.timings)
+        ml.to_jsonl(args.metrics_jsonl)
+        print(f"metrics JSONL → {args.metrics_jsonl}")
+    if getattr(args, "tensorboard_dir", None):
+        _write_tensorboard(args.tensorboard_dir, res)
     if args.mat_out:
         print(f"comprehensive_results → {args.mat_out}")
     if getattr(args, "plot_dir", None):
@@ -350,10 +352,6 @@ def cmd_export_model(args) -> int:
     cross-lowers without the hardware present).  The whole command runs on
     the CPU backend, so it works while the accelerator relay is
     unreachable; the artifact still targets TPU."""
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-
     import pinnfc_tpu
     from pinnfc_tpu.serving.exported import export_scorer
     from pinnfc_tpu.utils import load_checkpoint, load_checkpoint_meta
@@ -364,6 +362,38 @@ def cmd_export_model(args) -> int:
     if not platforms:
         print("--platforms must name at least one target", file=sys.stderr)
         return 2
+    if getattr(args, "head", None) and not getattr(args, "monitor_step", False):
+        # the plain scorer has no diagnosis output; silently dropping the
+        # head would only be discovered at serve time
+        print("--head requires --monitor-step (the scorer artifact has no "
+              "fault-typing output)", file=sys.stderr)
+        return 2
+
+    # pin the CPU backend for the load + trace + lowering (relay-outage
+    # proof; jax.export cross-lowers the tpu target), restoring the prior
+    # setting afterwards — an in-process caller (tests, orchestration) must
+    # not be left flipped to CPU (same pattern as cmd_inspect)
+    import jax
+
+    unset = object()
+    prev_platforms = unset
+    try:
+        prev_platforms = jax.config.jax_platforms
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        prev_platforms = unset  # best effort
+    try:
+        return _export_model_pinned(args, platforms)
+    finally:
+        if prev_platforms is not unset:
+            jax.config.update("jax_platforms", prev_platforms)
+
+
+def _export_model_pinned(args, platforms) -> int:
+    import pinnfc_tpu
+    from pinnfc_tpu.serving.exported import export_scorer
+    from pinnfc_tpu.utils import load_checkpoint, load_checkpoint_meta
+
     ckpt = load_checkpoint(args.ckpt)
     if "scaler_x" not in ckpt or "scaler_y" not in ckpt:
         print(f"{args.ckpt} has no stored scalers — cannot build the "
@@ -382,10 +412,14 @@ def cmd_export_model(args) -> int:
             DiagnosisHead.load(args.head)
             if getattr(args, "head", None) else None
         )
+        glitch_n = getattr(args, "glitch_alarm_n", None)
         monitor = OnlineMonitor(
             ckpt["params"], ckpt["scaler_x"], ckpt["scaler_y"],
             mu=np.zeros(5, np.float32), sigma=np.ones(5, np.float32),
             diagnosis=head,
+            glitch_alarm_n=(
+                glitch_n if glitch_n is not None else _glitch_default()
+            ),
         )
         blob = export_monitor_step(monitor, platforms=platforms)
         signature = (
@@ -413,6 +447,18 @@ def cmd_export_model(args) -> int:
         "checkpoint": os.path.abspath(args.ckpt),
         "checkpoint_meta": load_checkpoint_meta(args.ckpt),
     }
+    if getattr(args, "monitor_step", False):
+        # record the values BAKED into the step so a deployment can tell
+        # which sensor_alarm/risk behavior the artifact carries (all
+        # RiskConfig fields are tuples/scalars — JSON-clean)
+        import dataclasses
+
+        sidecar["glitch_alarm_n"] = monitor.glitch_alarm_n
+        sidecar["risk_config"] = dataclasses.asdict(monitor.config)
+        sidecar["diagnosis_head"] = (
+            os.path.abspath(args.head) if getattr(args, "head", None)
+            else None
+        )
     with open(args.out + ".meta.json", "w") as f:
         json.dump(sidecar, f, indent=2)
     what = ("monitor step" if getattr(args, "monitor_step", False)
@@ -1168,6 +1214,9 @@ def main(argv: Optional[list] = None) -> int:
     ex.add_argument("--head", default=None,
                     help="with --monitor-step: bake this DiagnosisHead "
                          "(.npz) in for online fault typing")
+    ex.add_argument("--glitch-alarm-n", type=int, default=None,
+                    help="with --monitor-step: bake this consecutive-glitch "
+                         "sensor-alarm threshold in (default: the monitor's)")
     ex.set_defaults(fn=cmd_export_model)
 
     for name, fn, extra in (

@@ -160,12 +160,21 @@ class EventFileWriter:
     Point TensorBoard at the directory: ``tensorboard --logdir /tmp/tb``.
     """
 
+    _uid = 0  # per-process uniquifier (same convention as TF's writer)
+
     def __init__(self, logdir: str, filename_suffix: str = ""):
         os.makedirs(logdir, exist_ok=True)
         host = socket.gethostname() or "host"
-        name = f"events.out.tfevents.{int(time.time())}.{host}{filename_suffix}"
+        # pid + counter: two writers in the same second (back-to-back quick
+        # runs, or two writers in one process) must never collide — open
+        # with 'xb' so a collision errors instead of truncating earlier data
+        EventFileWriter._uid += 1
+        name = (
+            f"events.out.tfevents.{int(time.time())}.{host}"
+            f".{os.getpid()}.{EventFileWriter._uid}{filename_suffix}"
+        )
         self.path = os.path.join(logdir, name)
-        self._f = open(self.path, "wb")
+        self._f = open(self.path, "xb")
         # canonical first record: file_version "brain.Event:2"
         self._f.write(
             _tfrecord(_event(time.time(), file_version="brain.Event:2"))
@@ -264,22 +273,36 @@ def _read_varint(buf: bytes, off: int) -> Tuple[int, int]:
 
 
 def _pb_fields(buf: bytes) -> Iterator[Tuple[int, int, bytes]]:
-    """Yield (field_number, wire_type, raw_payload) triples."""
+    """Yield (field_number, wire_type, raw_payload) triples.
+
+    Declared lengths are validated against the buffer so a malformed
+    message (possible when inspecting files written by OTHER tools) raises
+    a clear ValueError instead of silently truncating a tag or value."""
     off = 0
-    while off < len(buf):
+    n = len(buf)
+    while off < n:
         key, off = _read_varint(buf, off)
         field, wt = key >> 3, key & 7
         if wt == 0:  # varint
             val, off = _read_varint(buf, off)
             yield field, wt, _varint(val)
         elif wt == 1:  # 64-bit
+            if off + 8 > n:
+                raise ValueError(f"truncated fixed64 field {field}")
             yield field, wt, buf[off : off + 8]
             off += 8
         elif wt == 5:  # 32-bit
+            if off + 4 > n:
+                raise ValueError(f"truncated fixed32 field {field}")
             yield field, wt, buf[off : off + 4]
             off += 4
         elif wt == 2:  # length-delimited
             ln, off = _read_varint(buf, off)
+            if off + ln > n:
+                raise ValueError(
+                    f"length-delimited field {field} declares {ln} bytes "
+                    f"but only {n - off} remain (malformed protobuf)"
+                )
             yield field, wt, buf[off : off + ln]
             off += ln
         else:  # pragma: no cover - we never write groups

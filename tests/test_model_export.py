@@ -235,3 +235,53 @@ class TestMonitorStepExport:
             np.asarray(jax.device_get(outs[1])), ref.rf_smooth,
             rtol=1e-5, atol=1e-6,
         )
+
+    def test_cli_head_without_monitor_step_errors(self, tmp_path, scorer_setup):
+        """--head with the plain scorer would be silently dropped — error."""
+        from pinnfc_tpu.cli import main
+        from pinnfc_tpu.utils import save_checkpoint
+
+        params, sx, sy, _ = scorer_setup
+        ckpt = str(tmp_path / "ck")
+        save_checkpoint(ckpt, params, sx, sy)
+        assert main(["export-model", "--ckpt", ckpt,
+                     "--out", str(tmp_path / "o"),
+                     "--head", str(tmp_path / "h.npz")]) == 2
+
+    def test_cli_export_restores_platform_config(self, tmp_path, scorer_setup):
+        """cmd_export_model must not leave the process flipped to the CPU
+        backend (it pins cpu for the lowering, then restores — the same
+        save/restore contract as cmd_inspect)."""
+        import jax
+
+        from pinnfc_tpu.cli import main
+        from pinnfc_tpu.utils import save_checkpoint
+
+        params, sx, sy, _ = scorer_setup
+        ckpt = str(tmp_path / "ck")
+        save_checkpoint(ckpt, params, sx, sy)
+        before = jax.config.jax_platforms
+        assert main(["export-model", "--ckpt", ckpt,
+                     "--out", str(tmp_path / "s.shlo"),
+                     "--platforms", "cpu"]) == 0
+        assert jax.config.jax_platforms == before
+
+    def test_cli_monitor_step_sidecar_records_baked_values(
+        self, tmp_path, scorer_setup
+    ):
+        """--monitor-step --glitch-alarm-n N: the exported artifact bakes N
+        in, and the sidecar records it plus the full risk config."""
+        from pinnfc_tpu.cli import main
+        from pinnfc_tpu.utils import save_checkpoint
+
+        params, sx, sy, _ = scorer_setup
+        ckpt = str(tmp_path / "ck")
+        save_checkpoint(ckpt, params, sx, sy)
+        out = str(tmp_path / "m.shlo")
+        assert main(["export-model", "--ckpt", ckpt, "--out", out,
+                     "--monitor-step", "--glitch-alarm-n", "10",
+                     "--platforms", "cpu"]) == 0
+        sidecar = json.load(open(out + ".meta.json"))
+        assert sidecar["glitch_alarm_n"] == 10
+        assert sidecar["risk_config"]["lambda_decay"] == 0.9971
+        assert sidecar["diagnosis_head"] is None

@@ -239,3 +239,36 @@ class TestTensorboardEvents:
         got = [(e.step, e.value) for e in acc.Scalars("loss/stage")]
         assert got == [(0, 3.0), (1, 2.0), (2, 1.25)]
         assert acc.Scalars("final/mae")[0].value == 0.5
+
+    def test_same_second_writers_never_collide(self, tmp_path):
+        """Two writers on one logdir in the same second get distinct files
+        (pid + per-process uid in the name; 'xb' would error on collision)."""
+        from pinnfc_tpu.utils import EventFileWriter, read_events
+
+        with EventFileWriter(str(tmp_path)) as a, \
+                EventFileWriter(str(tmp_path)) as b:
+            a.add_scalar("x", 1.0, step=0)
+            b.add_scalar("x", 2.0, step=0)
+            assert a.path != b.path
+        assert read_events(a.path)[0].value == 1.0
+        assert read_events(b.path)[0].value == 2.0
+
+    def test_malformed_nested_length_raises(self, tmp_path):
+        """A record whose CRC is valid but whose nested protobuf declares a
+        length past the buffer raises a clear error (not silent truncation)."""
+        import struct
+
+        from pinnfc_tpu.utils.tbevents import (
+            _pb_bytes,
+            _pb_double,
+            _tfrecord,
+            read_events,
+        )
+
+        # Event{wall_time, summary=field5 declaring 100 bytes but empty}
+        bad = _pb_double(1, 0.0) + bytes([0x2A, 100])  # field 5, wt 2, len 100
+        path = str(tmp_path / "evil")
+        with open(path, "wb") as f:
+            f.write(_tfrecord(bad))
+        with pytest.raises(ValueError, match="declares"):
+            read_events(path)
