@@ -19,6 +19,12 @@ from pinnfc_tpu.models.pinn import init_pinn
 from pinnfc_tpu.serving import build_scorer_fn, export_scorer, load_scorer
 
 
+# artifacts the tests CALL must carry a lowering for the active backend —
+# the suite runs on the CPU sim by default and on the axon TPU under
+# PINNFC_TEST_TPU=1, so export both (cross-lowering needs no hardware)
+PLATFORMS = ("cpu", "tpu")
+
+
 @pytest.fixture(scope="module")
 def scorer_setup():
     rs = np.random.RandomState(7)
@@ -34,7 +40,7 @@ class TestScorerExport:
         symbolic-batch artifact, no retrace) matches the in-process scorer
         to fusion-level rounding."""
         params, sx, sy, rs = scorer_setup
-        blob = export_scorer(params, sx, sy, platforms=("cpu",))
+        blob = export_scorer(params, sx, sy, platforms=PLATFORMS)
         scorer = load_scorer(blob)
         ref = jax.jit(build_scorer_fn(params, sx, sy))
         for b in (1, 5, 33):
@@ -63,7 +69,7 @@ class TestScorerExport:
         """The artifact consumes RAW sensor units: feeding it the already
         normalized rows must NOT match — proof the scalers are inside."""
         params, sx, sy, rs = scorer_setup
-        scorer = load_scorer(export_scorer(params, sx, sy, platforms=("cpu",)))
+        scorer = load_scorer(export_scorer(params, sx, sy, platforms=PLATFORMS))
         x_raw = rs.randn(16, 8).astype(np.float32) * 10 + 3
         v_raw, _ = scorer(x_raw)
         v_norm_in, _ = scorer(np.asarray(sx.transform(x_raw)))
@@ -83,12 +89,12 @@ class TestExportModelCli:
         save_checkpoint(ckpt, params, sx, sy, meta={"seed": 7})
         out = str(tmp_path / "scorer.shlo")
         assert main(["export-model", "--ckpt", ckpt, "--out", out,
-                     "--platforms", "cpu"]) == 0
+                     "--platforms", "cpu,tpu"]) == 0
         assert os.path.exists(out)
 
         sidecar = json.load(open(out + ".meta.json"))
         assert sidecar["kind"] == "pinnfc_scorer_stablehlo"
-        assert sidecar["platforms"] == ["cpu"]
+        assert sidecar["platforms"] == ["cpu", "tpu"]
         assert sidecar["checkpoint_meta"]["seed"] == 7
 
         scorer = load_scorer(open(out, "rb").read())
@@ -124,7 +130,7 @@ class TestMonitorStepExport:
         sigma = np.array([0.05, 0.05, 2.0, 0.1, 0.2], np.float32)
         monitor = OnlineMonitor(params, sx, sy, mu, sigma)
 
-        blob = export_monitor_step(monitor, platforms=("cpu",))
+        blob = export_monitor_step(monitor, platforms=PLATFORMS)
         exp = jexport.deserialize(blob)
 
         state = tuple(monitor._fresh_state())
@@ -192,7 +198,7 @@ class TestMonitorStepExport:
         )
         monitor = OnlineMonitor(params, sx, sy, mu, sigma, diagnosis=head)
         exp = jexport.deserialize(
-            export_monitor_step(monitor, platforms=("cpu",))
+            export_monitor_step(monitor, platforms=PLATFORMS)
         )
         x = rs.randn(6, 8).astype(np.float32)
         v = rs.randn(6).astype(np.float32)
@@ -217,7 +223,7 @@ class TestMonitorStepExport:
         save_checkpoint(ckpt, params, sx, sy)
         out = str(tmp_path / "monitor.shlo")
         assert main(["export-model", "--ckpt", ckpt, "--out", out,
-                     "--monitor-step", "--platforms", "cpu"]) == 0
+                     "--monitor-step", "--platforms", "cpu,tpu"]) == 0
         sidecar = json.load(open(out + ".meta.json"))
         assert sidecar["kind"] == "pinnfc_monitor_step_stablehlo"
         assert "c/rf_smooth/v_first/n_seen/v_first_set/glitch_run/layer_c" \
