@@ -344,6 +344,83 @@ def cmd_score(args) -> int:
     return 0
 
 
+def cmd_identify(args) -> int:
+    """Identifiability analysis of the 17 physics λ's (uq/identifiability):
+    Gauss-Newton 95% CIs from each training stage's own residual Jacobian
+    at the trained optimum, plus per-parameter sensitivity, at-bound and
+    unidentifiable flags.  Formally surfaces the reference's two dead
+    parameters (the λ4 name-shadowing of 01:468 and the unused oxygen λ4)
+    as zero-sensitivity columns."""
+    import numpy as np
+
+    from pinnfc_tpu.data import load_comprehensive_results
+    from pinnfc_tpu.data.contract import INDEX
+    from pinnfc_tpu.uq import lambda_identifiability
+    from pinnfc_tpu.utils import load_checkpoint
+
+    ckpt = load_checkpoint(args.ckpt)
+    if "scaler_x" not in ckpt or "scaler_y" not in ckpt:
+        print(f"{args.ckpt} has no stored scalers — cannot normalize the "
+              "artifact rows", file=sys.stderr)
+        return 2
+    results = load_comprehensive_results(args.mat)
+    x_raw = results.array[:, [INDEX[f"x{i}"] for i in range(8)]]
+    x_norm = np.asarray(
+        ckpt["scaler_x"].transform(x_raw.astype(np.float32)), np.float32
+    )
+    import jax.numpy as jnp
+
+    report = lambda_identifiability(
+        ckpt["params"], jnp.asarray(x_norm), ckpt["scaler_x"],
+        ckpt["scaler_y"],
+    )
+
+    if getattr(args, "json", False):
+        import math
+
+        def clean(xs):
+            # strict JSON (same convention as the serving surface): an
+            # unidentifiable parameter's inf stderr/CI becomes null
+            return [x if math.isfinite(x) else None for x in xs]
+
+        out = {
+            g: {
+                "names": list(gi.names),
+                "values": gi.values.tolist(),
+                "stderr": clean(gi.stderr.tolist()),
+                "ci95": [clean(gi.ci_lo.tolist()), clean(gi.ci_hi.tolist())],
+                "sensitivity": gi.sensitivity.tolist(),
+                "identifiable": gi.identifiable.tolist(),
+                "at_bound": gi.at_bound.tolist(),
+                "n_residuals": gi.n_residuals,
+                "n_dropped": gi.n_dropped,
+                "dof": gi.dof,
+                "sigma2": gi.sigma2,
+            }
+            for g, gi in report.items()
+        }
+        print(json.dumps(out, indent=2, ensure_ascii=False,
+                         allow_nan=False))
+        return 0
+
+    print(f"identifiability over {results.array.shape[0]} artifact rows "
+          "(Gauss-Newton 95% CIs at the trained optimum):")
+    for g, gi in report.items():
+        dropped = f", {gi.n_dropped} non-finite rows dropped" if gi.n_dropped else ""
+        print(f"{g}  (N={gi.n_residuals}, σ̂²={gi.sigma2:.4g}{dropped})")
+        for i, name in enumerate(gi.names):
+            if not gi.identifiable[i]:
+                tail = "UNIDENTIFIABLE (zero sensitivity — loss never sees it)"
+            else:
+                tail = (f"± {1.959964 * gi.stderr[i]:<12.4g} "
+                        f"sens {gi.sensitivity[i]:.3g}")
+                if gi.at_bound[i]:
+                    tail += "  AT-BOUND (clamp active; CI not meaningful)"
+            print(f"  {g}[{i}] = {gi.values[i]:<12.6g} {tail}")
+            print(f"           {name}")
+    return 0
+
+
 def cmd_export_model(args) -> int:
     """Serialize the checkpoint's eval-mode scorer into a self-contained
     StableHLO artifact (serving/exported.py): MLP weights and both MinMax
@@ -1194,6 +1271,18 @@ def main(argv: Optional[list] = None) -> int:
                      help="machine-readable output (meta, param shapes, "
                           "named λ values, scaler ranges, step)")
     ins.set_defaults(fn=cmd_inspect)
+
+    idf = sub.add_parser(
+        "identify",
+        help="identifiability of the 17 physics λ's: Gauss-Newton 95% CIs "
+             "+ sensitivity + at-bound/unidentifiable flags at the trained "
+             "optimum",
+    )
+    idf.add_argument("--ckpt", required=True)
+    idf.add_argument("--mat", required=True,
+                     help="exported F01_output.mat supplying the input rows")
+    idf.add_argument("--json", action="store_true")
+    idf.set_defaults(fn=cmd_identify)
 
     ex = sub.add_parser(
         "export-model",
