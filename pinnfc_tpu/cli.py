@@ -914,6 +914,11 @@ def cmd_run_all(args) -> int:
     ))
     if rc:
         return rc
+    # identifiability report over the artifact just produced: how well the
+    # 17 physics parameters are pinned down (uq/identifiability)
+    rc = cmd_identify(argparse.Namespace(ckpt=ns.ckpt, mat=mat_path))
+    if rc:
+        return rc
     print(f"run-all complete → {args.out_dir}")
     return 0
 

@@ -178,7 +178,8 @@ class TestRunAllOrchestration:
         # stage metrics reached the console (train → auc → gmm → risk →
         # compare → monitor, in the reference's script order)
         for token in ("voltage_mae", "AUC=", "accuracy", "advance",
-                      "Supervised_LR", "streamed"):
+                      "Supervised_LR", "streamed",
+                      "identifiability over"):  # closing identify report
             assert token in stdout, token
         # artifacts: exported matrix, checkpoint, figure inventory
         assert os.path.exists(os.path.join(out, "F01_output.mat"))
