@@ -536,6 +536,9 @@ def _export_model_pinned(args, platforms) -> int:
             os.path.abspath(args.head) if getattr(args, "head", None)
             else None
         )
+        sidecar["class_names"] = (
+            list(head.class_names) if head is not None else None
+        )
     with open(args.out + ".meta.json", "w") as f:
         json.dump(sidecar, f, indent=2)
     what = ("monitor step" if getattr(args, "monitor_step", False)
@@ -1136,16 +1139,29 @@ def cmd_monitor(args) -> int:
 
 def cmd_serve(args) -> int:
     """HTTP scoring endpoint: OnlineMonitor behind POST /observe
-    (serving/server.py). Normal statistics come from the artifact, model
-    weights from the checkpoint, and optionally a saved diagnosis head."""
+    (serving/server.py). Normal statistics come from the artifact, the
+    model from either a checkpoint (``--ckpt``, + optional ``--head``) or
+    a self-contained ``export-model --monitor-step`` StableHLO artifact
+    (``--artifact`` — no model code or checkpoint needed; the baked risk
+    config / glitch threshold / class names are adopted from its
+    sidecar)."""
     from pinnfc_tpu.config import RiskConfig
     from pinnfc_tpu.data import load_comprehensive_results
     from pinnfc_tpu.risk import estimate_mu_sigma_normal
     from pinnfc_tpu.serving import DiagnosisHead, OnlineMonitor, serve
 
+    artifact = getattr(args, "artifact", None)
+    if bool(artifact) == bool(args.ckpt):
+        print("serve needs exactly one of --ckpt or --artifact",
+              file=sys.stderr)
+        return 2
+    if artifact and args.head:
+        print("--head is baked into a --monitor-step artifact at export "
+              "time; it cannot be attached at serve time", file=sys.stderr)
+        return 2
+
     arr = load_comprehensive_results(args.mat).array
     mu, sigma = estimate_mu_sigma_normal(arr)
-    head = DiagnosisHead.load(args.head) if args.head else None
     glitch_n = getattr(args, "glitch_alarm_n", None)
     mesh = None
     if getattr(args, "data_parallel", False):
@@ -1153,15 +1169,66 @@ def cmd_serve(args) -> int:
 
         from pinnfc_tpu.parallel import make_mesh
 
+        if artifact:
+            print("--data-parallel needs the checkpoint path (an exported "
+                  "call cannot be vmapped across streams)", file=sys.stderr)
+            return 2
         if jax.device_count() > 1:
             mesh = make_mesh(jax.device_count())
             print(f"fleet sharding: streams over {jax.device_count()} devices")
-    provenance = _print_ckpt_provenance(args.ckpt)
-    monitor = OnlineMonitor.from_checkpoint(
-        args.ckpt, mu, sigma, RiskConfig(), head,
-        glitch_alarm_n=glitch_n if glitch_n is not None else _glitch_default(),
-        mesh=mesh,
-    )
+
+    if artifact:
+        from pinnfc_tpu.config import risk_config_from_dict
+        from pinnfc_tpu.serving import monitor_from_artifact
+
+        sidecar = None
+        try:
+            with open(artifact + ".meta.json") as f:
+                sidecar = json.load(f)
+        except (OSError, ValueError):
+            print(f"note: no readable sidecar at {artifact}.meta.json — "
+                  "serving with default display config", file=sys.stderr)
+        cfg = RiskConfig()
+        side_glitch = None
+        class_names = None
+        provenance = None
+        if sidecar:
+            if sidecar.get("kind") != "pinnfc_monitor_step_stablehlo":
+                print(f"{artifact} is a {sidecar.get('kind')!r} artifact — "
+                      "serve needs an `export-model --monitor-step` one",
+                      file=sys.stderr)
+                return 2
+            if isinstance(sidecar.get("risk_config"), dict):
+                cfg = risk_config_from_dict(sidecar["risk_config"])
+            side_glitch = sidecar.get("glitch_alarm_n")
+            class_names = sidecar.get("class_names")
+            provenance = sidecar.get("checkpoint_meta") or None
+            if provenance:
+                provenance = {
+                    k: provenance[k]
+                    for k in ("created", "framework_version")
+                    if k in provenance
+                } or None
+        monitor = monitor_from_artifact(
+            open(artifact, "rb").read(), mu, sigma, config=cfg,
+            glitch_alarm_n=(
+                glitch_n if glitch_n is not None
+                else side_glitch if side_glitch is not None
+                else _glitch_default()
+            ),
+            class_names=class_names,
+        )
+        print(f"serving from StableHLO artifact {artifact}")
+    else:
+        head = DiagnosisHead.load(args.head) if args.head else None
+        provenance = _print_ckpt_provenance(args.ckpt)
+        monitor = OnlineMonitor.from_checkpoint(
+            args.ckpt, mu, sigma, RiskConfig(), head,
+            glitch_alarm_n=(
+                glitch_n if glitch_n is not None else _glitch_default()
+            ),
+            mesh=mesh,
+        )
     serve(monitor, host=args.host, port=args.port,
           max_requests=args.max_requests,
           state_path=getattr(args, "state_path", None),
@@ -1422,7 +1489,12 @@ def main(argv: Optional[list] = None) -> int:
     )
     sv.add_argument("--mat", default="F01_output.mat",
                     help="artifact for the normal-operation μ/σ statistics")
-    sv.add_argument("--ckpt", required=True, help="checkpoint from `train --ckpt`")
+    sv.add_argument("--ckpt", default=None, help="checkpoint from `train --ckpt`")
+    sv.add_argument("--artifact", default=None,
+                    help="serve from an `export-model --monitor-step` "
+                         "StableHLO artifact instead of a checkpoint (risk "
+                         "config/glitch threshold/class names adopted from "
+                         "its .meta.json sidecar)")
     sv.add_argument("--head", default=None,
                     help="saved diagnosis head (.npz) for online fault typing")
     sv.add_argument("--host", default="127.0.0.1")

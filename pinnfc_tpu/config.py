@@ -165,6 +165,31 @@ class RiskConfig:
     normal_labels: Tuple[int, ...] = (0,)  # 04:85
 
 
+def risk_config_from_dict(d: Dict) -> RiskConfig:
+    """Inverse of ``dataclasses.asdict(RiskConfig())`` after a JSON round
+    trip (JSON turns every tuple into a list) — used to rebuild the risk
+    config an ``export-model --monitor-step`` sidecar recorded as baked."""
+    return RiskConfig(
+        res_keys=tuple(d["res_keys"]),
+        layer_config=tuple(
+            (name, tuple(keys)) for name, keys in d["layer_config"]
+        ),
+        feature_weights=tuple(float(w) for w in d["feature_weights"]),
+        layer_weights=tuple(
+            (name, float(w)) for name, w in d["layer_weights"]
+        ),
+        normal_labels=tuple(int(v) for v in d["normal_labels"]),
+        **{
+            k: d[k]
+            for k in (
+                "p_layer", "z_safe", "lambda_decay", "k_logistic",
+                "c0_logistic", "c_max", "alpha_smooth", "current_tol",
+                "warn_threshold", "danger_threshold", "voltage_drop",
+            )
+        },
+    )
+
+
 # The 12 (current, fault, relative index range) evaluation conditions
 # (reference 04:145-161).
 DEFAULT_RF_CONDITIONS: Tuple[Tuple[float, str, Optional[Tuple[int, Optional[int]]]], ...] = (

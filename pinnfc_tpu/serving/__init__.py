@@ -9,6 +9,7 @@ from pinnfc_tpu.serving.exported import (
     export_monitor_step,
     export_scorer,
     load_scorer,
+    monitor_from_artifact,
 )
 from pinnfc_tpu.serving.replay import FleetConditionResult, fleet_replay
 from pinnfc_tpu.serving.server import make_server, serve
@@ -19,6 +20,7 @@ __all__ = [
     "export_monitor_step",
     "export_scorer",
     "load_scorer",
+    "monitor_from_artifact",
     "FleetConditionResult",
     "MonitorOutput",
     "MonitorState",

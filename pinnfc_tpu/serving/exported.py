@@ -28,7 +28,7 @@ provenance sidecar convention matches ``utils.checkpoint``.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Tuple
+from typing import Callable, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -143,6 +143,136 @@ def export_monitor_step(
         jax.ShapeDtypeStruct((n_res,), jnp.float32),
     )
     return exp.serialize()
+
+
+class _ArtifactDiagnosis(NamedTuple):
+    """The one attribute the serving layer reads off a DiagnosisHead when
+    fault outputs are present (server.py payload naming)."""
+
+    class_names: Tuple[str, ...]
+
+
+def monitor_from_artifact(
+    blob: bytes,
+    mu,
+    sigma,
+    config=None,
+    glitch_alarm_n: int | None = None,
+    class_names: Sequence[str] | None = None,
+):
+    """Reconstruct a serving-ready monitor from an
+    :func:`export_monitor_step` artifact — jax + this package's serving
+    shell, but NO checkpoint and NO model/physics code: the compiled step
+    IS the model.
+
+    Returns an :class:`~pinnfc_tpu.serving.OnlineMonitor` subclass whose
+    jitted step delegates to the deserialized StableHLO call; the state
+    bank, HTTP server, snapshot/restore, and Prometheus surfaces are the
+    inherited ones.  ``observe_many`` falls back to per-stream sequential
+    calls (an exported call cannot be vmapped), so fleet throughput is the
+    one thing the checkpoint path does better.
+
+    ``config``/``glitch_alarm_n`` are DISPLAY-layer values (warn/danger
+    thresholds at pack time; the artifact's baked values govern the device
+    math) — pass the sidecar's recorded ``risk_config``/``glitch_alarm_n``
+    to keep both layers consistent, as ``cli serve --artifact`` does.
+    Whether a DiagnosisHead is baked in is detected from the artifact's
+    output signature; ``class_names`` labels its classes (defaults to
+    ``class_0..K-1`` when the sidecar carried none).
+    """
+    import numpy as np
+    from jax import export as jexport
+
+    from pinnfc_tpu.config import RiskConfig
+    from pinnfc_tpu.serving.monitor import (
+        DEFAULT_GLITCH_ALARM_N,
+        MonitorState,
+        OnlineMonitor,
+    )
+
+    exp = jexport.deserialize(blob)
+    # reconstruct the output structure to find the state/layer/fault shapes
+    out_struct = jax.tree_util.tree_unflatten(
+        exp.out_tree, list(exp.out_avals)
+    )
+    state_avals, outs_avals = out_struct
+    n_layers = int(state_avals[-1].shape[0])  # layer_c is the last field
+    probs_aval = outs_avals[7][0]  # the (probs, pred) slot; None if no head
+    config = RiskConfig() if config is None else config
+
+    class ArtifactMonitor(OnlineMonitor):
+        """OnlineMonitor whose device step is a deserialized artifact."""
+
+        def __init__(self):
+            # mirror the parent's attribute surface WITHOUT its
+            # params/scaler machinery — the artifact baked all of that in
+            self.params = None
+            self.scaler_x = None
+            self.scaler_y = None
+            self.mu = jnp.asarray(mu, jnp.float32)
+            self.sigma = jnp.asarray(sigma, jnp.float32)
+            self.config = config
+            self.glitch_alarm_n = int(
+                DEFAULT_GLITCH_ALARM_N
+                if glitch_alarm_n is None else glitch_alarm_n
+            )
+            if self.glitch_alarm_n < 1:
+                raise ValueError(
+                    f"glitch_alarm_n must be >= 1, got {self.glitch_alarm_n}"
+                )
+            if probs_aval is not None:
+                k = int(probs_aval.shape[1])
+                names = (
+                    tuple(class_names) if class_names
+                    else tuple(f"class_{i}" for i in range(k))
+                )
+                if len(names) != k:
+                    raise ValueError(
+                        f"artifact bakes a {k}-class head but "
+                        f"{len(names)} class names were given"
+                    )
+                self.diagnosis = _ArtifactDiagnosis(names)
+            else:
+                self.diagnosis = None
+            # layer names are display labels; lengths must match the baked
+            # layer_c state width
+            _k2i = {key: i for i, key in enumerate(config.res_keys)}
+            self.layer_names = tuple(
+                lname for lname, keys in config.layer_config
+                if any(key in _k2i for key in keys)
+            )
+            if len(self.layer_names) != n_layers:
+                raise ValueError(
+                    f"artifact carries {n_layers} risk layers but the given "
+                    f"config defines {len(self.layer_names)} — pass the "
+                    "risk config recorded in the artifact's sidecar"
+                )
+            self._streams = {"default": self._fresh_state()}
+            self._n_seen = {"default": 0}
+
+            def step_fn(params, state, x_raw, v_meas, mu_, sigma_):
+                new_state, outs = exp.call(
+                    tuple(state), x_raw, v_meas, mu_, sigma_
+                )
+                return MonitorState(*new_state), outs
+
+            self._step_fn = step_fn
+            self._step = jax.jit(step_fn)
+            self._vstep = None
+            self.mesh = None
+            self._mesh_replicated = None
+
+        def observe_many(self, x_bank, v_bank, streams) -> dict:
+            # an exported call is not vmappable — advance the fleet
+            # sequentially with identical semantics (streams never interact)
+            x_bank = np.asarray(x_bank, np.float32)
+            v_bank = np.asarray(v_bank, np.float32)
+            return {
+                s: self.observe(x_bank[i], v_bank[i], stream=s)
+                for i, s in enumerate(streams)
+            }
+
+    return ArtifactMonitor()
 
 
 def load_scorer(blob: bytes) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:

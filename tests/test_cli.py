@@ -341,3 +341,83 @@ class TestTrainConfigFlags:
                    "--mat-out", "/tmp/never.mat"])
         assert rc == 2
         assert "resume-dir" in capsys.readouterr().err
+
+
+class TestServeFromArtifact:
+    def test_serve_artifact_happy_path(self, fake_mat, tmp_path):
+        """`cli serve --artifact`: export-model --monitor-step → HTTP
+        endpoint with the sidecar's display config, no checkpoint needed
+        at serve time."""
+        import json
+        import socket
+        import threading
+        import urllib.request
+
+        import jax
+
+        from pinnfc_tpu.data import load_comprehensive_results
+        from pinnfc_tpu.data.scaling import AffineScaler
+        from pinnfc_tpu.models.pinn import init_pinn
+        from pinnfc_tpu.utils import save_checkpoint
+
+        arr = load_comprehensive_results(fake_mat).array
+        params = init_pinn(jax.random.PRNGKey(0), (8, 16, 1))
+        sx = AffineScaler.fit(np.where(arr[:, :8] == 0, 1.0, arr[:, :8]))
+        sy = AffineScaler.fit(arr[:, 8:9])
+        ck = str(tmp_path / "ck")
+        save_checkpoint(ck, params, sx, sy, meta={"seed": 3})
+        artifact = str(tmp_path / "m.shlo")
+        assert main(["export-model", "--ckpt", ck, "--out", artifact,
+                     "--monitor-step", "--glitch-alarm-n", "7",
+                     "--platforms", "cpu,tpu"]) == 0
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        t = threading.Thread(target=main, args=([
+            "serve", "--mat", fake_mat, "--artifact", artifact,
+            "--port", str(port), "--max-requests", "2",
+        ],), daemon=True)
+        t.start()
+
+        def _get(path):
+            for _ in range(100):
+                try:
+                    with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}{path}", timeout=5
+                    ) as r:
+                        return json.loads(r.read())
+                except OSError:
+                    import time
+
+                    time.sleep(0.1)
+            raise TimeoutError(path)
+
+        health = _get("/health")
+        assert health["ok"] is True
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/observe",
+            data=json.dumps(
+                {"x": arr[:4, :8].tolist(), "v": arr[:4, 8].tolist()}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            body = json.loads(r.read())
+        assert len(body["rf_smooth"]) == 4 and body["n_seen"] == 4
+        assert body["layer_names"] == ["voltage", "gas", "temp"]
+        t.join(timeout=30)
+        assert not t.is_alive()
+
+    def test_serve_flag_validation(self, fake_mat, tmp_path):
+        """Exactly one of --ckpt/--artifact; --head only with a ckpt;
+        --data-parallel only with a ckpt."""
+        art = str(tmp_path / "fake.shlo")
+        open(art, "wb").write(b"")
+        assert main(["serve", "--mat", fake_mat]) == 2
+        assert main(["serve", "--mat", fake_mat, "--ckpt", "c",
+                     "--artifact", art]) == 2
+        assert main(["serve", "--mat", fake_mat, "--artifact", art,
+                     "--head", "h.npz"]) == 2
+        assert main(["serve", "--mat", fake_mat, "--artifact", art,
+                     "--data-parallel"]) == 2

@@ -291,3 +291,94 @@ class TestMonitorStepExport:
         assert sidecar["glitch_alarm_n"] == 10
         assert sidecar["risk_config"]["lambda_decay"] == 0.9971
         assert sidecar["diagnosis_head"] is None
+
+
+class TestArtifactMonitor:
+    """serving.monitor_from_artifact — the full serving shell running on a
+    deserialized StableHLO step (no checkpoint, no model code)."""
+
+    def test_parity_with_checkpoint_monitor(self, scorer_setup):
+        from pinnfc_tpu.serving import (
+            OnlineMonitor,
+            export_monitor_step,
+            monitor_from_artifact,
+        )
+
+        params, sx, sy, rs = scorer_setup
+        mu = np.zeros(5, np.float32)
+        sigma = np.array([0.05, 0.05, 2.0, 0.1, 0.2], np.float32)
+        ref = OnlineMonitor(params, sx, sy, mu, sigma)
+        am = monitor_from_artifact(
+            export_monitor_step(ref, platforms=PLATFORMS), mu, sigma
+        )
+        assert am.diagnosis is None
+        assert am.layer_names == ref.layer_names
+        for b in (7, 16, 5):
+            x = rs.randn(b, 8).astype(np.float32)
+            v = rs.randn(b).astype(np.float32)
+            o1, o2 = am.observe(x, v), ref.observe(x, v)
+            np.testing.assert_allclose(o1.rf_smooth, o2.rf_smooth,
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(o1.layer_c, o2.layer_c,
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_array_equal(o1.warn, o2.warn)
+
+    def test_observe_many_sequential_fallback(self, scorer_setup):
+        """Fleet calls advance each stream exactly like per-stream observe
+        (an exported call cannot be vmapped — documented fallback)."""
+        from pinnfc_tpu.serving import (
+            OnlineMonitor,
+            export_monitor_step,
+            monitor_from_artifact,
+        )
+
+        params, sx, sy, rs = scorer_setup
+        mu = np.zeros(5, np.float32)
+        sigma = np.ones(5, np.float32)
+        blob = export_monitor_step(
+            OnlineMonitor(params, sx, sy, mu, sigma), platforms=PLATFORMS
+        )
+        am = monitor_from_artifact(blob, mu, sigma)
+        single = monitor_from_artifact(blob, mu, sigma)
+        bank_x = rs.randn(3, 4, 8).astype(np.float32)
+        bank_v = rs.randn(3, 4).astype(np.float32)
+        outs = am.observe_many(bank_x, bank_v, ["s0", "s1", "s2"])
+        for i, s in enumerate(["s0", "s1", "s2"]):
+            ref_out = single.observe(bank_x[i], bank_v[i], stream=s)
+            np.testing.assert_array_equal(outs[s].rf_smooth,
+                                          ref_out.rf_smooth)
+        assert am.stream_n_seen("s1") == 4
+
+    def test_config_layer_mismatch_rejected(self, scorer_setup):
+        import dataclasses
+
+        from pinnfc_tpu.config import RiskConfig
+        from pinnfc_tpu.serving import (
+            OnlineMonitor,
+            export_monitor_step,
+            monitor_from_artifact,
+        )
+
+        params, sx, sy, _ = scorer_setup
+        mu = np.zeros(5, np.float32)
+        sigma = np.ones(5, np.float32)
+        blob = export_monitor_step(
+            OnlineMonitor(params, sx, sy, mu, sigma), platforms=PLATFORMS
+        )
+        two_layer = dataclasses.replace(
+            RiskConfig(),
+            layer_config=(("voltage", ("res", "pV")), ("gas", ("pH", "pO"))),
+        )
+        with pytest.raises(ValueError, match="risk layers"):
+            monitor_from_artifact(blob, mu, sigma, config=two_layer)
+
+    def test_risk_config_dict_roundtrip(self):
+        import dataclasses
+
+        from pinnfc_tpu.config import RiskConfig, risk_config_from_dict
+
+        cfg = RiskConfig()
+        back = risk_config_from_dict(
+            json.loads(json.dumps(dataclasses.asdict(cfg)))
+        )
+        assert back == cfg
