@@ -392,6 +392,7 @@ def cmd_identify(args) -> int:
                 "sensitivity": gi.sensitivity.tolist(),
                 "identifiable": gi.identifiable.tolist(),
                 "at_bound": gi.at_bound.tolist(),
+                "corr": [clean(row) for row in gi.corr.tolist()],
                 "n_residuals": gi.n_residuals,
                 "n_dropped": gi.n_dropped,
                 "dof": gi.dof,
@@ -418,6 +419,14 @@ def cmd_identify(args) -> int:
                     tail += "  AT-BOUND (clamp active; CI not meaningful)"
             print(f"  {g}[{i}] = {gi.values[i]:<12.6g} {tail}")
             print(f"           {name}")
+        # sloppy directions: pairs the loss only constrains JOINTLY
+        k = len(gi.names)
+        for i in range(k):
+            for j in range(i + 1, k):
+                c = gi.corr[i, j]
+                if np.isfinite(c) and abs(c) > 0.95:
+                    print(f"  coupled: {g}[{i}] ↔ {g}[{j}] "
+                          f"(corr {c:+.3f} — only jointly identified)")
     return 0
 
 

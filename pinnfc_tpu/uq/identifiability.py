@@ -66,6 +66,10 @@ class GroupIdentifiability(NamedTuple):
     n_dropped: int  # rows dropped as non-finite at this λ
     dof: int
     sigma2: float  # σ̂² residual variance estimate
+    # (k, k) estimate correlation matrix: |corr| → 1 means the two
+    # parameters trade off along a sloppy direction of the loss (they are
+    # only jointly identified); NaN rows/cols for unidentifiable params
+    corr: np.ndarray
 
 
 def gauss_newton_ci(
@@ -73,9 +77,9 @@ def gauss_newton_ci(
     jac: np.ndarray,
     z: float = 1.959964,
     sens_rtol: float = 1e-9,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, float, int]:
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, float, int, np.ndarray]:
     """Pure Gauss-Newton interval math: residuals (N,) + Jacobian (N,k) →
-    (stderr, sensitivity, identifiable, dof, σ̂²).
+    (stderr, sensitivity, identifiable, dof, σ̂², n_used, corr).
 
     Unidentifiable columns (RMS sensitivity ≤ ``sens_rtol`` × the largest
     column's, or exactly zero) are excluded from the normal matrix; their
@@ -104,11 +108,19 @@ def gauss_newton_ci(
     dof = max(n - k_id, 1)
     sigma2 = float(np.sum(r**2) / dof)
     stderr = np.full(k, np.inf)
+    corr = np.full((k, k), np.nan)
     if k_id:
         j_id = jac[:, identifiable]
         cov = sigma2 * np.linalg.pinv(j_id.T @ j_id)
-        stderr[identifiable] = np.sqrt(np.maximum(np.diag(cov), 0.0))
-    return stderr, sens, identifiable, dof, sigma2, n
+        se_id = np.sqrt(np.maximum(np.diag(cov), 0.0))
+        stderr[identifiable] = se_id
+        # estimate correlations — the sloppy-direction diagnostic
+        denom = np.outer(se_id, se_id)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            c_id = np.where(denom > 0, cov / denom, np.nan)
+        idx = np.flatnonzero(identifiable)
+        corr[np.ix_(idx, idx)] = np.clip(c_id, -1.0, 1.0)
+    return stderr, sens, identifiable, dof, sigma2, n, corr
 
 
 def _residual_fn(group: str, params, x_norm, scaler_x, scaler_y):
@@ -170,9 +182,8 @@ def lambda_identifiability(
         else:
             r, jac = _r_and_jac_residual(params, x_norm, scaler_x, group)
         r, jac = jax.device_get((r, jac))
-        stderr, sens, identifiable, dof, sigma2, n_used = gauss_newton_ci(
-            r, jac, z
-        )
+        (stderr, sens, identifiable, dof, sigma2, n_used,
+         corr) = gauss_newton_ci(r, jac, z)
         lam = np.asarray(params[group], np.float64).ravel()
         lo, hi = LAMBDA_BOUNDS[group]
         span = np.maximum(np.abs(np.asarray(hi) - np.asarray(lo)), 1e-30)
@@ -194,5 +205,6 @@ def lambda_identifiability(
             n_dropped=int(np.asarray(r).shape[0]) - n_used,
             dof=dof,
             sigma2=sigma2,
+            corr=corr,
         )
     return out

@@ -30,7 +30,7 @@ class TestGaussNewtonMath:
         b = A @ theta_true + 0.1 * rs.randn(n)
         theta_hat, *_ = np.linalg.lstsq(A, b, rcond=None)
         r = A @ theta_hat - b
-        stderr, sens, ident, dof, sigma2, n_used = gauss_newton_ci(r, A)
+        stderr, sens, ident, dof, sigma2, n_used, _ = gauss_newton_ci(r, A)
         assert n_used == n and dof == n - k and ident.all()
         sigma2_ref = float(np.sum(r**2) / (n - k))
         np.testing.assert_allclose(sigma2, sigma2_ref, rtol=1e-12)
@@ -63,7 +63,7 @@ class TestGaussNewtonMath:
         r = rs.randn(100)
         r[7] = np.nan
         A[13, 0] = np.inf
-        stderr, _, _, dof, _, n_used = gauss_newton_ci(r, A)
+        stderr, _, _, dof, _, n_used, _ = gauss_newton_ci(r, A)
         assert n_used == 98 and dof == 96
         assert np.isfinite(stderr).all()
         stderr_ref, *_ = gauss_newton_ci(
@@ -158,3 +158,30 @@ class TestIdentifyCli:
         assert set(payload) == {"lam_v", "lam_t", "lam_h", "lam_o"}
         assert payload["lam_v"]["identifiable"][3] is False
         assert payload["lam_v"]["stderr"][3] is None  # strict JSON: inf→null
+
+
+class TestCorrelation:
+    def test_linear_oracle_correlation(self):
+        """corr equals the classical cov/(se·se') on a correlated design."""
+        rs = np.random.RandomState(3)
+        n = 500
+        z = rs.randn(n)
+        A = np.stack([z + 0.1 * rs.randn(n), z + 0.1 * rs.randn(n),
+                      rs.randn(n)], axis=1)
+        r = rs.randn(n)
+        *_, corr = gauss_newton_ci(r, A)
+        cov_ref = (np.sum(r**2) / (n - 3)) * np.linalg.inv(A.T @ A)
+        se = np.sqrt(np.diag(cov_ref))
+        corr_ref = cov_ref / np.outer(se, se)
+        np.testing.assert_allclose(corr, corr_ref, rtol=1e-8)
+        # near-duplicate regressors are strongly ANTI-correlated estimates
+        assert corr[0, 1] < -0.95
+        np.testing.assert_allclose(np.diag(corr), 1.0, rtol=1e-12)
+
+    def test_unidentifiable_rows_are_nan(self):
+        rs = np.random.RandomState(4)
+        A = rs.randn(100, 3)
+        A[:, 2] = 0.0
+        *_, corr = gauss_newton_ci(rs.randn(100), A)
+        assert np.isnan(corr[2]).all() and np.isnan(corr[:, 2]).all()
+        assert np.isfinite(corr[:2, :2]).all()
