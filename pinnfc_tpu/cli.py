@@ -1168,6 +1168,12 @@ def cmd_serve(args) -> int:
         print("--head is baked into a --monitor-step artifact at export "
               "time; it cannot be attached at serve time", file=sys.stderr)
         return 2
+    if artifact and getattr(args, "glitch_alarm_n", None) is not None:
+        print("--glitch-alarm-n is baked into the artifact's device "
+              "recurrence at export time (`export-model --glitch-alarm-n`); "
+              "passing it at serve time would silently have no effect",
+              file=sys.stderr)
+        return 2
 
     arr = load_comprehensive_results(args.mat).array
     mu, sigma = estimate_mu_sigma_normal(arr)

@@ -169,25 +169,23 @@ def risk_config_from_dict(d: Dict) -> RiskConfig:
     """Inverse of ``dataclasses.asdict(RiskConfig())`` after a JSON round
     trip (JSON turns every tuple into a list) — used to rebuild the risk
     config an ``export-model --monitor-step`` sidecar recorded as baked."""
-    return RiskConfig(
-        res_keys=tuple(d["res_keys"]),
-        layer_config=tuple(
-            (name, tuple(keys)) for name, keys in d["layer_config"]
+    rebuild = {
+        "res_keys": lambda v: tuple(v),
+        "layer_config": lambda v: tuple(
+            (name, tuple(keys)) for name, keys in v
         ),
-        feature_weights=tuple(float(w) for w in d["feature_weights"]),
-        layer_weights=tuple(
-            (name, float(w)) for name, w in d["layer_weights"]
-        ),
-        normal_labels=tuple(int(v) for v in d["normal_labels"]),
-        **{
-            k: d[k]
-            for k in (
-                "p_layer", "z_safe", "lambda_decay", "k_logistic",
-                "c0_logistic", "c_max", "alpha_smooth", "current_tol",
-                "warn_threshold", "danger_threshold", "voltage_drop",
-            )
-        },
-    )
+        "feature_weights": lambda v: tuple(float(w) for w in v),
+        "layer_weights": lambda v: tuple((name, float(w)) for name, w in v),
+        "normal_labels": lambda v: tuple(int(x) for x in v),
+    }
+    # every OTHER field passes through as-is — derived from the dataclass
+    # so a field added later is never silently dropped back to its default
+    kwargs = {
+        f.name: rebuild.get(f.name, lambda v: v)(d[f.name])
+        for f in dataclasses.fields(RiskConfig)
+        if f.name in d
+    }
+    return RiskConfig(**kwargs)
 
 
 # The 12 (current, fault, relative index range) evaluation conditions

@@ -186,18 +186,36 @@ def monitor_from_artifact(
     from pinnfc_tpu.config import RiskConfig
     from pinnfc_tpu.serving.monitor import (
         DEFAULT_GLITCH_ALARM_N,
+        STEP_OUT_FIELDS,
         MonitorState,
         OnlineMonitor,
+        check_fleet_bank,
+        contributing_layer_names,
     )
 
     exp = jexport.deserialize(blob)
     # reconstruct the output structure to find the state/layer/fault shapes
-    out_struct = jax.tree_util.tree_unflatten(
-        exp.out_tree, list(exp.out_avals)
-    )
-    state_avals, outs_avals = out_struct
-    n_layers = int(state_avals[-1].shape[0])  # layer_c is the last field
-    probs_aval = outs_avals[7][0]  # the (probs, pred) slot; None if no head
+    # — and to verify this IS a monitor-step artifact (a scorer blob or a
+    # foreign export has a different tree and must fail loudly, not with an
+    # opaque unpacking TypeError)
+    try:
+        out_struct = jax.tree_util.tree_unflatten(
+            exp.out_tree, list(exp.out_avals)
+        )
+        state_avals, outs_avals = out_struct
+        if (len(state_avals) != len(MonitorState._fields)
+                or len(outs_avals) != len(STEP_OUT_FIELDS)):
+            raise TypeError
+        n_layers = int(
+            state_avals[MonitorState._fields.index("layer_c")].shape[0]
+        )
+        probs_aval = outs_avals[STEP_OUT_FIELDS.index("fault")][0]
+    except (TypeError, ValueError, IndexError, AttributeError):
+        raise ValueError(
+            "not an `export-model --monitor-step` artifact: the output "
+            "signature does not match the monitor block step (a plain "
+            "scorer artifact loads with load_scorer instead)"
+        ) from None
     config = RiskConfig() if config is None else config
 
     class ArtifactMonitor(OnlineMonitor):
@@ -235,12 +253,8 @@ def monitor_from_artifact(
             else:
                 self.diagnosis = None
             # layer names are display labels; lengths must match the baked
-            # layer_c state width
-            _k2i = {key: i for i, key in enumerate(config.res_keys)}
-            self.layer_names = tuple(
-                lname for lname, keys in config.layer_config
-                if any(key in _k2i for key in keys)
-            )
+            # layer_c state width (same rule as OnlineMonitor)
+            self.layer_names = contributing_layer_names(config)
             if len(self.layer_names) != n_layers:
                 raise ValueError(
                     f"artifact carries {n_layers} risk layers but the given "
@@ -264,9 +278,12 @@ def monitor_from_artifact(
 
         def observe_many(self, x_bank, v_bank, streams) -> dict:
             # an exported call is not vmappable — advance the fleet
-            # sequentially with identical semantics (streams never interact)
-            x_bank = np.asarray(x_bank, np.float32)
-            v_bank = np.asarray(v_bank, np.float32)
+            # sequentially with identical semantics (streams never
+            # interact); validate EVERYTHING first so a bad bank cannot
+            # leave some streams advanced (same contract as the parent)
+            streams, x_bank, v_bank = check_fleet_bank(
+                x_bank, v_bank, streams
+            )
             return {
                 s: self.observe(x_bank[i], v_bank[i], stream=s)
                 for i, s in enumerate(streams)

@@ -154,6 +154,48 @@ class DiagnosisHead(NamedTuple):
         )
 
 
+# Field order of the tuple the jitted step returns as its SECOND element —
+# _pack and the export surface (serving/exported.py) must index it by name
+# through this constant, never by magic position.
+STEP_OUT_FIELDS = (
+    "rf_inst", "rf_smooth", "residuals", "v_pred", "v_alarm", "glitch",
+    "sensor_alarm", "fault", "layer_scores", "layer_c",
+)
+
+
+def contributing_layer_names(config) -> tuple:
+    """Layers that actually contribute (non-empty key intersection with
+    ``res_keys``), in config order — the column order of layer_scores /
+    layer_c and the width of the per-stream layer_c state (shared by
+    OnlineMonitor and the artifact-serving path)."""
+    k2i = {k: i for i, k in enumerate(config.res_keys)}
+    return tuple(
+        lname for lname, keys in config.layer_config
+        if any(k in k2i for k in keys)
+    )
+
+
+def check_fleet_bank(x_bank, v_bank, streams):
+    """Validate + coerce ``observe_many`` fleet arguments (shared by the
+    vmapped path and the artifact monitor's sequential fallback): returns
+    (streams list, x_bank f32 (S,B,8), v_bank f32 (S,B)) or raises before
+    ANY stream state is touched."""
+    streams = list(streams)
+    x_bank = np.asarray(x_bank, np.float32)
+    v_bank = np.asarray(v_bank, np.float32)
+    if x_bank.ndim != 3 or x_bank.shape[0] != len(streams):
+        raise ValueError(
+            f"x_bank must be (S={len(streams)}, B, 8), got {x_bank.shape}"
+        )
+    if v_bank.shape != x_bank.shape[:2]:
+        raise ValueError(
+            f"v_bank must be {x_bank.shape[:2]}, got {v_bank.shape}"
+        )
+    if len(set(streams)) != len(streams):
+        raise ValueError("stream keys must be unique per observe_many call")
+    return streams, x_bank, v_bank
+
+
 class MonitorState(NamedTuple):
     """Carry between blocks: risk integral, EMA value, first-sample voltage.
 
@@ -268,14 +310,10 @@ class OnlineMonitor:
         # samples (glitched rows contribute zero risk, so a dead sensor would
         # otherwise decay RF toward "healthy" silently)
         self.glitch_alarm_n = int(glitch_alarm_n)
-        # layers that actually contribute (non-empty key sets), in config
-        # order — the column order of layer_scores/layer_c and the length
-        # of the per-stream layer_c state vector
-        _k2i = {k: i for i, k in enumerate(config.res_keys)}
-        self.layer_names = tuple(
-            lname for lname, keys in config.layer_config
-            if any(k in _k2i for k in keys)
-        )
+        # layers that actually contribute, in config order — the column
+        # order of layer_scores/layer_c and the length of the per-stream
+        # layer_c state vector (shared rule: contributing_layer_names)
+        self.layer_names = contributing_layer_names(config)
         # multi-stream state bank: real deployments watch several operating
         # conditions concurrently (04:145-161 evaluates 12) — each stream
         # key carries its own RF(t) recurrence state; "default" preserves
@@ -529,19 +567,7 @@ class OnlineMonitor:
         capacity scales linearly with chips.  S is padded to a multiple of
         the axis size with fresh-state dummy streams whose results are
         never read back into the bank."""
-        streams = list(streams)
-        x_bank = np.asarray(x_bank, np.float32)
-        v_bank = np.asarray(v_bank, np.float32)
-        if x_bank.ndim != 3 or x_bank.shape[0] != len(streams):
-            raise ValueError(
-                f"x_bank must be (S={len(streams)}, B, 8), got {x_bank.shape}"
-            )
-        if v_bank.shape != x_bank.shape[:2]:
-            raise ValueError(
-                f"v_bank must be {x_bank.shape[:2]}, got {v_bank.shape}"
-            )
-        if len(set(streams)) != len(streams):
-            raise ValueError("stream keys must be unique per observe_many call")
+        streams, x_bank, v_bank = check_fleet_bank(x_bank, v_bank, streams)
         if self._vstep is None:
             self._vstep = jax.jit(
                 jax.vmap(self._step_fn, in_axes=(None, 0, 0, 0, None, None))

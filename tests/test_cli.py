@@ -421,3 +421,7 @@ class TestServeFromArtifact:
                      "--head", "h.npz"]) == 2
         assert main(["serve", "--mat", fake_mat, "--artifact", art,
                      "--data-parallel"]) == 2
+        # the sensor-alarm threshold is baked at export time — a serve-time
+        # flag would silently have no effect, so it is rejected
+        assert main(["serve", "--mat", fake_mat, "--artifact", art,
+                     "--glitch-alarm-n", "5"]) == 2

@@ -382,3 +382,40 @@ class TestArtifactMonitor:
             json.loads(json.dumps(dataclasses.asdict(cfg)))
         )
         assert back == cfg
+
+    def test_scorer_blob_rejected_with_clear_error(self, scorer_setup):
+        """monitor_from_artifact on a plain scorer artifact (wrong output
+        signature) errors loudly, not with an opaque unpacking crash."""
+        from pinnfc_tpu.serving import export_scorer, monitor_from_artifact
+
+        params, sx, sy, _ = scorer_setup
+        blob = export_scorer(params, sx, sy, platforms=("cpu",))
+        with pytest.raises(ValueError, match="monitor-step"):
+            monitor_from_artifact(blob, np.zeros(5), np.ones(5))
+
+    def test_fleet_validation_before_state_mutation(self, scorer_setup):
+        """A mis-shaped bank or duplicate stream keys must raise BEFORE any
+        stream advances (same contract as OnlineMonitor.observe_many)."""
+        from pinnfc_tpu.serving import (
+            OnlineMonitor,
+            export_monitor_step,
+            monitor_from_artifact,
+        )
+
+        params, sx, sy, rs = scorer_setup
+        mu = np.zeros(5, np.float32)
+        sigma = np.ones(5, np.float32)
+        am = monitor_from_artifact(
+            export_monitor_step(
+                OnlineMonitor(params, sx, sy, mu, sigma),
+                platforms=PLATFORMS,
+            ),
+            mu, sigma,
+        )
+        x = rs.randn(2, 4, 8).astype(np.float32)
+        v = rs.randn(2, 4).astype(np.float32)
+        with pytest.raises(ValueError, match="x_bank"):
+            am.observe_many(x, v, ["a", "b", "c"])  # 3 keys, 2 bank rows
+        with pytest.raises(ValueError, match="unique"):
+            am.observe_many(x, v, ["a", "a"])
+        assert am.stream_n_seen("a") == 0  # nothing advanced
