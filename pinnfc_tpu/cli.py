@@ -375,6 +375,15 @@ def cmd_identify(args) -> int:
         ckpt["scaler_y"],
     )
 
+    if getattr(args, "plot_dir", None):
+        from pinnfc_tpu.viz import plot_identifiability
+
+        os.makedirs(args.plot_dir, exist_ok=True)
+        plot_identifiability(
+            report, os.path.join(args.plot_dir, "identifiability.png")
+        )
+        print(f"figure → {args.plot_dir}/identifiability.png")
+
     if getattr(args, "json", False):
         import math
 
@@ -1369,6 +1378,8 @@ def main(argv: Optional[list] = None) -> int:
     idf.add_argument("--mat", required=True,
                      help="exported F01_output.mat supplying the input rows")
     idf.add_argument("--json", action="store_true")
+    idf.add_argument("--plot-dir", default=None,
+                     help="save the relative-CI identifiability figure here")
     idf.set_defaults(fn=cmd_identify)
 
     ex = sub.add_parser(

@@ -571,3 +571,60 @@ def plot_metrics_bars(summary: Dict[str, Dict[str, float]], save_path: str):
     ax.set_ylim(0, 1.12)
     ax.legend(fontsize=7, ncol=3)
     return _finish(fig, save_path)
+
+
+def plot_identifiability(report: Dict, save_path: str):
+    """Horizontal bars of each λ's RELATIVE 95% CI half-width (how loosely
+    the stage pins it down), grouped by physics family, log scale — with
+    unidentifiable / at-bound parameters annotated in text rather than
+    drawn with a fake interval.  One series, one hue; flags are words, not
+    colors (``cli identify --plot-dir``; report from
+    ``uq.lambda_identifiability``)."""
+    rows = []  # (label, rel_halfwidth or None, flag)
+    for g, gi in report.items():
+        for i in range(len(gi.values)):
+            label = f"{g}[{i}]"
+            if not gi.identifiable[i]:
+                rows.append((label, None, "unidentifiable"))
+            elif gi.at_bound[i]:
+                rows.append((label, None, "at bound"))
+            else:
+                denom = max(abs(float(gi.values[i])), 1e-30)
+                rel = 1.959964 * float(gi.stderr[i]) / denom
+                rows.append((label, max(rel, 1e-6), ""))
+        rows.append((None, None, ""))  # group separator
+    if rows and rows[-1][0] is None:
+        rows.pop()
+
+    fig, ax = plt.subplots(figsize=(7, 0.34 * len(rows) + 1.2))
+    y = np.arange(len(rows))[::-1]
+    finite = [r[1] for r in rows if r[1] is not None]
+    lo = min(finite) if finite else 1e-2
+    hi = max(finite) if finite else 1.0
+    ax.set_xscale("log")
+    # explicit limits: bars start at a common floor and the value labels
+    # get headroom; flag text is placed in AXES coordinates so it never
+    # stretches the data range or collides with the tick labels
+    ax.set_xlim(lo / 3, hi * 30)
+    import matplotlib.transforms as mtransforms
+
+    flag_tf = mtransforms.blended_transform_factory(ax.transAxes, ax.transData)
+    for yi, (label, rel, flag) in zip(y, rows):
+        if label is None:
+            continue
+        if rel is not None:
+            ax.barh(yi, rel, height=0.62, color="#4878cf")
+            ax.text(rel * 1.3, yi, f"±{100 * rel:.3g}%",
+                    va="center", fontsize=7, color="dimgray")
+        else:
+            ax.text(0.02, yi, flag, va="center", fontsize=7,
+                    color="dimgray", style="italic", transform=flag_tf)
+    ax.set_yticks(y, [r[0] or "" for r in rows], fontsize=7)
+    ax.set_xlabel("relative 95% CI half-width (fraction of |λ|, log)",
+                  fontsize=8)
+    ax.set_title("physics-parameter identifiability (Gauss-Newton)",
+                 fontsize=9)
+    ax.grid(axis="x", alpha=0.25, lw=0.5)
+    for spine in ("top", "right"):
+        ax.spines[spine].set_visible(False)
+    return _finish(fig, save_path)

@@ -148,9 +148,14 @@ class TestIdentifyCli:
         mat = str(tmp_path / "F01.mat")
         scipy.io.savemat(mat, {"comprehensive_results": arr})
 
-        assert main(["identify", "--ckpt", ckpt, "--mat", mat]) == 0
+        import os
+
+        figs = str(tmp_path / "figs")
+        assert main(["identify", "--ckpt", ckpt, "--mat", mat,
+                     "--plot-dir", figs]) == 0
         out = capsys.readouterr().out
         assert "UNIDENTIFIABLE" in out and "lam_v[3]" in out
+        assert os.path.exists(os.path.join(figs, "identifiability.png"))
 
         assert main(["identify", "--ckpt", ckpt, "--mat", mat,
                      "--json"]) == 0
