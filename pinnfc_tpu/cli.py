@@ -439,6 +439,81 @@ def cmd_identify(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Input-channel saliency of the trained model (uq/saliency): per
+    fault class, which of the 8 measured inputs the voltage prediction —
+    and its aleatoric uncertainty — leans on.  Complements the risk
+    table's physics-layer attribution (which residual fired) with the
+    model-level view (which sensor moves the prediction); units are volts
+    per full training-range swing of the channel, so columns compare."""
+    import numpy as np
+
+    from pinnfc_tpu.data import load_comprehensive_results
+    from pinnfc_tpu.data.contract import INDEX, INPUT_CHANNELS
+    from pinnfc_tpu.uq import coarse_class_saliency, input_saliency
+    from pinnfc_tpu.utils import load_checkpoint
+
+    ckpt = load_checkpoint(args.ckpt)
+    if "scaler_x" not in ckpt or "scaler_y" not in ckpt:
+        print(f"{args.ckpt} has no stored scalers — cannot normalize the "
+              "artifact rows", file=sys.stderr)
+        return 2
+    results = load_comprehensive_results(args.mat)
+    x_raw = results.array[:, [INDEX[f"x{i}"] for i in range(8)]]
+    report = input_saliency(
+        ckpt["params"], x_raw, ckpt["scaler_x"], ckpt["scaler_y"],
+        labels=results.labels,
+    )
+    table = coarse_class_saliency(report, "jac_range")
+    sigma_table = coarse_class_saliency(report, "sigma_jac_range")
+
+    plot_dir = getattr(args, "plot_dir", None)
+    if plot_dir:
+        from pinnfc_tpu.viz import plot_saliency
+
+        os.makedirs(plot_dir, exist_ok=True)
+        plot_saliency(table, INPUT_CHANNELS,
+                      os.path.join(plot_dir, "saliency_voltage.png"))
+        plot_saliency(sigma_table, INPUT_CHANNELS,
+                      os.path.join(plot_dir, "saliency_sigma.png"),
+                      unit="σ_a volts / full-range swing")
+        print(f"figures → {plot_dir}/saliency_voltage.png, "
+              f"{plot_dir}/saliency_sigma.png")
+
+    if getattr(args, "json", False):
+        out = {
+            "unit": "V per full training-range swing",
+            "channels": list(INPUT_CHANNELS),
+            "n_rows": int(results.array.shape[0]),
+            "classes": {
+                name: {
+                    "voltage": table[name].tolist(),
+                    "sigma": sigma_table[name].tolist(),
+                    "driver": INPUT_CHANNELS[int(np.argmax(table[name]))],
+                }
+                for name in table
+            },
+        }
+        print(json.dumps(out, indent=2, ensure_ascii=False, allow_nan=False))
+        return 0
+
+    print(f"input-channel saliency over {results.array.shape[0]} artifact "
+          "rows (mean |∂v̂/∂x| in volts per full training-range swing):")
+    width = max(len(c) for c in INPUT_CHANNELS)
+    header = "  ".join(f"{c:>{width}}" for c in INPUT_CHANNELS)
+    print(f"{'class':<20} {header}  driver")
+    for name, row in table.items():
+        cells = "  ".join(f"{v:>{width}.3g}" for v in row)
+        driver = INPUT_CHANNELS[int(np.argmax(row))]
+        print(f"{name:<20} {cells}  {driver}")
+    print("aleatoric-σ saliency (same units):")
+    for name, row in sigma_table.items():
+        cells = "  ".join(f"{v:>{width}.3g}" for v in row)
+        driver = INPUT_CHANNELS[int(np.argmax(row))]
+        print(f"{name:<20} {cells}  {driver}")
+    return 0
+
+
 def cmd_export_model(args) -> int:
     """Serialize the checkpoint's eval-mode scorer into a self-contained
     StableHLO artifact (serving/exported.py): MLP weights and both MinMax
@@ -940,6 +1015,12 @@ def cmd_run_all(args) -> int:
     rc = cmd_identify(argparse.Namespace(ckpt=ns.ckpt, mat=mat_path))
     if rc:
         return rc
+    # model-level explainability: per-class input-channel saliency table
+    # + heatmaps (uq/saliency) alongside the risk table's layer attribution
+    rc = cmd_explain(argparse.Namespace(ckpt=ns.ckpt, mat=mat_path,
+                                        plot_dir=plot_dir))
+    if rc:
+        return rc
     print(f"run-all complete → {args.out_dir}")
     return 0
 
@@ -1381,6 +1462,19 @@ def main(argv: Optional[list] = None) -> int:
     idf.add_argument("--plot-dir", default=None,
                      help="save the relative-CI identifiability figure here")
     idf.set_defaults(fn=cmd_identify)
+
+    xp = sub.add_parser(
+        "explain",
+        help="input-channel saliency: which measured input the voltage "
+             "prediction (and its aleatoric σ) leans on, per fault class",
+    )
+    xp.add_argument("--ckpt", required=True)
+    xp.add_argument("--mat", required=True,
+                    help="exported F01_output.mat supplying rows + labels")
+    xp.add_argument("--json", action="store_true")
+    xp.add_argument("--plot-dir", default=None,
+                    help="save the class × channel saliency heatmaps here")
+    xp.set_defaults(fn=cmd_explain)
 
     ex = sub.add_parser(
         "export-model",

@@ -628,3 +628,37 @@ def plot_identifiability(report: Dict, save_path: str):
     for spine in ("top", "right"):
         ax.spines[spine].set_visible(False)
     return _finish(fig, save_path)
+
+
+def plot_saliency(
+    class_table: Dict[str, np.ndarray],
+    channel_names: Sequence[str],
+    save_path: str,
+    unit: str = "V / full-range swing",
+):
+    """Heatmap of mean |input saliency| per class × input channel
+    (``cli explain --plot-dir``; table from ``uq.coarse_class_saliency``).
+    Single sequential hue, value annotations with text color flipped on
+    dark cells — which measured channel the voltage prediction leans on
+    in each operating class."""
+    names = list(class_table.keys())
+    mat = np.stack([np.asarray(class_table[n], float) for n in names])
+    fig, ax = plt.subplots(
+        figsize=(1.05 * mat.shape[1] + 2.2, 0.55 * mat.shape[0] + 1.6)
+    )
+    vmax = float(mat.max()) if mat.size and mat.max() > 0 else 1.0
+    im = ax.imshow(mat, cmap="Blues", vmin=0.0, vmax=vmax, aspect="auto")
+    for i in range(mat.shape[0]):
+        for j in range(mat.shape[1]):
+            v = mat[i, j]
+            ax.text(j, i, f"{v:.3g}", ha="center", va="center", fontsize=7,
+                    color="white" if v > 0.6 * vmax else "#1a1a2e")
+    ax.set_xticks(range(mat.shape[1]), channel_names, fontsize=7,
+                  rotation=30, ha="right")
+    ax.set_yticks(range(mat.shape[0]), names, fontsize=8)
+    ax.set_title("input-channel saliency of the voltage prediction",
+                 fontsize=9)
+    cbar = fig.colorbar(im, ax=ax, shrink=0.85)
+    cbar.set_label(f"mean |∂v̂/∂x| [{unit}]", fontsize=7)
+    cbar.ax.tick_params(labelsize=7)
+    return _finish(fig, save_path)
