@@ -514,6 +514,111 @@ def cmd_explain(args) -> int:
     return 0
 
 
+def cmd_whatif(args) -> int:
+    """Counterfactual recovery (uq/counterfactual): for every alarmed risk
+    condition of the `cli risk` table (04:145-161, dynamic threshold
+    04:389), the minimal actuation — within the training range, frozen
+    channels excluded — that lifts the model's predicted voltage back
+    above the alarm line.  The prescriptive member of the explainability
+    trio: risk says WHEN and which physics layer, explain says which
+    sensor the prediction leans on, whatif says WHAT TO TURN."""
+    import numpy as np
+
+    from pinnfc_tpu.data import load_comprehensive_results
+    from pinnfc_tpu.data.contract import INPUT_CHANNELS
+    from pinnfc_tpu.uq import (
+        CounterfactualConfig,
+        condition_recovery,
+        summarize_recovery,
+    )
+    from pinnfc_tpu.utils import load_checkpoint
+
+    ckpt = load_checkpoint(args.ckpt)
+    if "scaler_x" not in ckpt or "scaler_y" not in ckpt:
+        print(f"{args.ckpt} has no stored scalers — cannot normalize the "
+              "artifact rows", file=sys.stderr)
+        return 2
+    results = load_comprehensive_results(args.mat)
+    cfg = CounterfactualConfig(
+        steps=args.steps, lr=args.lr, alpha=args.alpha, margin=args.margin
+    )
+    actuate = args.actuate.split(",") if args.actuate else None
+    recs = condition_recovery(
+        results, ckpt["params"], ckpt["scaler_x"], ckpt["scaler_y"],
+        config=cfg, actuatable=actuate, max_rows=args.max_rows,
+    )
+
+    summaries = {}
+    for r in recs:
+        if r.report is not None:
+            summaries[f"{r.current_target:.0f}A {r.fault_name}"] = (
+                summarize_recovery(r.report)
+            )
+
+    if getattr(args, "json", False):
+        out = {
+            "unit": "delta as fraction of the channel's training range",
+            "channels": list(INPUT_CHANNELS),
+            "conditions": [
+                {
+                    "fault": r.fault_name,
+                    "current": r.current_target,
+                    "v_threshold": r.v_threshold,
+                    "alarmed": r.idx_v_alarm is not None,
+                    "n_rows": r.n_rows,
+                    **(
+                        {
+                            "recovered_frac": summaries[key]["recovered_frac"],
+                            "dominant": summaries[key]["dominant"],
+                            "mean_delta_range":
+                                summaries[key]["mean_delta_range"].tolist(),
+                        }
+                        if (key := f"{r.current_target:.0f}A {r.fault_name}")
+                        in summaries
+                        else {}
+                    ),
+                }
+                for r in recs
+            ],
+        }
+        print(json.dumps(out, indent=2, ensure_ascii=False, allow_nan=False))
+        return 0
+
+    print("counterfactual recovery per risk condition (mean signed Δ, "
+          "fraction of training range; alarmed rows only):")
+    print(f"{'current':>8} {'fault':>20} {'rows':>5} {'recovered':>9}  "
+          f"knob (Δ physical)")
+    for r in recs:
+        key = f"{r.current_target:.0f}A {r.fault_name}"
+        if r.report is None:
+            print(f"{r.current_target:8.0f} {r.fault_name:>20} {0:>5} "
+                  f"{'-':>9}  never alarmed")
+            continue
+        s = summaries[key]
+        knob = s["dominant"]
+        if knob is None:
+            detail = "no actuation needed"
+        else:
+            k = list(INPUT_CHANNELS).index(knob)
+            moved = ~np.isclose(r.report.delta_range, 0.0).all(axis=1)
+            rows = r.report.delta_phys[moved] if moved.any() else r.report.delta_phys
+            d_phys = float(rows[:, k].mean()) if rows.size else 0.0
+            detail = f"{knob} ({d_phys:+.3g})"
+        print(f"{r.current_target:8.0f} {r.fault_name:>20} {r.n_rows:>5} "
+              f"{s['recovered_frac']:>9.0%}  {detail}")
+
+    plot_dir = getattr(args, "plot_dir", None)
+    if plot_dir and summaries:
+        from pinnfc_tpu.viz import plot_whatif
+
+        os.makedirs(plot_dir, exist_ok=True)
+        table = {k: v["mean_delta_range"] for k, v in summaries.items()}
+        plot_whatif(table, INPUT_CHANNELS,
+                    os.path.join(plot_dir, "whatif_actuation.png"))
+        print(f"figures → {plot_dir}/whatif_actuation.png")
+    return 0
+
+
 def cmd_export_model(args) -> int:
     """Serialize the checkpoint's eval-mode scorer into a self-contained
     StableHLO artifact (serving/exported.py): MLP weights and both MinMax
@@ -1021,6 +1126,14 @@ def cmd_run_all(args) -> int:
                                         plot_dir=plot_dir))
     if rc:
         return rc
+    # prescriptive explainability: per alarmed risk condition, the minimal
+    # actuation that clears the alarm line (uq/counterfactual)
+    rc = cmd_whatif(argparse.Namespace(
+        ckpt=ns.ckpt, mat=mat_path, plot_dir=plot_dir, steps=400, lr=0.05,
+        alpha=0.05, margin=0.01, actuate=None, max_rows=64,
+    ))
+    if rc:
+        return rc
     print(f"run-all complete → {args.out_dir}")
     return 0
 
@@ -1475,6 +1588,33 @@ def main(argv: Optional[list] = None) -> int:
     xp.add_argument("--plot-dir", default=None,
                     help="save the class × channel saliency heatmaps here")
     xp.set_defaults(fn=cmd_explain)
+
+    wi = sub.add_parser(
+        "whatif",
+        help="counterfactual recovery: per alarmed risk condition, the "
+             "minimal in-distribution actuation that lifts the predicted "
+             "voltage back above the alarm line",
+    )
+    wi.add_argument("--ckpt", required=True)
+    wi.add_argument("--mat", required=True,
+                    help="exported F01_output.mat supplying rows + labels")
+    wi.add_argument("--steps", type=int, default=400,
+                    help="Adam iterations of the inverse solve (default 400)")
+    wi.add_argument("--lr", type=float, default=0.05,
+                    help="step size in normalized-input units (default 0.05)")
+    wi.add_argument("--alpha", type=float, default=0.05,
+                    help="minimal-actuation penalty weight (default 0.05)")
+    wi.add_argument("--margin", type=float, default=0.01,
+                    help="volts above the alarm line to target (default 0.01)")
+    wi.add_argument("--actuate", default=None,
+                    help="comma-separated channels the solver may move "
+                         "(default: all but current and coolant_t_out)")
+    wi.add_argument("--max-rows", type=int, default=64,
+                    help="cap alarmed rows per condition, subsampled evenly")
+    wi.add_argument("--json", action="store_true")
+    wi.add_argument("--plot-dir", default=None,
+                    help="save the condition × channel actuation heatmap here")
+    wi.set_defaults(fn=cmd_whatif)
 
     ex = sub.add_parser(
         "export-model",

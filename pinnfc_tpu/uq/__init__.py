@@ -1,3 +1,13 @@
+from pinnfc_tpu.uq.counterfactual import (
+    DEFAULT_ACTUATABLE,
+    ConditionRecovery,
+    CounterfactualConfig,
+    CounterfactualReport,
+    actuatable_mask,
+    condition_recovery,
+    counterfactual_recovery,
+    summarize_recovery,
+)
 from pinnfc_tpu.uq.identifiability import (
     GroupIdentifiability,
     gauss_newton_ci,
@@ -12,14 +22,22 @@ from pinnfc_tpu.uq.saliency import (
 from pinnfc_tpu.uq.mc_dropout import MCSamples, mc_dropout_samples, mc_dropout_samples_loop
 
 __all__ = [
+    "DEFAULT_ACTUATABLE",
+    "ConditionRecovery",
+    "CounterfactualConfig",
+    "CounterfactualReport",
     "GroupIdentifiability",
+    "MCSamples",
     "SaliencyReport",
+    "actuatable_mask",
     "class_mean_saliency",
     "coarse_class_saliency",
-    "input_saliency",
-    "MCSamples",
+    "condition_recovery",
+    "counterfactual_recovery",
     "gauss_newton_ci",
+    "input_saliency",
     "lambda_identifiability",
     "mc_dropout_samples",
     "mc_dropout_samples_loop",
+    "summarize_recovery",
 ]

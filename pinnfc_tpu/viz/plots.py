@@ -662,3 +662,37 @@ def plot_saliency(
     cbar.set_label(f"mean |∂v̂/∂x| [{unit}]", fontsize=7)
     cbar.ax.tick_params(labelsize=7)
     return _finish(fig, save_path)
+
+
+def plot_whatif(
+    rows: Dict[str, np.ndarray],
+    channel_names: Sequence[str],
+    save_path: str,
+    unit: str = "fraction of training range",
+):
+    """Diverging heatmap of the mean SIGNED counterfactual actuation per
+    risk condition × input channel (``cli whatif --plot-dir``; rows from
+    ``uq.summarize_recovery`` keyed by condition name).  Zero-centred
+    RdBu_r so the direction of the suggested move (raise vs lower the
+    actuator) is the visual primary; values annotated."""
+    names = list(rows.keys())
+    mat = np.stack([np.asarray(rows[n], float) for n in names])
+    fig, ax = plt.subplots(
+        figsize=(1.05 * mat.shape[1] + 2.2, 0.55 * mat.shape[0] + 1.6)
+    )
+    vmax = float(np.abs(mat).max()) if mat.size and np.abs(mat).max() > 0 else 1.0
+    im = ax.imshow(mat, cmap="RdBu_r", vmin=-vmax, vmax=vmax, aspect="auto")
+    for i in range(mat.shape[0]):
+        for j in range(mat.shape[1]):
+            v = mat[i, j]
+            ax.text(j, i, f"{v:+.2f}" if v else "0", ha="center", va="center",
+                    fontsize=7,
+                    color="white" if abs(v) > 0.6 * vmax else "#1a1a2e")
+    ax.set_xticks(range(mat.shape[1]), channel_names, fontsize=7,
+                  rotation=30, ha="right")
+    ax.set_yticks(range(mat.shape[0]), names, fontsize=8)
+    ax.set_title("counterfactual recovery actuation (signed)", fontsize=9)
+    cbar = fig.colorbar(im, ax=ax, shrink=0.85)
+    cbar.set_label(f"mean Δ [{unit}]", fontsize=7)
+    cbar.ax.tick_params(labelsize=7)
+    return _finish(fig, save_path)
