@@ -518,10 +518,14 @@ def cmd_whatif(args) -> int:
     """Counterfactual recovery (uq/counterfactual): for every alarmed risk
     condition of the `cli risk` table (04:145-161, dynamic threshold
     04:389), the minimal actuation — within the training range, frozen
-    channels excluded — that lifts the model's predicted voltage back
-    above the alarm line.  The prescriptive member of the explainability
-    trio: risk says WHEN and which physics layer, explain says which
-    sensor the prediction leans on, whatif says WHAT TO TURN."""
+    channels excluded — whose model-predicted voltage GAIN covers the
+    measured shortfall below the alarm line (default; --absolute-target
+    targets the model's own prediction instead — see the
+    uq/counterfactual module docstring for why gain is the right
+    question for a residual-based detector).  The prescriptive member of
+    the explainability trio: risk says WHEN and which physics layer,
+    explain says which sensor the prediction leans on, whatif says WHAT
+    TO TURN."""
     import numpy as np
 
     from pinnfc_tpu.data import load_comprehensive_results
@@ -543,9 +547,11 @@ def cmd_whatif(args) -> int:
         steps=args.steps, lr=args.lr, alpha=args.alpha, margin=args.margin
     )
     actuate = args.actuate.split(",") if args.actuate else None
+    target = "absolute" if getattr(args, "absolute_target", False) else "gain"
     recs = condition_recovery(
         results, ckpt["params"], ckpt["scaler_x"], ckpt["scaler_y"],
         config=cfg, actuatable=actuate, max_rows=args.max_rows,
+        target=target,
     )
 
     summaries = {}
@@ -555,9 +561,18 @@ def cmd_whatif(args) -> int:
                 summarize_recovery(r.report)
             )
 
+    def _mean_short(r):
+        """Mean measured shortfall below the alarm line over solved rows."""
+        if r.report is None or r.report.v_meas is None:
+            return None
+        return float(
+            np.maximum(0.0, r.report.v_target - r.report.v_meas).mean()
+        )
+
     if getattr(args, "json", False):
         out = {
             "unit": "delta as fraction of the channel's training range",
+            "target_mode": target,
             "channels": list(INPUT_CHANNELS),
             "conditions": [
                 {
@@ -566,6 +581,11 @@ def cmd_whatif(args) -> int:
                     "v_threshold": r.v_threshold,
                     "alarmed": r.idx_v_alarm is not None,
                     "n_rows": r.n_rows,
+                    **(
+                        {"mean_short_v": s}
+                        if (s := _mean_short(r)) is not None
+                        else {}
+                    ),
                     **(
                         {
                             "recovered_frac": summaries[key]["recovered_frac"],
@@ -584,17 +604,24 @@ def cmd_whatif(args) -> int:
         print(json.dumps(out, indent=2, ensure_ascii=False, allow_nan=False))
         return 0
 
+    mode_note = (
+        "gain target: Δv̂ must cover the measured shortfall"
+        if target == "gain"
+        else "absolute target: v̂ itself must clear the line"
+    )
     print("counterfactual recovery per risk condition (mean signed Δ, "
-          "fraction of training range; alarmed rows only):")
-    print(f"{'current':>8} {'fault':>20} {'rows':>5} {'recovered':>9}  "
-          f"knob (Δ physical)")
+          f"fraction of training range; alarmed rows only; {mode_note}):")
+    print(f"{'current':>8} {'fault':>20} {'rows':>5} {'short(V)':>8} "
+          f"{'recovered':>9}  knob (Δ physical)")
     for r in recs:
         key = f"{r.current_target:.0f}A {r.fault_name}"
         if r.report is None:
             print(f"{r.current_target:8.0f} {r.fault_name:>20} {0:>5} "
-                  f"{'-':>9}  never alarmed")
+                  f"{'-':>8} {'-':>9}  never alarmed")
             continue
         s = summaries[key]
+        short = _mean_short(r)
+        short_s = f"{short:8.3f}" if short is not None else f"{'-':>8}"
         knob = s["dominant"]
         if knob is None:
             detail = "no actuation needed"
@@ -605,7 +632,7 @@ def cmd_whatif(args) -> int:
             d_phys = float(rows[:, k].mean()) if rows.size else 0.0
             detail = f"{knob} ({d_phys:+.3g})"
         print(f"{r.current_target:8.0f} {r.fault_name:>20} {r.n_rows:>5} "
-              f"{s['recovered_frac']:>9.0%}  {detail}")
+              f"{short_s} {s['recovered_frac']:>9.0%}  {detail}")
 
     plot_dir = getattr(args, "plot_dir", None)
     if plot_dir and summaries:
@@ -1592,8 +1619,8 @@ def main(argv: Optional[list] = None) -> int:
     wi = sub.add_parser(
         "whatif",
         help="counterfactual recovery: per alarmed risk condition, the "
-             "minimal in-distribution actuation that lifts the predicted "
-             "voltage back above the alarm line",
+             "minimal in-distribution actuation whose predicted voltage "
+             "gain covers the measured shortfall below the alarm line",
     )
     wi.add_argument("--ckpt", required=True)
     wi.add_argument("--mat", required=True,
@@ -1611,6 +1638,10 @@ def main(argv: Optional[list] = None) -> int:
                          "(default: all but current and coolant_t_out)")
     wi.add_argument("--max-rows", type=int, default=64,
                     help="cap alarmed rows per condition, subsampled evenly")
+    wi.add_argument("--absolute-target", action="store_true",
+                    help="target the model's own prediction clearing the "
+                         "alarm line instead of the default gain target "
+                         "(Δv̂ covering the measured shortfall)")
     wi.add_argument("--json", action="store_true")
     wi.add_argument("--plot-dir", default=None,
                     help="save the condition × channel actuation heatmap here")

@@ -14,9 +14,25 @@ with a per-sample box-constrained inverse problem
 solved in the normalized input domain (so "minimal" compares across
 channels the same way the model sees them), where
 
-* ``v*`` is the recovery target in volts — by default the same dynamic
-  alarm threshold script 04 uses (V(0) − voltage_drop, 04:389) plus a
-  margin, so "recovered" literally means "above the alarm line";
+* ``v*`` is the recovery target in volts.  Two target modes:
+
+  - **gain mode** (the default for risk conditions): the PINN detects a
+    fault as the RESIDUAL between measured and input-predicted voltage
+    (02:497-545 uses exactly that residual as the fault feature), so at
+    alarmed rows the model's absolute prediction typically still sits
+    above the alarm line — asking it to "predict above the line" is
+    vacuous.  The actionable question is which actuation gains back the
+    MEASURED shortfall, with the model as a local sensitivity
+    surrogate: the solve targets ``v̂(x₀+δ) − v̂(x₀) ≥
+    relu(v_thr + margin − v_meas)``, i.e. the expected measured voltage
+    after actuation ``v_meas + Δv̂`` clears the 04:389 alarm line.
+  - **absolute mode**: target the model's own prediction,
+    ``v̂(x₀+δ) ≥ v* + margin`` — the right question when the model is
+    trusted as the voltage oracle (e.g. healthy-regime setpoint search);
+
+  by default the alarm line is the same dynamic threshold script 04
+  uses (V(0) − voltage_drop, 04:389) plus a margin, so "recovered"
+  literally means "above the alarm line";
 * the box is the MinMax training range (01:271-274), widened per row so
   δ = 0 stays feasible for inputs already outside it: counterfactual
   *actuation* never extrapolates beyond the distribution the model was
@@ -91,8 +107,10 @@ class CounterfactualReport(NamedTuple):
     delta_range: np.ndarray  # (N, 8) delta as a fraction of training range
     v_before: np.ndarray  # (N,) model voltage at x
     v_after: np.ndarray  # (N,) model voltage at x_cf
-    v_target: np.ndarray  # (N,) recovery target (volts)
-    recovered: np.ndarray  # (N,) bool — v_after ≥ v_target
+    v_target: np.ndarray  # (N,) recovery target (volts, absolute)
+    recovered: np.ndarray  # (N,) bool — the mode's recovery criterion
+    v_meas: Optional[np.ndarray] = None  # (N,) measured volts (gain mode)
+    v_expected: Optional[np.ndarray] = None  # (N,) v_meas + (v_after − v_before)
 
 
 def actuatable_mask(channels: Sequence[str]) -> np.ndarray:
@@ -108,11 +126,11 @@ def actuatable_mask(channels: Sequence[str]) -> np.ndarray:
     )
 
 
-@partial(jax.jit, static_argnames=("steps", "precision"))
+@partial(jax.jit, static_argnames=("steps", "gain_mode", "precision"))
 def _recover_jit(
     params,
     x0_norm,  # (N, 8)
-    v_target,  # (N,) volts
+    v_target,  # (N,) volts (absolute) or required gain ≥ 0 (gain mode)
     y_scale,  # () scaler_y affine: v_volts = (v_norm − y_min)/y_scale
     y_min,  # ()
     mask,  # (8,)
@@ -124,9 +142,14 @@ def _recover_jit(
     b2,
     eps,
     steps: int,
+    gain_mode: bool = False,
     precision: str = "highest",
 ):
-    """Adam on δ (N, 8) under one ``lax.scan``; returns (x_cf_norm, v_after volts).
+    """Adam on δ (N, 8) under one ``lax.scan``; returns
+    ``(x_cf_norm, v_after, v_before)`` with voltages in volts.
+
+    In gain mode ``v_target`` carries the required GAIN per row and the
+    hinge targets ``v̂(x₀) + gain``; otherwise it is the absolute target.
 
     The objective is a batch MEAN so lr is batch-size invariant; rows stay
     independent because the model is row-wise (the mean only rescales every
@@ -151,8 +174,12 @@ def _recover_jit(
         )
         return (mean[:, 0] - y_min) / y_scale  # volts
 
+    zeros = jnp.zeros_like(x0_norm)
+    v0 = v_hat(zeros)
+    tgt = v0 + v_target if gain_mode else jnp.broadcast_to(v_target, v0.shape)
+
     def loss(delta):
-        short = jax.nn.relu(v_target - v_hat(delta))
+        short = jax.nn.relu(tgt - v_hat(delta))
         return jnp.mean(short**2) + alpha * jnp.mean((delta * mask) ** 2)
 
     grad = jax.grad(loss)
@@ -168,12 +195,11 @@ def _recover_jit(
         delta = delta - lr * mh / (jnp.sqrt(vh) + eps)
         return (delta, m, v, t), None
 
-    zeros = jnp.zeros_like(x0_norm)
     (delta, _, _, _), _ = jax.lax.scan(
         step, (zeros, zeros, zeros, jnp.zeros((), jnp.int32)), None, length=steps
     )
     x_cf = jnp.clip(x0_norm + delta * mask, lo_eff, hi_eff)
-    return x_cf, v_hat(delta)
+    return x_cf, v_hat(delta), v0
 
 
 def counterfactual_recovery(
@@ -184,13 +210,20 @@ def counterfactual_recovery(
     scaler_y: AffineScaler,
     actuatable: Optional[Sequence[str]] = None,
     config: CounterfactualConfig = CounterfactualConfig(),
+    v_meas: Optional[np.ndarray] = None,
     precision: str = "highest",
 ) -> CounterfactualReport:
     """Solve the recovery problem for every row of ``x_phys`` (N, 8).
 
-    ``v_target`` is in physical volts — scalar or (N,).  The optimization
-    target is ``v_target + margin`` (so ``recovered`` is robust to sitting
-    exactly on the line); the reported ``v_target`` stays the caller's.
+    ``v_target`` is in physical volts — scalar or (N,).  With ``v_meas``
+    (the measured voltage per row) the solve runs in GAIN mode: the
+    required model-voltage gain is ``relu(v_target + margin − v_meas)``
+    and ``recovered`` means the expected measured voltage
+    ``v_meas + (v̂_after − v̂_before)`` clears ``v_target``.  Without it
+    the target is absolute: ``v̂_after ≥ v_target + margin``, recovered
+    when ``v̂_after ≥ v_target``.  Either way the ``margin`` makes
+    ``recovered`` robust to sitting exactly on the line, and the
+    reported ``v_target`` stays the caller's.
     """
     x_phys = np.asarray(x_phys, np.float32)
     if x_phys.ndim != 2 or x_phys.shape[1] != len(INPUT_CHANNELS):
@@ -201,6 +234,11 @@ def counterfactual_recovery(
     v_target = np.broadcast_to(
         np.asarray(v_target, np.float32).reshape(-1), (n,)
     ).copy()
+    gain_mode = v_meas is not None
+    if gain_mode:
+        v_meas = np.broadcast_to(
+            np.asarray(v_meas, np.float32).reshape(-1), (n,)
+        ).copy()
 
     mlp = params["mlp"] if isinstance(params, dict) and "mlp" in params else params
     span = np.asarray(scaler_x.data_max - scaler_x.data_min, np.float64)
@@ -225,9 +263,15 @@ def counterfactual_recovery(
 
     y_scale = np.float32(np.asarray(scaler_y.scale).ravel()[0])
     y_min = np.float32(np.asarray(scaler_y.min).ravel()[0])
-    common = (
+    if gain_mode:
+        # required model-voltage gain; rows at/above the line need none
+        solve_target = np.maximum(0.0, v_target + config.margin - v_meas)
+    else:
+        solve_target = v_target + config.margin
+    x_cf_norm, v_after, v_before = _recover_jit(
+        mlp,
         jnp.asarray(x0_norm, jnp.float32),
-        jnp.asarray(v_target + config.margin, jnp.float32),
+        jnp.asarray(solve_target, jnp.float32),
         jnp.asarray(y_scale),
         jnp.asarray(y_min),
         jnp.asarray(mask),
@@ -238,12 +282,10 @@ def counterfactual_recovery(
         jnp.float32(config.adam_b1),
         jnp.float32(config.adam_b2),
         jnp.float32(config.adam_eps),
+        steps=config.steps,
+        gain_mode=gain_mode,
+        precision=precision,
     )
-    x_cf_norm, v_after = _recover_jit(
-        mlp, *common, steps=config.steps, precision=precision
-    )
-    # v_before shares the jitted program shape (steps=0 => delta=0 forward)
-    _, v_before = _recover_jit(mlp, *common, steps=0, precision=precision)
     # ONE batched fetch (remote-attached TPUs pay ~23 ms per read)
     x_cf_norm, v_after, v_before = (
         np.asarray(a, np.float32)
@@ -259,6 +301,12 @@ def counterfactual_recovery(
     delta_phys = x_cf_phys - x_phys
     safe_span = np.where(span == 0, 1.0, span)
     delta_range = (delta_phys / safe_span[None, :]).astype(np.float32)
+    if gain_mode:
+        v_expected = (v_meas + (v_after - v_before)).astype(np.float32)
+        recovered = v_expected >= v_target
+    else:
+        v_expected = None
+        recovered = v_after >= v_target
     return CounterfactualReport(
         channel_names=INPUT_CHANNELS,
         actuatable=mask.astype(bool),
@@ -269,7 +317,9 @@ def counterfactual_recovery(
         v_before=v_before,
         v_after=v_after,
         v_target=v_target,
-        recovered=v_after >= v_target,
+        recovered=recovered,
+        v_meas=v_meas,
+        v_expected=v_expected,
     )
 
 
@@ -294,6 +344,7 @@ def condition_recovery(
     config: CounterfactualConfig = CounterfactualConfig(),
     actuatable: Optional[Sequence[str]] = None,
     max_rows: int = 64,
+    target: str = "gain",
     precision: str = "highest",
 ):
     """Per-risk-condition counterfactual recovery over an exported artifact.
@@ -301,10 +352,15 @@ def condition_recovery(
     Mirrors the 12-condition table of `cli risk` (04:145-161 conditions,
     04:389 dynamic threshold): for each condition the alarmed tail — rows
     at/after the first measured-voltage crossing of V(0) − voltage_drop —
-    is solved for the minimal actuation that lifts the MODEL's predicted
-    voltage back above that same line.  Row independence lets all
-    conditions share ONE batched solve (one compile, one dispatch); tails
-    longer than ``max_rows`` are subsampled evenly."""
+    is solved for the minimal actuation that recovers the alarm line.
+    ``target='gain'`` (default) solves for the actuation whose
+    model-predicted voltage GAIN covers each row's measured shortfall
+    below the line (the module docstring explains why the absolute
+    prediction is the wrong target for a residual-based detector);
+    ``target='absolute'`` targets the model's own prediction instead.
+    Row independence lets all conditions share ONE batched solve (one
+    compile, one dispatch); tails longer than ``max_rows`` are subsampled
+    evenly."""
     from pinnfc_tpu.config import (
         DEFAULT_RF_CONDITIONS,
         FAULT_NAMES_EN,
@@ -318,6 +374,8 @@ def condition_recovery(
         if isinstance(results, ComprehensiveResults)
         else np.asarray(results)
     )
+    if target not in ("gain", "absolute"):
+        raise ValueError(f"target must be 'gain' or 'absolute'; got {target!r}")
     if conditions is None:
         conditions = DEFAULT_RF_CONDITIONS
     if risk_config is None:
@@ -361,9 +419,15 @@ def condition_recovery(
                 if len(e["rows"])
             ]
         )
+        v_m = (
+            arr[all_rows, INDEX["y_true"]].astype(np.float32)
+            if target == "gain"
+            else None
+        )
         full = counterfactual_recovery(
             params, x, v_t, scaler_x, scaler_y,
-            actuatable=actuatable, config=config, precision=precision,
+            actuatable=actuatable, config=config, v_meas=v_m,
+            precision=precision,
         )
 
     out = []
@@ -384,6 +448,10 @@ def condition_recovery(
                 v_after=full.v_after[sl],
                 v_target=full.v_target[sl],
                 recovered=full.recovered[sl],
+                v_meas=None if full.v_meas is None else full.v_meas[sl],
+                v_expected=(
+                    None if full.v_expected is None else full.v_expected[sl]
+                ),
             )
             off += n
         out.append(

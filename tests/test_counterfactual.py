@@ -187,6 +187,68 @@ class TestRecoverySolve:
         norm = lambda r: float(np.abs(r.delta_range).sum())
         assert norm(big) < norm(small)
 
+    def test_gain_mode_equals_absolute_when_meas_equals_model(self, setup):
+        """With v_meas ≡ v̂(x₀) the gain hinge target v̂₀ + relu(t+m−v̂₀)
+        coincides with the absolute target max(t+m, inactive) — the two
+        modes must produce the identical solve."""
+        params, x_phys, sx, sy = setup
+        v0 = _v_model(params, x_phys, sx, sy)
+        target = v0 + 0.3 * float(v0.std())
+        cfg = CounterfactualConfig(steps=120)
+        absolute = counterfactual_recovery(
+            params, x_phys, target, sx, sy, config=cfg
+        )
+        gain = counterfactual_recovery(
+            params, x_phys, target, sx, sy, config=cfg,
+            v_meas=absolute.v_before,
+        )
+        np.testing.assert_allclose(
+            gain.delta_phys, absolute.delta_phys, atol=2e-4
+        )
+        assert gain.v_meas is not None and gain.v_expected is not None
+        np.testing.assert_allclose(
+            gain.v_expected, gain.v_meas + (gain.v_after - gain.v_before),
+            atol=1e-6,
+        )
+        assert absolute.v_meas is None and absolute.v_expected is None
+
+    def test_gain_mode_measured_above_line_stays_put(self, setup):
+        """Rows whose MEASURED voltage already clears the line need zero
+        gain — exactly zero move even when the model's own prediction
+        sits far below the target."""
+        params, x_phys, sx, sy = setup
+        v0 = _v_model(params, x_phys, sx, sy)
+        target = v0 + 100.0  # model prediction hopelessly below
+        v_meas = target + 1.0  # but the measurement is fine
+        rep = counterfactual_recovery(
+            params, x_phys, target, sx, sy,
+            config=CounterfactualConfig(steps=50), v_meas=v_meas,
+        )
+        np.testing.assert_array_equal(rep.delta_phys, 0.0)
+        assert rep.recovered.all()
+
+    def test_gain_mode_recovers_measured_shortfall(self, setup):
+        """Measured voltage sits below the line; the solve must close the
+        shortfall through the model's input sensitivity and report
+        recovery in EXPECTED-MEASURED terms."""
+        params, x_phys, sx, sy = setup
+        v0 = _v_model(params, x_phys, sx, sy)
+        target = np.full_like(v0, float(np.median(v0)))
+        shortfall = 0.2 * float(v0.std())
+        v_meas = target - shortfall
+        rep = counterfactual_recovery(
+            params, x_phys, target, sx, sy,
+            config=CounterfactualConfig(steps=400, alpha=0.01),
+            v_meas=v_meas,
+        )
+        assert np.abs(rep.delta_phys).max() > 0
+        np.testing.assert_array_equal(
+            rep.recovered, rep.v_expected >= rep.v_target
+        )
+        assert rep.recovered.mean() > 0.5
+        # the gain never overshoots into worse-than-before territory
+        assert ((rep.v_after - rep.v_before) >= -1e-3).all()
+
     def test_bad_shape_raises(self, setup):
         params, x_phys, sx, sy = setup
         with pytest.raises(ValueError, match="x_phys must be"):
@@ -244,6 +306,20 @@ class TestConditionRecovery:
         np.testing.assert_allclose(
             flooding.report.v_target, flooding.v_threshold, atol=1e-6
         )
+        # default target mode is gain: the measured voltages ride along
+        # and recovery is judged in expected-measured terms
+        assert flooding.report.v_meas is not None
+        np.testing.assert_allclose(
+            flooding.report.v_meas,
+            np.clip(flooding.report.v_meas, None, 4.0), atol=1e-6,
+        )
+        assert flooding.report.v_expected is not None
+        np.testing.assert_array_equal(
+            flooding.report.recovered,
+            flooding.report.v_expected >= flooding.report.v_target,
+        )
+        # alarmed rows carry a real measured shortfall → the solver moves
+        assert np.abs(flooding.report.delta_phys).max() > 0
 
         assert oxygen.idx_v_alarm is None
         assert oxygen.report is None and oxygen.n_rows == 0
@@ -264,11 +340,31 @@ class TestConditionRecovery:
         flooding = next(r for r in recs if r.fault_name == "Flooding")
         alone = counterfactual_recovery(
             params, flooding.report.x_phys, flooding.report.v_target,
-            sx, sy, config=cfg,
+            sx, sy, config=cfg, v_meas=flooding.report.v_meas,
         )
         np.testing.assert_allclose(
             flooding.report.delta_phys, alone.delta_phys, atol=2e-4
         )
+
+    def test_absolute_target_mode(self, setup):
+        """target='absolute' reproduces the model-prediction-clears-the-
+        line formulation (no v_meas in the report); bad mode raises."""
+        params, x_phys, sx, sy = setup
+        arr = _make_artifact(params, sx, sy)
+        recs = condition_recovery(
+            arr, params, sx, sy,
+            config=CounterfactualConfig(steps=30), max_rows=8,
+            target="absolute",
+        )
+        flooding = next(r for r in recs if r.fault_name == "Flooding")
+        assert flooding.report.v_meas is None
+        assert flooding.report.v_expected is None
+        np.testing.assert_array_equal(
+            flooding.report.recovered,
+            flooding.report.v_after >= flooding.report.v_target,
+        )
+        with pytest.raises(ValueError, match="target must be"):
+            condition_recovery(arr, params, sx, sy, target="bogus")
 
 
 class TestWhatifCli:
@@ -297,10 +393,21 @@ class TestWhatifCli:
                      "--steps", "60", "--max-rows", "8", "--json"]) == 0
         payload = json.loads(capsys.readouterr().out)
         assert payload["channels"] == list(INPUT_CHANNELS)
+        assert payload["target_mode"] == "gain"
         conds = {(c["current"], c["fault"]): c for c in payload["conditions"]}
         fl = conds[(108.0, "Flooding")]
         assert fl["alarmed"] and fl["n_rows"] > 0
         assert fl["dominant"] is None or fl["dominant"] in INPUT_CHANNELS
         assert len(fl["mean_delta_range"]) == 8
+        assert fl["mean_short_v"] > 0  # measured shortfall below the line
         ox = conds[(270.0, "Oxygen starvation")]
         assert not ox["alarmed"] and "dominant" not in ox
+
+        assert main(["whatif", "--ckpt", ckpt, "--mat", mat,
+                     "--steps", "30", "--max-rows", "4",
+                     "--absolute-target", "--json"]) == 0
+        payload = json.loads(capsys.readouterr().out)
+        assert payload["target_mode"] == "absolute"
+        fl = {(c["current"], c["fault"]): c
+              for c in payload["conditions"]}[(108.0, "Flooding")]
+        assert "mean_short_v" not in fl
