@@ -1373,6 +1373,21 @@ def cmd_monitor(args) -> int:
         name = head.class_names[int(np.argmax(diag_counts))]
         share = diag_counts.max() / max(diag_counts.sum(), 1)
         print(f"online diagnosis while warned: {name} ({share:.0%} of votes)")
+    oob = monitor.stream_oob_counts()
+    if oob.sum() > 0:
+        # input-range drift: the replayed campaign left the checkpoint's
+        # training box on these channels (the model extrapolated there)
+        from pinnfc_tpu.data.contract import INPUT_CHANNELS
+
+        n = monitor.stream_n_seen()
+        names = (INPUT_CHANNELS if len(oob) == len(INPUT_CHANNELS)
+                 else tuple(f"ch{i}" for i in range(len(oob))))
+        top = "  ".join(
+            f"{nm} {c / n:.1%}"
+            for nm, c in sorted(zip(names, oob), key=lambda t: -t[1])
+            if c > 0
+        )
+        print(f"input-range drift (outside training box): {top}")
     return 0
 
 

@@ -99,7 +99,7 @@ def export_monitor_step(
         (state, x_raw f32[b,8], v_meas f32[b], mu f32[5], sigma f32[5])
           -> (state, (rf, rf_smooth, residuals f32[b,5], v_pred, v_alarm,
                       glitch, sensor_alarm, (fault_probs, fault_pred),
-                      layer_scores f32[b,L], layer_c f32[b,L]))
+                      layer_scores f32[b,L], layer_c f32[b,L], oob bool[b]))
 
     ``state`` crosses the boundary as a PLAIN TUPLE in
     ``MonitorState._fields`` order (recorded in the CLI sidecar), not as
@@ -187,6 +187,7 @@ def monitor_from_artifact(
     from pinnfc_tpu.serving.monitor import (
         DEFAULT_GLITCH_ALARM_N,
         STEP_OUT_FIELDS,
+        STEP_SCHEMA_VERSIONS,
         MonitorState,
         OnlineMonitor,
         check_fleet_bank,
@@ -197,19 +198,25 @@ def monitor_from_artifact(
     # reconstruct the output structure to find the state/layer/fault shapes
     # — and to verify this IS a monitor-step artifact (a scorer blob or a
     # foreign export has a different tree and must fail loudly, not with an
-    # opaque unpacking TypeError)
+    # opaque unpacking TypeError).  Field tuples are append-only, so an
+    # artifact exported by an OLDER framework carries a PREFIX of today's
+    # fields (STEP_SCHEMA_VERSIONS) and still loads: missing outputs pack
+    # as None, missing state fields carry through frozen at fresh values.
     try:
         out_struct = jax.tree_util.tree_unflatten(
             exp.out_tree, list(exp.out_avals)
         )
         state_avals, outs_avals = out_struct
-        if (len(state_avals) != len(MonitorState._fields)
-                or len(outs_avals) != len(STEP_OUT_FIELDS)):
+        n_state, n_out = len(state_avals), len(outs_avals)
+        if (n_state, n_out) not in STEP_SCHEMA_VERSIONS:
             raise TypeError
         n_layers = int(
             state_avals[MonitorState._fields.index("layer_c")].shape[0]
         )
         probs_aval = outs_avals[STEP_OUT_FIELDS.index("fault")][0]
+        # raw-input width, for the drift counter: x_raw is the flat input
+        # right after the n_state state leaves, shaped (b, F)
+        n_features = int(exp.in_avals[n_state].shape[1])
     except (TypeError, ValueError, IndexError, AttributeError):
         raise ValueError(
             "not an `export-model --monitor-step` artifact: the output "
@@ -261,14 +268,21 @@ def monitor_from_artifact(
                     f"config defines {len(self.layer_names)} — pass the "
                     "risk config recorded in the artifact's sidecar"
                 )
+            self._n_features = n_features
             self._streams = {"default": self._fresh_state()}
             self._n_seen = {"default": 0}
 
             def step_fn(params, state, x_raw, v_meas, mu_, sigma_):
+                # older artifacts bake a prefix of today's state fields:
+                # feed them the prefix, carry the rest through unchanged
+                # (a pre-drift artifact keeps oob_count frozen at zero)
                 new_state, outs = exp.call(
-                    tuple(state), x_raw, v_meas, mu_, sigma_
+                    tuple(state)[:n_state], x_raw, v_meas, mu_, sigma_
                 )
-                return MonitorState(*new_state), outs
+                new_state = MonitorState(
+                    *new_state, *tuple(state)[n_state:]
+                )
+                return new_state, outs
 
             self._step_fn = step_fn
             self._step = jax.jit(step_fn)

@@ -156,11 +156,21 @@ class DiagnosisHead(NamedTuple):
 
 # Field order of the tuple the jitted step returns as its SECOND element —
 # _pack and the export surface (serving/exported.py) must index it by name
-# through this constant, never by magic position.
+# through this constant, never by magic position.  APPEND-ONLY: exported
+# StableHLO artifacts bake a prefix of this tuple (and of
+# MonitorState._fields), so loaders accept any prefix recorded in
+# STEP_SCHEMA_VERSIONS and new fields must go at the end.
 STEP_OUT_FIELDS = (
     "rf_inst", "rf_smooth", "residuals", "v_pred", "v_alarm", "glitch",
-    "sensor_alarm", "fault", "layer_scores", "layer_c",
+    "sensor_alarm", "fault", "layer_scores", "layer_c", "oob",
 )
+
+# (n state fields, n step-output fields) of every schema an exported
+# monitor-step artifact may carry, newest first: v2 added the input-range
+# drift surface (oob_count state / oob output); v1 predates it.  An old
+# artifact keeps working — its missing fields pack as None / carry
+# through frozen (serving/exported.py).
+STEP_SCHEMA_VERSIONS = ((8, 11), (7, 10))
 
 
 def contributing_layer_names(config) -> tuple:
@@ -213,6 +223,14 @@ class MonitorState(NamedTuple):
     # + w_l·S_l[t] with identical gating, so Σ_l C_l ≡ C — live risk
     # attribution carried across blocks (04:244-264 decomposed)
     layer_c: jnp.ndarray
+    # (F,) cumulative count of samples whose RAW input fell outside the
+    # scaler's training range, per channel — streaming data drift (the
+    # serving counterpart of cli score's normal_oob_frac warning).  The
+    # model extrapolates on such rows; a steadily growing count on one
+    # channel means THAT sensor (or the plant) has left the regime the
+    # model was fit on.  NaN inputs are glitches, not drift (comparisons
+    # with NaN are False, so they never count here).
+    oob_count: jnp.ndarray
 
 
 @dataclasses.dataclass
@@ -243,6 +261,12 @@ class MonitorOutput:
     # row/rowsum at any sample is the exact live attribution of the risk
     # level — read it at the first warn to see which layer drove the alarm
     layer_c: np.ndarray | None = None
+    # (B,) bool — the raw input row left the scaler's training range on at
+    # least one channel (drift; the model extrapolates on these rows).
+    # Per-channel cumulative counts live in the stream state
+    # (MonitorState.oob_count / stream_oob_counts).  None when packing an
+    # old (pre-drift) exported artifact's outputs.
+    oob: np.ndarray | None = None
 
 
 def _rf_block(s_tot, state: MonitorState, cfg: RiskConfig):
@@ -302,6 +326,8 @@ class OnlineMonitor:
         self.params = params
         self.scaler_x = scaler_x
         self.scaler_y = scaler_y
+        # width of the raw-input rows — sizes the per-channel drift counter
+        self._n_features = int(np.asarray(scaler_x.scale).shape[0])
         self.mu = jnp.asarray(mu, jnp.float32)
         self.sigma = jnp.asarray(sigma, jnp.float32)
         self.config = config
@@ -346,6 +372,7 @@ class OnlineMonitor:
             v_first_set=np.bool_(False),
             glitch_run=np.float32(0.0),
             layer_c=np.zeros(len(self.layer_names), np.float32),
+            oob_count=np.zeros(self._n_features, np.int32),
         )
 
     def _build_step(self):
@@ -354,6 +381,10 @@ class OnlineMonitor:
         key_to_idx = {k: i for i, k in enumerate(cfg.res_keys)}
         layer_w = dict(cfg.layer_weights)
         head = self.diagnosis
+        # training-range box for the drift counter (01:271-274 MinMax fit
+        # extrema), baked as jnp constants like the scalers themselves
+        box_lo = jnp.asarray(np.asarray(self.scaler_x.data_min, np.float32))
+        box_hi = jnp.asarray(np.asarray(self.scaler_x.data_max, np.float32))
 
         def step(params, state: MonitorState, x_raw, v_meas, mu, sigma):
             x_norm = self.scaler_x.transform(x_raw)
@@ -443,6 +474,13 @@ class OnlineMonitor:
                 jnp.where(has_finite, cand, 0.0),
             )
             v_first_set = state.v_first_set | has_finite
+
+            # input-range drift: which channels left the training box this
+            # block (NaN compares False on both sides — a glitched sensor
+            # is an outage, not drift, and is counted by glitch_run above)
+            oob_ch = (x_raw < box_lo[None, :]) | (x_raw > box_hi[None, :])
+            oob = jnp.any(oob_ch, axis=1)
+
             new_state = MonitorState(
                 c=c_series[-1],
                 rf_smooth=rf_smooth[-1],
@@ -451,6 +489,8 @@ class OnlineMonitor:
                 v_first_set=v_first_set,
                 glitch_run=glitch_series[-1],
                 layer_c=lc_series[-1],
+                oob_count=state.oob_count
+                + jnp.sum(oob_ch, axis=0, dtype=state.oob_count.dtype),
             )
             # NaN comparisons are False, so pre-baseline (non-finite) samples
             # in the capturing block never alarm; the flag guards the
@@ -477,7 +517,7 @@ class OnlineMonitor:
                 fault = (None, None)
             return new_state, (
                 rf_inst, rf_smooth, r, v_pred, v_alarm, glitch, sensor_alarm,
-                fault, layer_scores, lc_series,
+                fault, layer_scores, lc_series, oob,
             )
 
         return step
@@ -504,23 +544,37 @@ class OnlineMonitor:
     def stream_n_seen(self, stream: str = "default") -> int:
         return self._n_seen.get(stream, 0)
 
+    def stream_oob_counts(self, stream: str = "default") -> np.ndarray:
+        """(F,) cumulative out-of-training-range sample count per input
+        channel for one stream (host copy; fresh zeros for an unknown
+        stream).  Divide by ``stream_n_seen`` for the drift fraction."""
+        state = self._streams.get(stream)
+        if state is None:
+            return np.zeros(self._n_features, np.int64)
+        return np.asarray(jax.device_get(state.oob_count)).astype(np.int64)
+
     def _pack(self, out_host) -> MonitorOutput:
-        (rf_inst, rf_smooth, r, v_pred, v_alarm, glitch, sensor_alarm,
-         (probs, pred), layer_scores, layer_c) = out_host
+        # by-name through STEP_OUT_FIELDS (append-only schema): an exported
+        # artifact from before a field existed returns a shorter tuple and
+        # that field simply packs as None
+        d = dict(zip(STEP_OUT_FIELDS, out_host))
+        probs, pred = d["fault"]
+        rf_smooth = d["rf_smooth"]
         return MonitorOutput(
             rf_smooth=rf_smooth,
-            rf_inst=rf_inst,
-            residuals=r,
-            v_pred=v_pred,
+            rf_inst=d["rf_inst"],
+            residuals=d["residuals"],
+            v_pred=d["v_pred"],
             warn=rf_smooth >= self.config.warn_threshold,
             danger=rf_smooth >= self.config.danger_threshold,
-            v_alarm=v_alarm,
-            glitch=glitch,
-            sensor_alarm=sensor_alarm,
+            v_alarm=d["v_alarm"],
+            glitch=d["glitch"],
+            sensor_alarm=d["sensor_alarm"],
             fault_probs=probs,
             fault_pred=pred,
-            layer_scores=layer_scores,
-            layer_c=layer_c,
+            layer_scores=d["layer_scores"],
+            layer_c=d["layer_c"],
+            oob=d.get("oob"),
         )
 
     def observe(self, x_raw, v_measured, stream: str = "default") -> MonitorOutput:
@@ -666,8 +720,8 @@ class OnlineMonitor:
     def save_state_bank(self, path: str) -> str:
         """Snapshot every stream's RF(t) carry state + counters (npz).
 
-        The bank is six host scalars + the per-layer C_l vector per
-        stream, so a snapshot is
+        The bank is six host scalars + the per-layer C_l and per-channel
+        drift-count vectors per stream, so a snapshot is
         microseconds of pure host work — cheap enough to take after every
         request.  The write is atomic (tmp + rename, same discipline as
         `utils.checkpoint`) so a crash mid-write can never leave a torn
@@ -701,12 +755,13 @@ class OnlineMonitor:
         step keeps its single compile signature across a save/load cycle."""
         d = np.load(path if path.endswith(".npz") else path + ".npz")
         fresh = self._fresh_state()
-        # layer_c may be absent from snapshots written before the live
-        # attribution existed (or under a different layer config): the RF
-        # recurrence itself restores exactly, the attribution restarts
-        # from zero and re-fills with the integral's own ~1/(1−λ) memory
+        # layer_c / oob_count may be absent from snapshots written before
+        # those surfaces existed (or under a different layer config /
+        # feature width): the RF recurrence itself restores exactly; the
+        # attribution restarts from zero and re-fills with the integral's
+        # own ~1/(1−λ) memory, the drift counter restarts from zero
         optional = {
-            f for f in ("layer_c",)
+            f for f in ("layer_c", "oob_count")
             if f"state_{f}" not in d
             or d[f"state_{f}"].shape[1:] != np.asarray(
                 getattr(fresh, f)).shape

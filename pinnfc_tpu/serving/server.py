@@ -15,7 +15,8 @@ invariance the streaming tests prove).
            "fault_names": [...], "n_seen": int,
            "stream": "...", "stream_n_seen": int,
            "layer_names": [...], "layer_scores": [[...]],   (risk attribution)
-           "layer_c": [[...]]}       (per-layer risk-integral composition)
+           "layer_c": [[...]],       (per-layer risk-integral composition)
+           "oob": [...]}             (input-range drift flags per sample)
     POST /observe_many  {"streams": [...], "x": (S,B,8), "v": (S,B)}
         → {"results": {stream: <observe payload>}, "n_seen": int}
         (a whole fleet advances in ONE vmapped device program)
@@ -129,6 +130,10 @@ def _json_payload(out, monitor: OnlineMonitor, stream: str = "default") -> dict:
             for row in np.round(np.asarray(out.layer_c, np.float64), 6)
         ],
     }
+    if out.oob is not None:
+        # input-range drift flags (absent when serving a pre-drift exported
+        # artifact); cumulative per-channel counts are on /metrics
+        payload["oob"] = out.oob.tolist()
     if out.fault_probs is not None:
         probs = np.round(np.asarray(out.fault_probs, np.float64), 6)
         payload["fault_probs"] = [
@@ -218,22 +223,23 @@ def _render_metrics(
         label = f'stream="{_prom_escape(s)}"'
         per_stream.append(
             (label, float(state.rf_smooth), float(state.glitch_run),
-             monitor.stream_n_seen(s), np.asarray(state.layer_c, float))
+             monitor.stream_n_seen(s), np.asarray(state.layer_c, float),
+             np.asarray(state.oob_count, np.int64))
         )
-    for label, rf, _, _, _ in per_stream:
+    for label, rf, _, _, _, _ in per_stream:
         lines.append(f"pinnfc_stream_rf_smooth{{{label}}} {rf:.6g}")
     lines += [
         "# HELP pinnfc_stream_glitch_run Consecutive non-finite samples "
         "ending the stream (sensor-outage indicator).",
         "# TYPE pinnfc_stream_glitch_run gauge",
     ]
-    for label, _, run, _, _ in per_stream:
+    for label, _, run, _, _, _ in per_stream:
         lines.append(f"pinnfc_stream_glitch_run{{{label}}} {run:.6g}")
     lines += [
         "# HELP pinnfc_stream_n_seen Samples scored per stream.",
         "# TYPE pinnfc_stream_n_seen counter",
     ]
-    for label, _, _, n, _ in per_stream:
+    for label, _, _, n, _, _ in per_stream:
         lines.append(f"pinnfc_stream_n_seen{{{label}}} {n}")
     lines += [
         "# HELP pinnfc_stream_layer_c Per-layer risk-integral composition "
@@ -241,13 +247,35 @@ def _render_metrics(
         "stream's risk right now.",
         "# TYPE pinnfc_stream_layer_c gauge",
     ]
-    for label, _, _, _, lc in per_stream:
+    for label, _, _, _, lc, _ in per_stream:
         for name, v in zip(monitor.layer_names, lc):
             lines.append(
                 f'pinnfc_stream_layer_c{{{label},'
                 f'layer="{_prom_escape(name)}"}} {v:.6g}'
             )
+    lines += [
+        "# HELP pinnfc_stream_oob_count Samples outside the training range "
+        "per input channel (data drift: the model extrapolates on these).",
+        "# TYPE pinnfc_stream_oob_count counter",
+    ]
+    for label, _, _, _, _, oob in per_stream:
+        for name, v in zip(_channel_names(len(oob)), oob):
+            lines.append(
+                f'pinnfc_stream_oob_count{{{label},'
+                f'channel="{_prom_escape(name)}"}} {int(v)}'
+            )
     return "\n".join(lines) + "\n"
+
+
+def _channel_names(n: int) -> tuple:
+    """Input-channel labels for the drift metric: the contract's names
+    when the width matches (the usual 8-channel monitor), positional
+    otherwise."""
+    from pinnfc_tpu.data.contract import INPUT_CHANNELS
+
+    if n == len(INPUT_CHANNELS):
+        return tuple(INPUT_CHANNELS)
+    return tuple(f"ch{i}" for i in range(n))
 
 
 def make_server(

@@ -146,7 +146,7 @@ class TestMonitorStepExport:
             state, outs = exp.call(state, x, v, mu, sigma)
             state = jax.device_get(state)
             (rf_inst, rf_smooth, r, v_pred, v_alarm, glitch, sensor_alarm,
-             (probs, pred), layer_scores, layer_c) = jax.device_get(outs)
+             (probs, pred), layer_scores, layer_c, oob) = jax.device_get(outs)
             ref = monitor.observe(x, v)
             close(rf_inst, ref.rf_inst)
             close(rf_smooth, ref.rf_smooth)
@@ -157,6 +157,7 @@ class TestMonitorStepExport:
             np.testing.assert_array_equal(sensor_alarm, ref.sensor_alarm)
             close(layer_scores, ref.layer_scores)
             close(layer_c, ref.layer_c)
+            np.testing.assert_array_equal(oob, ref.oob)
             assert probs is None and pred is None  # no head baked in
         # the carried state round-trips (same tolerance story)
         bank = monitor._streams["default"]
@@ -203,7 +204,7 @@ class TestMonitorStepExport:
         x = rs.randn(6, 8).astype(np.float32)
         v = rs.randn(6).astype(np.float32)
         state, outs = exp.call(tuple(monitor._fresh_state()), x, v, mu, sigma)
-        (*_, (probs, pred), _ls, _lc) = jax.device_get(outs)
+        (*_, (probs, pred), _ls, _lc, _oob) = jax.device_get(outs)
         ref = monitor.observe(x, v)
         np.testing.assert_allclose(np.asarray(probs), ref.fault_probs,
                                    rtol=1e-5, atol=1e-8)
@@ -419,3 +420,71 @@ class TestArtifactMonitor:
         with pytest.raises(ValueError, match="unique"):
             am.observe_many(x, v, ["a", "a"])
         assert am.stream_n_seen("a") == 0  # nothing advanced
+
+
+class TestArtifactSchemaTolerance:
+    """Append-only schema: a monitor-step artifact exported by an OLDER
+    framework (7 state fields / 10 outputs — before the input-drift
+    surface) must keep loading and serving; its missing fields pack as
+    None and carry through frozen (serving/exported.py)."""
+
+    @staticmethod
+    def _v1_blob(monitor):
+        """Build a pre-drift artifact: today's step with the state tuple
+        and output tuple sliced to the v1 schema, exported exactly like
+        export_monitor_step (symbolic batch dim, same platforms)."""
+        from jax import export as jexport
+
+        step_fn = monitor._step_fn
+        state_cls = type(monitor._fresh_state())
+        fresh = tuple(monitor._fresh_state())
+        params = monitor.params
+
+        def v1_fn(state_tuple, x_raw, v_meas, mu_, sigma_):
+            full = state_cls(*state_tuple, *fresh[7:])
+            new_state, outs = step_fn(
+                params, full, x_raw, v_meas, mu_, sigma_
+            )
+            return tuple(new_state)[:7], outs[:10]
+
+        state_spec = tuple(
+            jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype)
+            for a in fresh[:7]
+        )
+        x_shape = jexport.symbolic_shape("b, 8")
+        exp = jexport.export(jax.jit(v1_fn), platforms=list(PLATFORMS))(
+            state_spec,
+            jax.ShapeDtypeStruct(x_shape, jnp.float32),
+            jax.ShapeDtypeStruct((x_shape[0],), jnp.float32),
+            jax.ShapeDtypeStruct((5,), jnp.float32),
+            jax.ShapeDtypeStruct((5,), jnp.float32),
+        )
+        return exp.serialize()
+
+    def test_pre_drift_artifact_loads_and_serves(self, scorer_setup):
+        from pinnfc_tpu.serving import OnlineMonitor
+        from pinnfc_tpu.serving.exported import monitor_from_artifact
+
+        params, sx, sy, rs = scorer_setup
+        mu = np.zeros(5, np.float32)
+        sigma = np.ones(5, np.float32)
+        ref = OnlineMonitor(params, sx, sy, mu, sigma)
+        am = monitor_from_artifact(self._v1_blob(ref), mu, sigma)
+
+        x = rs.randn(12, 8).astype(np.float32)
+        v = rs.randn(12).astype(np.float32)
+        got = am.observe(x, v)
+        want = ref.observe(x, v)
+        np.testing.assert_allclose(got.rf_smooth, want.rf_smooth,
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(got.layer_c, want.layer_c,
+                                   rtol=1e-5, atol=1e-6)
+        # the v1 artifact has no drift surface: outputs pack as None, the
+        # counter stays frozen at zero, and the RF state still advances
+        assert got.oob is None and want.oob is not None
+        assert am.stream_oob_counts().sum() == 0
+        assert am.stream_n_seen() == 12
+        # the carried prefix state matches the full monitor's
+        np.testing.assert_allclose(
+            float(am.state.c), float(ref.state.c), rtol=1e-5, atol=1e-6
+        )

@@ -1463,3 +1463,152 @@ class TestFleetReplay:
         out = capsys.readouterr().out
         assert "fleet replay:" in out
         assert "膜干" in out and "水淹" in out
+
+
+class TestInputDrift:
+    """Streaming input-range drift: MonitorOutput.oob flags + the per-channel
+    cumulative MonitorState.oob_count (the serving counterpart of cli score's
+    normal_oob_frac warning).  The training box is the scaler's MinMax fit
+    range (01:271-274); NaN inputs are glitches, never drift."""
+
+    @staticmethod
+    def _box(d):
+        return (np.asarray(d.scaler_x.data_min, np.float32),
+                np.asarray(d.scaler_x.data_max, np.float32))
+
+    @staticmethod
+    def _fresh(setup):
+        params, d, mu, sigma, _x, _v = setup
+        return OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma,
+                             RiskConfig())
+
+    def test_in_range_rows_never_flag(self, setup):
+        params, d, mu, sigma, x_raw, v_meas = setup
+        lo, hi = self._box(d)
+        m = self._fresh(setup)
+        out = m.observe(np.clip(x_raw[:32], lo, hi), v_meas[:32])
+        assert out.oob is not None
+        assert not out.oob.any()
+        assert m.stream_oob_counts().sum() == 0
+
+    def test_oob_counts_accumulate_per_channel(self, setup):
+        params, d, mu, sigma, x_raw, v_meas = setup
+        lo, hi = self._box(d)
+        span = np.maximum(hi - lo, 1.0)
+        x = np.clip(x_raw[:16], lo, hi).copy()
+        x[0:5, 2] = hi[2] + 0.1 * span[2]   # above the box
+        x[3:6, 6] = lo[6] - 0.1 * span[6]   # below (rows 3,4 overlap ch 2)
+        m = self._fresh(setup)
+        out = m.observe(x, v_meas[:16])
+        want_flag = np.zeros(16, bool)
+        want_flag[0:6] = True
+        np.testing.assert_array_equal(out.oob, want_flag)
+        counts = m.stream_oob_counts()
+        assert counts[2] == 5 and counts[6] == 3
+        assert counts.sum() == 8
+        # a second block keeps accumulating in the stream state
+        m.observe(x, v_meas[:16])
+        counts = m.stream_oob_counts()
+        assert counts[2] == 10 and counts[6] == 6
+        # exactly-on-the-boundary values are IN range (closed box)
+        x_edge = np.clip(x_raw[:4], lo, hi).copy()
+        x_edge[:, 3] = hi[3]
+        out = m.observe(x_edge, v_meas[:4])
+        assert not out.oob.any()
+
+    def test_nan_is_glitch_not_drift(self, setup):
+        params, d, mu, sigma, x_raw, v_meas = setup
+        lo, hi = self._box(d)
+        x = np.clip(x_raw[:8], lo, hi).copy()
+        x[2, :] = np.nan
+        m = self._fresh(setup)
+        out = m.observe(x, v_meas[:8])
+        assert out.glitch[2] and not out.oob[2]
+        assert m.stream_oob_counts().sum() == 0
+
+    def test_observe_many_matches_sequential(self, setup):
+        params, d, mu, sigma, x_raw, v_meas = setup
+        lo, hi = self._box(d)
+        span = np.maximum(hi - lo, 1.0)
+        x = np.clip(x_raw[:24], lo, hi).copy()
+        x[:6, 1] = hi[1] + 0.2 * span[1]
+        xb = np.stack([x[:12], x[12:24]])
+        vb = np.stack([v_meas[:12], v_meas[12:24]])
+        fleet = self._fresh(setup)
+        seq = self._fresh(setup)
+        res = fleet.observe_many(xb, vb, ["a", "b"])
+        for i, s in enumerate(("a", "b")):
+            alone = seq.observe(xb[i], vb[i], stream=s)
+            np.testing.assert_array_equal(res[s].oob, alone.oob)
+            np.testing.assert_array_equal(
+                fleet.stream_oob_counts(s), seq.stream_oob_counts(s)
+            )
+
+    def test_state_bank_roundtrip_and_pre_drift_snapshot(self, setup, tmp_path):
+        params, d, mu, sigma, x_raw, v_meas = setup
+        lo, hi = self._box(d)
+        span = np.maximum(hi - lo, 1.0)
+        x = np.clip(x_raw[:8], lo, hi).copy()
+        x[:, 4] = hi[4] + 0.3 * span[4]
+        m = self._fresh(setup)
+        m.observe(x, v_meas[:8])
+        path = str(tmp_path / "bank.npz")
+        m.save_state_bank(path)
+
+        m2 = self._fresh(setup)
+        m2.load_state_bank(path)
+        np.testing.assert_array_equal(
+            m2.stream_oob_counts(), m.stream_oob_counts()
+        )
+
+        # a snapshot from before the drift counter existed restores with
+        # fresh zeros + a stderr note, and the RF recurrence itself resumes
+        old = {k: v for k, v in np.load(path).items()
+               if k != "state_oob_count"}
+        old_path = str(tmp_path / "old.npz")
+        np.savez(old_path, **old)
+        m3 = self._fresh(setup)
+        m3.load_state_bank(old_path)
+        assert m3.stream_oob_counts().sum() == 0
+        assert float(m3.state.c) == float(m.state.c)
+
+    def test_metrics_and_payload_expose_drift(self, setup):
+        from pinnfc_tpu.serving.server import _json_payload, _render_metrics
+
+        params, d, mu, sigma, x_raw, v_meas = setup
+        lo, hi = self._box(d)
+        span = np.maximum(hi - lo, 1.0)
+        x = np.clip(x_raw[:8], lo, hi).copy()
+        x[:3, 7] = hi[7] + 0.5 * span[7]
+        m = self._fresh(setup)
+        out = m.observe(x, v_meas[:8])
+        payload = _json_payload(out, m)
+        assert payload["oob"] == [True, True, True] + [False] * 5
+        text = _render_metrics(
+            m, {"requests": {}, "observe_seconds": 0.0, "observe_calls": 0}
+        )
+        assert 'pinnfc_stream_oob_count{stream="default",channel="air_flow"} 3' in text
+
+    def test_cli_monitor_prints_drift(self, setup, tmp_path, capsys):
+        """Replaying rows pushed outside the checkpoint's training box
+        surfaces the drift line in cli monitor."""
+        from pinnfc_tpu.cli import main
+        from pinnfc_tpu.data.contract import INDEX, save_comprehensive_results
+        from pinnfc_tpu.utils import save_checkpoint
+
+        params, d, mu, sigma, x_raw, v_meas = setup
+        lo, hi = self._box(d)
+        span = np.maximum(hi - lo, 1.0)
+        arr = np.zeros((64, 22))
+        arr[:, :8] = np.clip(x_raw[:64], lo, hi)
+        arr[10:20, 5] = hi[5] + 0.2 * span[5]
+        arr[:, INDEX["y_true"]] = v_meas[:64]
+        ckpt = str(tmp_path / "ck")
+        save_checkpoint(ckpt, params, d.scaler_x, d.scaler_y)
+        mat = str(tmp_path / "F01.mat")
+        save_comprehensive_results(arr, mat)
+        assert main(["monitor", "--mat", mat, "--ckpt", ckpt,
+                     "--block", "32"]) == 0
+        out = capsys.readouterr().out
+        assert "input-range drift" in out
+        assert "coolant_t_out" in out
