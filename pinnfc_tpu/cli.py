@@ -1316,6 +1316,11 @@ def cmd_monitor(args) -> int:
     )
 
     if getattr(args, "fleet", False):
+        if getattr(args, "whatif", False):
+            print("--whatif applies to a single-stream replay; for the "
+                  "per-condition analysis over the whole fleet use "
+                  "`cli whatif`", file=sys.stderr)
+            return 2
         return _monitor_fleet(monitor, results, args.block)
 
     rows = arr
@@ -1388,6 +1393,38 @@ def cmd_monitor(args) -> int:
             if c > 0
         )
         print(f"input-range drift (outside training box): {top}")
+    if getattr(args, "whatif", False) and first["v_alarm"] is not None:
+        # close the loop prescriptively right here: the minimal actuation
+        # whose predicted voltage gain covers the measured shortfall below
+        # the stream's own dynamic alarm line (uq/counterfactual gain
+        # mode; full per-condition analysis: cli whatif)
+        from pinnfc_tpu.data.contract import INPUT_CHANNELS
+        from pinnfc_tpu.uq import counterfactual_recovery, summarize_recovery
+
+        v_thr = float(monitor.state.v_first) - cfg.voltage_drop
+        tail = np.arange(first["v_alarm"], len(rows))
+        if len(tail) > 64:
+            tail = tail[np.unique(
+                np.linspace(0, len(tail) - 1, 64).round().astype(int)
+            )]
+        rep = counterfactual_recovery(
+            monitor.params, x_raw[tail].astype(np.float32), v_thr,
+            monitor.scaler_x, monitor.scaler_y, v_meas=v_meas[tail],
+        )
+        s = summarize_recovery(rep)
+        if s["dominant"] is None:
+            print("suggested actuation: none (measured voltage already "
+                  "recoverable at the line)")
+        else:
+            k = list(INPUT_CHANNELS).index(s["dominant"])
+            moved = ~np.isclose(rep.delta_range, 0.0).all(axis=1)
+            sel = rep.delta_phys[moved] if moved.any() else rep.delta_phys
+            d_phys = float(sel[:, k].mean()) if sel.size else 0.0
+            print(
+                f"suggested actuation (model-gain counterfactual over "
+                f"{len(tail)} alarmed rows): {s['dominant']} {d_phys:+.3g} "
+                f"→ {s['recovered_frac']:.0%} recover the alarm line"
+            )
     return 0
 
 
@@ -1786,6 +1823,12 @@ def main(argv: Optional[list] = None) -> int:
     m.add_argument("--data-parallel", action="store_true",
                    help="with --fleet: shard the stream axis over all "
                         "visible devices (collective-free)")
+    m.add_argument("--whatif", action="store_true",
+                   help="after the replay, solve the gain-mode "
+                        "counterfactual over the alarmed tail: the minimal "
+                        "in-training-range actuation whose predicted "
+                        "voltage gain covers the measured shortfall below "
+                        "the stream's dynamic alarm line")
     m.set_defaults(fn=cmd_monitor)
 
     sv = sub.add_parser(

@@ -86,6 +86,44 @@ class TestMonitorCli:
             main(["monitor", "--mat", mat, "--ckpt", ckpt,
                   "--glitch-alarm-n", "0"])
 
+    def test_cli_monitor_whatif(self, setup, tmp_path, capsys):
+        """--whatif: after a replay that raised the voltage alarm, the
+        gain-mode counterfactual over the alarmed tail prints a suggested
+        actuation (or an explicit 'none')."""
+        from pinnfc_tpu.cli import main
+        from pinnfc_tpu.data.contract import INDEX, save_comprehensive_results
+        from pinnfc_tpu.utils import save_checkpoint
+
+        params, d, mu, sigma, x_raw, v_meas = setup
+        ckpt = str(tmp_path / "ckpt")
+        save_checkpoint(ckpt, params, d.scaler_x, d.scaler_y)
+        n = len(x_raw)
+        arr = np.zeros((n, 22))
+        arr[:, 0:8] = x_raw
+        arr[:, INDEX["y_true"]] = v_meas
+        arr[n // 2 :, INDEX["y_true"]] -= np.linspace(0, 1.0, n - n // 2)
+        mat = str(tmp_path / "F01.mat")
+        save_comprehensive_results(arr, mat)
+
+        rc = main(["monitor", "--mat", mat, "--ckpt", ckpt, "--whatif"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "suggested actuation" in out
+
+        # without an alarm the flag stays silent
+        arr2 = arr.copy()
+        arr2[:, INDEX["y_true"]] = 3.9  # constant voltage: no alarm ever
+        mat2 = str(tmp_path / "F01_flat.mat")
+        save_comprehensive_results(arr2, mat2)
+        rc = main(["monitor", "--mat", mat2, "--ckpt", ckpt, "--whatif"])
+        assert rc == 0
+        assert "suggested actuation" not in capsys.readouterr().out
+
+        # --whatif is a single-stream analysis: combined with --fleet it
+        # must be rejected loudly, not silently ignored
+        assert main(["monitor", "--mat", mat, "--ckpt", ckpt,
+                     "--fleet", "--whatif"]) == 2
+
 
 class TestOnlineMonitor:
     def test_matches_offline_pipeline(self, setup):
