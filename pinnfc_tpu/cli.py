@@ -460,9 +460,17 @@ def cmd_explain(args) -> int:
         return 2
     results = load_comprehensive_results(args.mat)
     x_raw = results.array[:, [INDEX[f"x{i}"] for i in range(8)]]
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        import jax
+
+        from pinnfc_tpu.parallel import make_mesh
+
+        mesh = make_mesh(jax.device_count())
+        print(f"saliency data-parallel over {jax.device_count()} devices")
     report = input_saliency(
         ckpt["params"], x_raw, ckpt["scaler_x"], ckpt["scaler_y"],
-        labels=results.labels,
+        labels=results.labels, mesh=mesh,
     )
     table = coarse_class_saliency(report, "jac_range")
     sigma_table = coarse_class_saliency(report, "sigma_jac_range")
@@ -548,10 +556,18 @@ def cmd_whatif(args) -> int:
     )
     actuate = args.actuate.split(",") if args.actuate else None
     target = "absolute" if getattr(args, "absolute_target", False) else "gain"
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        import jax
+
+        from pinnfc_tpu.parallel import make_mesh
+
+        mesh = make_mesh(jax.device_count())
+        print(f"recovery solve data-parallel over {jax.device_count()} devices")
     recs = condition_recovery(
         results, ckpt["params"], ckpt["scaler_x"], ckpt["scaler_y"],
         config=cfg, actuatable=actuate, max_rows=args.max_rows,
-        target=target,
+        target=target, mesh=mesh,
     )
 
     summaries = {}
@@ -626,10 +642,7 @@ def cmd_whatif(args) -> int:
         if knob is None:
             detail = "no actuation needed"
         else:
-            k = list(INPUT_CHANNELS).index(knob)
-            moved = ~np.isclose(r.report.delta_range, 0.0).all(axis=1)
-            rows = r.report.delta_phys[moved] if moved.any() else r.report.delta_phys
-            d_phys = float(rows[:, k].mean()) if rows.size else 0.0
+            d_phys = float(s["mean_delta_phys"][s["dominant_index"]])
             detail = f"{knob} ({d_phys:+.3g})"
         print(f"{r.current_target:8.0f} {r.fault_name:>20} {r.n_rows:>5} "
               f"{short_s} {s['recovered_frac']:>9.0%}  {detail}")
@@ -1382,11 +1395,10 @@ def cmd_monitor(args) -> int:
     if oob.sum() > 0:
         # input-range drift: the replayed campaign left the checkpoint's
         # training box on these channels (the model extrapolated there)
-        from pinnfc_tpu.data.contract import INPUT_CHANNELS
+        from pinnfc_tpu.data.contract import channel_names
 
         n = monitor.stream_n_seen()
-        names = (INPUT_CHANNELS if len(oob) == len(INPUT_CHANNELS)
-                 else tuple(f"ch{i}" for i in range(len(oob))))
+        names = channel_names(len(oob))
         top = "  ".join(
             f"{nm} {c / n:.1%}"
             for nm, c in sorted(zip(names, oob), key=lambda t: -t[1])
@@ -1398,7 +1410,6 @@ def cmd_monitor(args) -> int:
         # whose predicted voltage gain covers the measured shortfall below
         # the stream's own dynamic alarm line (uq/counterfactual gain
         # mode; full per-condition analysis: cli whatif)
-        from pinnfc_tpu.data.contract import INPUT_CHANNELS
         from pinnfc_tpu.uq import counterfactual_recovery, summarize_recovery
 
         v_thr = float(monitor.state.v_first) - cfg.voltage_drop
@@ -1416,10 +1427,7 @@ def cmd_monitor(args) -> int:
             print("suggested actuation: none (measured voltage already "
                   "recoverable at the line)")
         else:
-            k = list(INPUT_CHANNELS).index(s["dominant"])
-            moved = ~np.isclose(rep.delta_range, 0.0).all(axis=1)
-            sel = rep.delta_phys[moved] if moved.any() else rep.delta_phys
-            d_phys = float(sel[:, k].mean()) if sel.size else 0.0
+            d_phys = float(s["mean_delta_phys"][s["dominant_index"]])
             print(
                 f"suggested actuation (model-gain counterfactual over "
                 f"{len(tail)} alarmed rows): {s['dominant']} {d_phys:+.3g} "
@@ -1666,6 +1674,8 @@ def main(argv: Optional[list] = None) -> int:
     xp.add_argument("--json", action="store_true")
     xp.add_argument("--plot-dir", default=None,
                     help="save the class × channel saliency heatmaps here")
+    xp.add_argument("--data-parallel", action="store_true",
+                    help="shard the Jacobian rows over all visible devices")
     xp.set_defaults(fn=cmd_explain)
 
     wi = sub.add_parser(
@@ -1697,6 +1707,8 @@ def main(argv: Optional[list] = None) -> int:
     wi.add_argument("--json", action="store_true")
     wi.add_argument("--plot-dir", default=None,
                     help="save the condition × channel actuation heatmap here")
+    wi.add_argument("--data-parallel", action="store_true",
+                    help="shard the solve rows over all visible devices")
     wi.set_defaults(fn=cmd_whatif)
 
     ex = sub.add_parser(

@@ -52,6 +52,16 @@ INPUT_CHANNELS = (
 )
 
 
+def channel_names(n: int) -> tuple:
+    """Input-channel labels for an ``n``-wide vector: the contract's names
+    when the width matches (the usual 8-channel monitor), positional
+    ``chN`` otherwise.  The ONE width-match rule for drift printouts and
+    Prometheus labels."""
+    if n == len(INPUT_CHANNELS):
+        return tuple(INPUT_CHANNELS)
+    return tuple(f"ch{i}" for i in range(n))
+
+
 @dataclasses.dataclass
 class ComprehensiveResults:
     """Typed wrapper over the N×22 results matrix."""

@@ -476,9 +476,13 @@ class OnlineMonitor:
             v_first_set = state.v_first_set | has_finite
 
             # input-range drift: which channels left the training box this
-            # block (NaN compares False on both sides — a glitched sensor
-            # is an outage, not drift, and is counted by glitch_run above)
-            oob_ch = (x_raw < box_lo[None, :]) | (x_raw > box_hi[None, :])
+            # block.  A glitched sensor is an outage, not drift (counted by
+            # glitch_run above) — NaN compares False on both sides already,
+            # but ±inf would satisfy the box comparison, so non-finite
+            # readings are excluded explicitly.
+            oob_ch = jnp.isfinite(x_raw) & (
+                (x_raw < box_lo[None, :]) | (x_raw > box_hi[None, :])
+            )
             oob = jnp.any(oob_ch, axis=1)
 
             new_state = MonitorState(

@@ -268,14 +268,10 @@ def _render_metrics(
 
 
 def _channel_names(n: int) -> tuple:
-    """Input-channel labels for the drift metric: the contract's names
-    when the width matches (the usual 8-channel monitor), positional
-    otherwise."""
-    from pinnfc_tpu.data.contract import INPUT_CHANNELS
+    """Drift-metric channel labels — the contract's single width-match rule."""
+    from pinnfc_tpu.data.contract import channel_names
 
-    if n == len(INPUT_CHANNELS):
-        return tuple(INPUT_CHANNELS)
-    return tuple(f"ch{i}" for i in range(n))
+    return channel_names(n)
 
 
 def make_server(

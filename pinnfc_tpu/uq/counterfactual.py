@@ -212,6 +212,7 @@ def counterfactual_recovery(
     config: CounterfactualConfig = CounterfactualConfig(),
     v_meas: Optional[np.ndarray] = None,
     precision: str = "highest",
+    mesh=None,
 ) -> CounterfactualReport:
     """Solve the recovery problem for every row of ``x_phys`` (N, 8).
 
@@ -224,6 +225,11 @@ def counterfactual_recovery(
     when ``v̂_after ≥ v_target``.  Either way the ``margin`` makes
     ``recovered`` robust to sitting exactly on the line, and the
     reported ``v_target`` stays the caller's.
+
+    With ``mesh`` the rows are sharded over its 'data' axis (edge-row
+    padding, trimmed after): the gradient of the batch-mean hinge is
+    exactly per-row (no cross-row sums appear in the backward pass), so
+    the whole Adam solve runs collective-free on every device's shard.
     """
     x_phys = np.asarray(x_phys, np.float32)
     if x_phys.ndim != 2 or x_phys.shape[1] != len(INPUT_CHANNELS):
@@ -241,7 +247,10 @@ def counterfactual_recovery(
         ).copy()
 
     mlp = params["mlp"] if isinstance(params, dict) and "mlp" in params else params
-    span = np.asarray(scaler_x.data_max - scaler_x.data_min, np.float64)
+    # subtract on host — the scalers may hold device arrays, and a bare
+    # device subtract is an eager op (~10-17 s remote compile on axon)
+    span = (np.asarray(scaler_x.data_max, np.float64)
+            - np.asarray(scaler_x.data_min, np.float64))
     # zero-span channels were constant in training — suggesting actuation
     # on them would be pure extrapolation, so they are frozen regardless
     # of the caller's actuatable set
@@ -268,10 +277,29 @@ def counterfactual_recovery(
         solve_target = np.maximum(0.0, v_target + config.margin - v_meas)
     else:
         solve_target = v_target + config.margin
+    if mesh is None:
+        x0_dev = jnp.asarray(x0_norm, jnp.float32)
+        tgt_dev = jnp.asarray(solve_target, jnp.float32)
+    else:
+        from pinnfc_tpu.parallel.mesh import (
+            batch_sharding, pad_to_multiple, replicate)
+
+        x_pad, _ = pad_to_multiple(
+            np.asarray(x0_norm, np.float32), mesh.shape["data"]
+        )
+        t_pad, _ = pad_to_multiple(
+            np.asarray(solve_target, np.float32), mesh.shape["data"]
+        )
+        x0_dev = jax.device_put(x_pad, batch_sharding(mesh))
+        tgt_dev = jax.device_put(
+            t_pad, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("data"))
+        )
+        mlp = replicate(mesh, mlp)
     x_cf_norm, v_after, v_before = _recover_jit(
         mlp,
-        jnp.asarray(x0_norm, jnp.float32),
-        jnp.asarray(solve_target, jnp.float32),
+        x0_dev,
+        tgt_dev,
         jnp.asarray(y_scale),
         jnp.asarray(y_min),
         jnp.asarray(mask),
@@ -286,9 +314,11 @@ def counterfactual_recovery(
         gain_mode=gain_mode,
         precision=precision,
     )
-    # ONE batched fetch (remote-attached TPUs pay ~23 ms per read)
+    # ONE batched fetch (remote-attached TPUs pay ~23 ms per read); any
+    # mesh pad rows are trimmed on host — a device-side slice would be
+    # an eager op
     x_cf_norm, v_after, v_before = (
-        np.asarray(a, np.float32)
+        np.asarray(a, np.float32)[:n]
         for a in jax.device_get((x_cf_norm, v_after, v_before))
     )
 
@@ -346,6 +376,7 @@ def condition_recovery(
     max_rows: int = 64,
     target: str = "gain",
     precision: str = "highest",
+    mesh=None,
 ):
     """Per-risk-condition counterfactual recovery over an exported artifact.
 
@@ -427,7 +458,7 @@ def condition_recovery(
         full = counterfactual_recovery(
             params, x, v_t, scaler_x, scaler_y,
             actuatable=actuatable, config=config, v_meas=v_m,
-            precision=precision,
+            precision=precision, mesh=mesh,
         )
 
     out = []
@@ -471,16 +502,26 @@ def summarize_recovery(
     report: CounterfactualReport,
 ) -> Dict[str, np.ndarray]:
     """Aggregate a report into the operator-facing row: mean SIGNED delta
-    per channel (fraction of training range, alarmed rows only — rows that
-    needed no move would dilute the signal), the dominant actuator, and
-    the recovered fraction."""
+    per channel (fraction of training range AND physical units, moved rows
+    only — rows that needed no move would dilute the signal), the dominant
+    actuator (name + index), and the recovered fraction.  This is the ONE
+    definition of "moved"/"mean move" — every printout, JSON field and
+    figure reads it from here."""
     moved = ~np.isclose(report.delta_range, 0.0).all(axis=1)
-    rows = report.delta_range[moved] if moved.any() else report.delta_range
-    mean_delta = rows.mean(axis=0) if rows.size else np.zeros(8, np.float32)
+    sel = moved if moved.any() else slice(None)
+    rows = report.delta_range[sel]
+    rows_phys = report.delta_phys[sel]
+    n_ch = len(report.channel_names)
+    mean_delta = rows.mean(axis=0) if rows.size else np.zeros(n_ch, np.float32)
+    mean_phys = (
+        rows_phys.mean(axis=0) if rows_phys.size else np.zeros(n_ch, np.float32)
+    )
     k = int(np.argmax(np.abs(mean_delta))) if np.abs(mean_delta).max() > 0 else -1
     return {
         "mean_delta_range": mean_delta,
+        "mean_delta_phys": mean_phys,
         "dominant": report.channel_names[k] if k >= 0 else None,
+        "dominant_index": k,
         "recovered_frac": float(report.recovered.mean()) if len(
             report.recovered
         ) else float("nan"),

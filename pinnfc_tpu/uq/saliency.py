@@ -86,6 +86,7 @@ def input_saliency(
     scaler_y: AffineScaler,
     labels: Optional[np.ndarray] = None,
     precision: str = "highest",
+    mesh=None,
 ) -> SaliencyReport:
     """Saliency report over physical-domain rows ``x_phys`` (N, 8).
 
@@ -95,6 +96,12 @@ def input_saliency(
     calibration multiplies by the training span ``data_max − data_min``
     (zero-span channels were constant in training — their span is reported
     as 0, i.e. "no in-distribution swing exists").
+
+    With ``mesh`` the rows are sharded over its 'data' axis (edge-row
+    padding to a multiple of the axis size, trimmed after): each Jacobian
+    row depends only on its own input row, so the sharded program needs
+    no collectives at all — the same argument that makes the batch-sum
+    gradient exact makes it embarrassingly parallel.
     """
     x_phys = np.asarray(x_phys, np.float32)
     if x_phys.ndim != 2 or x_phys.shape[1] != len(INPUT_CHANNELS):
@@ -102,15 +109,33 @@ def input_saliency(
             f"x_phys must be (N, {len(INPUT_CHANNELS)}); got {x_phys.shape}"
         )
     mlp = params["mlp"] if isinstance(params, dict) and "mlp" in params else params
+    n = x_phys.shape[0]
     # transform stays in numpy for numpy input — no eager device dispatch
-    x_norm = jnp.asarray(scaler_x.transform(x_phys))
+    x_norm_np = scaler_x.transform(x_phys)
+    if mesh is not None:
+        from pinnfc_tpu.parallel.mesh import (
+            batch_sharding, pad_to_multiple, replicate)
+
+        x_pad, _ = pad_to_multiple(
+            np.asarray(x_norm_np, np.float32), mesh.shape["data"]
+        )
+        x_norm = jax.device_put(x_pad, batch_sharding(mesh))
+        mlp = replicate(mesh, mlp)
+    else:
+        x_norm = jnp.asarray(x_norm_np)
     jac_v, jac_s = _saliency_jit(mlp, x_norm, precision=precision)
-    # ONE batched fetch (remote-attached TPUs pay ~23 ms per read)
-    jac_v, jac_s = (np.asarray(a, np.float32) for a in jax.device_get((jac_v, jac_s)))
+    # ONE batched fetch (remote-attached TPUs pay ~23 ms per read); any
+    # pad rows are trimmed on host — a device-side slice would be an
+    # eager op
+    jac_v, jac_s = (np.asarray(a, np.float32)[:n]
+                    for a in jax.device_get((jac_v, jac_s)))
 
     s_x = np.asarray(scaler_x.scale, np.float64)
     s_y = float(np.asarray(scaler_y.scale, np.float64).ravel()[0])
-    span = np.asarray(scaler_x.data_max - scaler_x.data_min, np.float64)
+    # subtract on host — scalers may hold device arrays; a bare device
+    # subtract would be an eager op (~10-17 s remote compile on axon)
+    span = (np.asarray(scaler_x.data_max, np.float64)
+            - np.asarray(scaler_x.data_min, np.float64))
 
     jac_phys = jac_v * (s_x / s_y)[None, :]
     jac_range = jac_phys * span[None, :]

@@ -583,7 +583,16 @@ def plot_identifiability(report: Dict, save_path: str):
     rows = []  # (label, rel_halfwidth or None, flag)
     for g, gi in report.items():
         for i in range(len(gi.values)):
+            # physical identity (models/pinn.py LAMBDA_NAMES via gi.names,
+            # the same names `cli identify`/`cli inspect` print), kept
+            # tick-sized: the symbol part before the " — " gloss, else a
+            # truncated gloss
             label = f"{g}[{i}]"
+            if i < len(gi.names):
+                short = gi.names[i].split(" — ")[0]
+                if len(short) > 26:
+                    short = short[:25] + "…"
+                label = f"{label} {short}"
             if not gi.identifiable[i]:
                 rows.append((label, None, "unidentifiable"))
             elif gi.at_bound[i]:

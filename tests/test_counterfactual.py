@@ -411,3 +411,35 @@ class TestWhatifCli:
         fl = {(c["current"], c["fault"]): c
               for c in payload["conditions"]}[(108.0, "Flooding")]
         assert "mean_short_v" not in fl
+
+    def test_cli_whatif_data_parallel(self, tmp_path, setup, capsys):
+        """--data-parallel shards the solve over the mesh and reproduces
+        the single-device table (row independence)."""
+        import jax
+        import scipy.io
+
+        from pinnfc_tpu.cli import main
+        from pinnfc_tpu.utils import save_checkpoint
+
+        if jax.device_count() < 2:
+            pytest.skip("needs the multi-device CPU simulation")
+        params, x_phys, sx, sy = setup
+        ckpt = str(tmp_path / "ck")
+        save_checkpoint(ckpt, {"mlp": params}, sx, sy)
+        arr = _make_artifact(params, sx, sy)
+        mat = str(tmp_path / "F01.mat")
+        scipy.io.savemat(mat, {"comprehensive_results": arr})
+
+        args = ["whatif", "--ckpt", ckpt, "--mat", mat,
+                "--steps", "60", "--max-rows", "8", "--json"]
+        assert main(args) == 0
+        single = json.loads(capsys.readouterr().out)
+        assert main(args + ["--data-parallel"]) == 0
+        raw = capsys.readouterr().out
+        dp = json.loads(raw[raw.index("{"):])  # skip the mesh banner line
+        for a, b in zip(single["conditions"], dp["conditions"]):
+            assert a["fault"] == b["fault"] and a["alarmed"] == b["alarmed"]
+            if "mean_delta_range" in a:
+                np.testing.assert_allclose(
+                    b["mean_delta_range"], a["mean_delta_range"], atol=5e-4
+                )

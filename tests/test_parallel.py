@@ -569,3 +569,113 @@ class TestHloCollectiveGuards:
             mlp, xs, jax.random.PRNGKey(1), mc_times=8, dropout=0.4, chunk=4
         ).compile().as_text()
         self._assert_psum_only(self._collectives(txt), expect_all_reduce=0)
+
+
+class TestShardedExplainability:
+    """Round-4: the explainability surfaces shard over the mesh 'data' axis
+    like every other device program.  Saliency Jacobian rows and the
+    counterfactual per-row Adam solves are row-independent, so the sharded
+    run must reproduce the single-device result (up to the batch-mean's
+    1/N_pad rescale rounding in the solver) and the compiled programs must
+    stay collective-free (the primal scalar reductions are dead code once
+    only the gradients are returned)."""
+
+    @staticmethod
+    def _setup(n=52):  # NOT divisible by 8 — exercises the pad/trim path
+        from pinnfc_tpu.data.scaling import AffineScaler
+        from pinnfc_tpu.models.mlp import init_mlp
+
+        rs = np.random.RandomState(0)
+        lo = np.array([50, 1.0, 20, 100, 100, 30, 5, 50], float)
+        hi = np.array([800, 3.5, 35, 160, 140, 75, 40, 400], float)
+        x_phys = (lo + (hi - lo) * rs.rand(n, 8)).astype(np.float32)
+        y_phys = (300 + 60 * rs.rand(n, 1)).astype(np.float32)
+        scaler_x = AffineScaler.fit(x_phys)
+        scaler_y = AffineScaler.fit(y_phys)
+        params = init_mlp(jax.random.PRNGKey(3), (8, 16, 1))
+        return params, x_phys, y_phys, scaler_x, scaler_y
+
+    def test_saliency_mesh_parity(self, mesh8):
+        from pinnfc_tpu.uq import input_saliency
+
+        params, x, _y, sx, sy = self._setup()
+        a = input_saliency(params, x, sx, sy)
+        b = input_saliency(params, x, sx, sy, mesh=mesh8)
+        for f in ("jac_norm", "jac_phys", "jac_range", "sigma_jac_range"):
+            np.testing.assert_allclose(
+                getattr(b, f), getattr(a, f), rtol=0,
+                atol=1e-6 * max(np.abs(getattr(a, f)).max(), 1.0),
+                err_msg=f,
+            )
+        assert b.jac_norm.shape == (52, 8)
+
+    def test_counterfactual_mesh_parity(self, mesh8):
+        from pinnfc_tpu.uq import CounterfactualConfig, counterfactual_recovery
+
+        params, x, _y, sx, sy = self._setup()
+        rs = np.random.RandomState(1)
+        v_thr = np.full(52, 330.0, np.float32)
+        v_meas = (v_thr - 5.0 * rs.rand(52)).astype(np.float32)
+        cfg = CounterfactualConfig(steps=60)
+        a = counterfactual_recovery(params, x, v_thr, sx, sy,
+                                    config=cfg, v_meas=v_meas)
+        b = counterfactual_recovery(params, x, v_thr, sx, sy,
+                                    config=cfg, v_meas=v_meas, mesh=mesh8)
+        # the padded solve rescales every per-row gradient by
+        # (1/N_pad)·N_pad instead of (1/N)·N — identical mathematics,
+        # ~1 ulp/step of f32 rounding difference through 60 Adam steps
+        np.testing.assert_allclose(b.delta_range, a.delta_range,
+                                   rtol=0, atol=5e-4)
+        np.testing.assert_allclose(b.v_after, a.v_after, rtol=0, atol=5e-3)
+        np.testing.assert_array_equal(b.recovered.shape, (52,))
+
+    def test_saliency_sharded_collective_free(self, mesh8):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pinnfc_tpu.parallel.mesh import batch_sharding
+        from pinnfc_tpu.uq.saliency import _saliency_jit
+
+        params, x, _y, sx, _sy = self._setup(n=64)
+        mlp = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, NamedSharding(mesh8, P())), params
+        )
+        xs = jax.device_put(
+            np.asarray(sx.transform(x), np.float32), batch_sharding(mesh8)
+        )
+        txt = _saliency_jit.lower(mlp, xs).compile().as_text()
+        TestHloCollectiveGuards()._assert_psum_only(
+            TestHloCollectiveGuards._collectives(txt), expect_all_reduce=0
+        )
+
+    def test_counterfactual_sharded_collective_free(self, mesh8):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from pinnfc_tpu.parallel.mesh import batch_sharding
+        from pinnfc_tpu.uq.counterfactual import _recover_jit
+
+        params, x, _y, sx, sy = self._setup(n=64)
+        mlp = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, NamedSharding(mesh8, P())), params
+        )
+        x0 = jax.device_put(
+            np.asarray(sx.transform(x), np.float32), batch_sharding(mesh8)
+        )
+        tgt = jax.device_put(
+            np.ones(64, np.float32),
+            NamedSharding(mesh8, P("data")),
+        )
+        box = np.asarray(sx.transform(np.stack([
+            np.asarray(sx.data_min, np.float32),
+            np.asarray(sx.data_max, np.float32),
+        ])), np.float32)
+        txt = _recover_jit.lower(
+            mlp, x0, tgt,
+            jnp.float32(1.0), jnp.float32(0.0),
+            jnp.ones(8, jnp.float32), jnp.asarray(box[0]), jnp.asarray(box[1]),
+            jnp.float32(0.05), jnp.float32(0.05), jnp.float32(0.9),
+            jnp.float32(0.999), jnp.float32(1e-8),
+            steps=10, gain_mode=True,
+        ).compile().as_text()
+        TestHloCollectiveGuards()._assert_psum_only(
+            TestHloCollectiveGuards._collectives(txt), expect_all_reduce=0
+        )

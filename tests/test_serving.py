@@ -1564,6 +1564,20 @@ class TestInputDrift:
         assert out.glitch[2] and not out.oob[2]
         assert m.stream_oob_counts().sum() == 0
 
+    def test_inf_is_glitch_not_drift(self, setup):
+        # ±inf satisfies the box comparison (unlike NaN) — a sensor stuck
+        # at inf is an outage and must not inflate the drift counters
+        params, d, mu, sigma, x_raw, v_meas = setup
+        lo, hi = self._box(d)
+        x = np.clip(x_raw[:8], lo, hi).copy()
+        x[1, 4] = np.inf
+        x[3, 6] = -np.inf
+        m = self._fresh(setup)
+        out = m.observe(x, v_meas[:8])
+        assert out.glitch[1] and out.glitch[3]
+        assert not out.oob[1] and not out.oob[3]
+        assert m.stream_oob_counts().sum() == 0
+
     def test_observe_many_matches_sequential(self, setup):
         params, d, mu, sigma, x_raw, v_meas = setup
         lo, hi = self._box(d)
