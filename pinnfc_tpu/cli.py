@@ -368,11 +368,18 @@ def cmd_identify(args) -> int:
     x_norm = np.asarray(
         ckpt["scaler_x"].transform(x_raw.astype(np.float32)), np.float32
     )
-    import jax.numpy as jnp
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        import jax
 
+        from pinnfc_tpu.parallel import make_mesh
+
+        mesh = make_mesh(jax.device_count())
+        print(f"residual Jacobians data-parallel over "
+              f"{jax.device_count()} devices")
     report = lambda_identifiability(
-        ckpt["params"], jnp.asarray(x_norm), ckpt["scaler_x"],
-        ckpt["scaler_y"],
+        ckpt["params"], x_norm, ckpt["scaler_x"], ckpt["scaler_y"],
+        mesh=mesh,
     )
 
     if getattr(args, "plot_dir", None):
@@ -1661,6 +1668,9 @@ def main(argv: Optional[list] = None) -> int:
     idf.add_argument("--json", action="store_true")
     idf.add_argument("--plot-dir", default=None,
                      help="save the relative-CI identifiability figure here")
+    idf.add_argument("--data-parallel", action="store_true",
+                     help="shard the residual Jacobian rows over all "
+                          "visible devices")
     idf.set_defaults(fn=cmd_identify)
 
     xp = sub.add_parser(

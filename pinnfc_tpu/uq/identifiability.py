@@ -168,13 +168,29 @@ def lambda_identifiability(
     groups: Sequence[str] = ("lam_v", "lam_t", "lam_h", "lam_o"),
     z: float = 1.959964,
     bound_rtol: float = 1e-4,
+    mesh=None,
 ) -> Dict[str, GroupIdentifiability]:
     """Identifiability report for every λ group at the trained optimum.
 
     ``x_norm`` are normalized input rows (the same domain the stages
     trained on); pass the training or exported-artifact rows.  One jitted
     residual+Jacobian evaluation per group; interval math on the host.
+
+    With ``mesh`` the residual rows shard over its 'data' axis (edge-row
+    padding, trimmed on host BEFORE the interval math so pad rows never
+    bias σ²/dof): each residual row depends only on its own input row,
+    so the Jacobian programs run collective-free on every shard.
     """
+    n = int(x_norm.shape[0])
+    if mesh is not None:
+        from pinnfc_tpu.parallel.mesh import (
+            batch_sharding, pad_to_multiple, replicate)
+
+        x_pad, _ = pad_to_multiple(
+            np.asarray(x_norm, np.float32), mesh.shape["data"]
+        )
+        x_norm = jax.device_put(x_pad, batch_sharding(mesh))
+        params = replicate(mesh, params)
     out: Dict[str, GroupIdentifiability] = {}
     for group in groups:
         if group == "lam_v":
@@ -182,6 +198,7 @@ def lambda_identifiability(
         else:
             r, jac = _r_and_jac_residual(params, x_norm, scaler_x, group)
         r, jac = jax.device_get((r, jac))
+        r, jac = np.asarray(r)[:n], np.asarray(jac)[:n]
         (stderr, sens, identifiable, dof, sigma2, n_used,
          corr) = gauss_newton_ci(r, jac, z)
         lam = np.asarray(params[group], np.float64).ravel()

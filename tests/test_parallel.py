@@ -679,3 +679,27 @@ class TestShardedExplainability:
         TestHloCollectiveGuards()._assert_psum_only(
             TestHloCollectiveGuards._collectives(txt), expect_all_reduce=0
         )
+
+    def test_identifiability_mesh_parity(self, mesh8):
+        """The λ-identifiability Jacobians shard by row; pad rows are
+        trimmed BEFORE the interval math, so the mesh report must equal
+        the single-device one (same σ², dof, CIs) to f32 evaluation
+        noise."""
+        from pinnfc_tpu.models.pinn import init_pinn
+        from pinnfc_tpu.uq import lambda_identifiability
+
+        params, x, _y, sx, sy = self._setup()  # 52 rows — pad/trim path
+        pinn = init_pinn(jax.random.PRNGKey(2), (8, 16, 1))
+        xn = np.asarray(sx.transform(x), np.float32)
+        a = lambda_identifiability(pinn, xn, sx, sy)
+        b = lambda_identifiability(pinn, xn, sx, sy, mesh=mesh8)
+        assert set(a) == set(b)
+        for g in a:
+            assert a[g].n_residuals == b[g].n_residuals
+            assert a[g].n_dropped == b[g].n_dropped
+            assert a[g].dof == b[g].dof
+            np.testing.assert_allclose(b[g].sigma2, a[g].sigma2,
+                                       rtol=1e-5, atol=1e-12)
+            np.testing.assert_allclose(b[g].stderr, a[g].stderr,
+                                       rtol=1e-4, atol=1e-12)
+            np.testing.assert_array_equal(b[g].identifiable, a[g].identifiable)
