@@ -1548,6 +1548,32 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Deployment self-check: environment, caches, backend reachability,
+    and optional checkpoint/artifact pre-flight (see utils/doctor.py).
+
+    The reference has no equivalent — its scripts assume a healthy local
+    torch install.  On a relay-attached TPU the failure modes (stalled
+    handshakes, poisoned compile caches, cpu-only artifacts on a TPU
+    host) deserve a bounded first-line diagnostic."""
+    from pinnfc_tpu.utils.doctor import run_doctor
+
+    checks = run_doctor(
+        probe_timeout=args.probe_timeout,
+        platform=args.platform,
+        skip_probe=args.skip_probe,
+        smoke=args.smoke,
+        ckpt=args.ckpt,
+        artifact=args.artifact,
+    )
+    if args.json:
+        print(json.dumps(checks))
+    else:
+        for c in checks:
+            print(f"[{'ok' if c['ok'] else 'FAIL':>4}] {c['name']:<18} {c['detail']}")
+    return 0 if all(c["ok"] for c in checks) else 1
+
+
 def cmd_bench(args) -> int:
     try:
         import bench
@@ -1883,6 +1909,32 @@ def main(argv: Optional[list] = None) -> int:
                          "devices (fleet scoring is collective-free; capacity "
                          "scales linearly with chips)")
     sv.set_defaults(fn=cmd_serve)
+
+    dr = sub.add_parser(
+        "doctor",
+        help="deployment self-check: env, caches, backend probe, "
+             "checkpoint/artifact pre-flight (bounded; relay-outage safe)",
+    )
+    dr.add_argument("--platform", default=None,
+                    help="pin the probed backend (e.g. 'cpu' to bypass a "
+                         "stalled relay, 'axon' to demand the TPU)")
+    dr.add_argument("--probe-timeout", type=float, default=600.0,
+                    help="seconds before the backend probe subprocess is "
+                         "declared stalled (default 600)")
+    dr.add_argument("--skip-probe", action="store_true",
+                    help="skip backend initialization entirely (filesystem/"
+                         "env checks only — never touches the relay)")
+    dr.add_argument("--smoke", action="store_true",
+                    help="also run 101 toy Adam steps end-to-end in a "
+                         "bounded subprocess (compile+execute+readback)")
+    dr.add_argument("--ckpt", default=None,
+                    help="pre-flight a checkpoint: raw CPU load + sidecar")
+    dr.add_argument("--artifact", default=None,
+                    help="pre-flight a StableHLO artifact: deserialize and "
+                         "report its lowered platforms (no execution)")
+    dr.add_argument("--json", action="store_true",
+                    help="emit the check list as one JSON array")
+    dr.set_defaults(fn=cmd_doctor)
 
     b = sub.add_parser("bench", help="headline benchmark (one JSON line)")
     b.set_defaults(fn=cmd_bench)
