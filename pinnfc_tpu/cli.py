@@ -529,6 +529,56 @@ def cmd_explain(args) -> int:
     return 0
 
 
+def cmd_conformal(args) -> int:
+    """Split-conformal analysis of an exported artifact (uq/conformal):
+    a distribution-free 1−α coverage guarantee for the voltage interval
+    v̂ ± q̂·σ̂ calibrated on held-out normal rows, per-fault miscoverage
+    (the diagnostic signal), and the normal-vs-fault detection AUC of the
+    calibrated anomaly score 1−p.  The guarantee the reference's raw
+    ±2σ MC-dropout bands (01:1516-1529) never had."""
+    import numpy as np
+
+    from pinnfc_tpu.data import load_comprehensive_results
+    from pinnfc_tpu.uq import conformal_report
+
+    results = load_comprehensive_results(args.mat)
+    rep = conformal_report(
+        results.array, alpha=args.alpha, score=args.score,
+        calib_frac=args.calib_frac, seed=args.seed,
+    )
+
+    plot_dir = getattr(args, "plot_dir", None)
+    if plot_dir:
+        from pinnfc_tpu.viz import plot_conformal
+
+        os.makedirs(plot_dir, exist_ok=True)
+        path = os.path.join(plot_dir, "conformal_coverage.png")
+        plot_conformal(rep, path)
+        print(f"figure → {path}")
+
+    if getattr(args, "json", False):
+        print(json.dumps(rep.to_dict(), indent=2, allow_nan=False,
+                         default=lambda o: None))
+        return 0
+
+    kind = ("|res|/σ̂ (adaptive width)" if rep.score == "adaptive"
+            else "|res| (constant width)")
+    print(f"split conformal at α={rep.alpha:g}, score {kind}: "
+          f"q̂={rep.q_hat:.4g} from {rep.n_calib} calibration normals"
+          + (f" ({rep.n_dropped} non-finite dropped)" if rep.n_dropped else ""))
+    print(f"{'class':>6} {'n':>6} {'coverage':>9} {'width[V]':>9} "
+          f"{'median p':>9} {'p<α':>7}")
+    for c in rep.classes:
+        tag = "normal" if c.label == 0 else f"f{c.label:02d}"
+        print(f"{tag:>6} {c.n:>6} {c.coverage:>9.3f} {c.mean_width:>9.3g} "
+              f"{c.median_p:>9.3f} {c.frac_low_p:>7.3f}")
+    ne = rep.normal_eval
+    print(f"held-out normal coverage {ne.coverage:.3f} vs guaranteed "
+          f"≥ {1 - rep.alpha:g}; conformal detection AUC "
+          f"{rep.detection_auc:.4f}")
+    return 0
+
+
 def cmd_whatif(args) -> int:
     """Counterfactual recovery (uq/counterfactual): for every alarmed risk
     condition of the `cli risk` table (04:145-161, dynamic threshold
@@ -1181,6 +1231,14 @@ def cmd_run_all(args) -> int:
     ))
     if rc:
         return rc
+    # calibrated-uncertainty audit: split-conformal coverage of the
+    # voltage interval + per-fault miscoverage diagnostic (uq/conformal)
+    rc = cmd_conformal(argparse.Namespace(
+        mat=mat_path, alpha=0.1, score="adaptive", calib_frac=0.5, seed=0,
+        plot_dir=plot_dir,
+    ))
+    if rc:
+        return rc
     print(f"run-all complete → {args.out_dir}")
     return 0
 
@@ -1746,6 +1804,30 @@ def main(argv: Optional[list] = None) -> int:
     wi.add_argument("--data-parallel", action="store_true",
                     help="shard the solve rows over all visible devices")
     wi.set_defaults(fn=cmd_whatif)
+
+    cf = sub.add_parser(
+        "conformal",
+        help="split-conformal coverage analysis of an exported artifact: "
+             "distribution-free voltage intervals calibrated on normal "
+             "rows, per-fault miscoverage, calibrated anomaly p-values",
+    )
+    cf.add_argument("--mat", required=True)
+    cf.add_argument("--alpha", type=float, default=0.1,
+                    help="miscoverage level (default 0.1 → 90%% intervals)")
+    cf.add_argument("--score", choices=("adaptive", "absolute"),
+                    default="adaptive",
+                    help="adaptive = |res|/sqrt(ale²+epi²) (width tracks "
+                         "the model's σ̂); absolute = |res| (the score the "
+                         "streaming monitor evaluates online)")
+    cf.add_argument("--calib-frac", type=float, default=0.5,
+                    help="fraction of normal rows consumed for calibration "
+                         "(rest = honest held-out coverage; default 0.5)")
+    cf.add_argument("--seed", type=int, default=0,
+                    help="calibration/evaluation split seed (default 0)")
+    cf.add_argument("--json", action="store_true")
+    cf.add_argument("--plot-dir", default=None,
+                    help="save the per-class coverage/p-value figure here")
+    cf.set_defaults(fn=cmd_conformal)
 
     ex = sub.add_parser(
         "export-model",

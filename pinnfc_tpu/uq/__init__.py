@@ -1,3 +1,12 @@
+from pinnfc_tpu.uq.conformal import (
+    ClassCoverage,
+    ConformalReport,
+    artifact_scores,
+    conformal_pvalues,
+    conformal_quantile,
+    conformal_report,
+    normal_calibration_scores,
+)
 from pinnfc_tpu.uq.counterfactual import (
     DEFAULT_ACTUATABLE,
     ConditionRecovery,
@@ -23,21 +32,28 @@ from pinnfc_tpu.uq.mc_dropout import MCSamples, mc_dropout_samples, mc_dropout_s
 
 __all__ = [
     "DEFAULT_ACTUATABLE",
+    "ClassCoverage",
     "ConditionRecovery",
+    "ConformalReport",
     "CounterfactualConfig",
     "CounterfactualReport",
     "GroupIdentifiability",
     "MCSamples",
     "SaliencyReport",
     "actuatable_mask",
+    "artifact_scores",
     "class_mean_saliency",
     "coarse_class_saliency",
     "condition_recovery",
+    "conformal_pvalues",
+    "conformal_quantile",
+    "conformal_report",
     "counterfactual_recovery",
     "gauss_newton_ci",
     "input_saliency",
     "lambda_identifiability",
     "mc_dropout_samples",
     "mc_dropout_samples_loop",
+    "normal_calibration_scores",
     "summarize_recovery",
 ]

@@ -705,3 +705,46 @@ def plot_whatif(
     cbar.set_label(f"mean Δ [{unit}]", fontsize=7)
     cbar.ax.tick_params(labelsize=7)
     return _finish(fig, save_path)
+
+
+def plot_conformal(report, save_path: str):
+    """Two-panel conformal summary (``cli conformal --plot-dir``; report
+    from ``uq.conformal_report``).  Left: per-class empirical coverage of
+    the v̂ ± q̂·σ̂ interval against the 1−α guarantee line — held-out
+    normal should sit on the line, faults dropping below it IS the
+    detection signal.  Right: per-class median conformal p-value (uniform
+    → 0.5 on exchangeable data; → 1/(n+1) under shift), log scale."""
+    classes = report.classes
+    names = ["normal" if c.label == 0 else f"f{c.label:02d}" for c in classes]
+    cov = np.asarray([c.coverage for c in classes], float)
+    med_p = np.asarray([c.median_p for c in classes], float)
+    is_normal = np.asarray([c.label == 0 for c in classes])
+
+    fig, (ax1, ax2) = plt.subplots(
+        1, 2, figsize=(max(7.5, 0.62 * len(classes) + 3.5), 3.4)
+    )
+    x = np.arange(len(classes))
+    colors = np.where(is_normal, "#2a6fba", "#c44e52")
+    ax1.bar(x, cov, color=colors)
+    ax1.axhline(1.0 - report.alpha, color="#1a1a2e", lw=1.0, ls="--",
+                label=f"guarantee ≥ {1 - report.alpha:g}")
+    ax1.set_xticks(x, names, fontsize=7, rotation=45, ha="right")
+    ax1.set_ylim(0.0, 1.05)
+    ax1.set_ylabel("interval coverage", fontsize=8)
+    ax1.set_title(f"conformal coverage (α={report.alpha:g}, "
+                  f"{report.score} score)", fontsize=9)
+    ax1.legend(fontsize=7)
+
+    floor = 1.0 / (report.n_calib + 1.0)
+    ax2.bar(x, np.maximum(med_p, floor), color=colors)
+    ax2.axhline(0.5, color="#1a1a2e", lw=1.0, ls="--", label="exchangeable (0.5)")
+    ax2.axhline(floor, color="#888888", lw=0.8, ls=":",
+                label=f"floor 1/(n+1)={floor:.2g}")
+    ax2.set_yscale("log")
+    ax2.set_xticks(x, names, fontsize=7, rotation=45, ha="right")
+    ax2.set_ylabel("median conformal p", fontsize=8)
+    ax2.set_title(f"detection AUC {report.detection_auc:.3f}", fontsize=9)
+    ax2.legend(fontsize=7)
+    for ax in (ax1, ax2):
+        ax.tick_params(labelsize=7)
+    return _finish(fig, save_path)

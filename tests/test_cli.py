@@ -179,14 +179,15 @@ class TestRunAllOrchestration:
         # compare → monitor, in the reference's script order)
         for token in ("voltage_mae", "AUC=", "accuracy", "advance",
                       "Supervised_LR", "streamed",
-                      "identifiability over"):  # closing identify report
+                      "identifiability over",  # closing identify report
+                      "held-out normal coverage"):  # conformal audit
             assert token in stdout, token
         # artifacts: exported matrix, checkpoint, figure inventory
         assert os.path.exists(os.path.join(out, "F01_output.mat"))
         assert os.path.isdir(os.path.join(out, "pinn_ckpt"))
         figs = set(os.listdir(os.path.join(out, "figures")))
         for f in ("roc.png", "gmm_confusion.png", "gmm_tsne.png",
-                  "method_metrics.png"):
+                  "method_metrics.png", "conformal_coverage.png"):
             assert f in figs, f
 
 
