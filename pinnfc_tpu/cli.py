@@ -740,6 +740,11 @@ def cmd_export_model(args) -> int:
         print("--head requires --monitor-step (the scorer artifact has no "
               "fault-typing output)", file=sys.stderr)
         return 2
+    if (getattr(args, "conformal_mat", None)
+            and not getattr(args, "monitor_step", False)):
+        print("--conformal-mat requires --monitor-step (the scorer artifact "
+              "has no p-value output)", file=sys.stderr)
+        return 2
 
     # pin the CPU backend for the load + trace + lowering (relay-outage
     # proof; jax.export cross-lowers the tpu target), restoring the prior
@@ -785,6 +790,21 @@ def _export_model_pinned(args, platforms) -> int:
             if getattr(args, "head", None) else None
         )
         glitch_n = getattr(args, "glitch_alarm_n", None)
+        conformal_calib = None
+        conformal_alpha = getattr(args, "conformal_alpha", None)
+        conformal_alpha = 0.1 if conformal_alpha is None else conformal_alpha
+        if getattr(args, "conformal_mat", None):
+            # bake calibrated anomaly p-values into the artifact: the
+            # sorted normal-row |res| scores become step constants like
+            # the scalers (serve-time attachment is impossible — see
+            # `cli serve --conformal` rejection for artifacts)
+            from pinnfc_tpu.data import load_comprehensive_results
+            from pinnfc_tpu.uq import normal_calibration_scores
+
+            conformal_calib = normal_calibration_scores(
+                load_comprehensive_results(args.conformal_mat).array,
+                score="absolute", calib_frac=1.0,
+            )
         monitor = OnlineMonitor(
             ckpt["params"], ckpt["scaler_x"], ckpt["scaler_y"],
             mu=np.zeros(5, np.float32), sigma=np.ones(5, np.float32),
@@ -792,6 +812,8 @@ def _export_model_pinned(args, platforms) -> int:
             glitch_alarm_n=(
                 glitch_n if glitch_n is not None else _glitch_default()
             ),
+            conformal_calib=conformal_calib,
+            conformal_alpha=conformal_alpha,
         )
         blob = export_monitor_step(monitor, platforms=platforms)
         signature = (
@@ -834,6 +856,12 @@ def _export_model_pinned(args, platforms) -> int:
         sidecar["class_names"] = (
             list(head.class_names) if head is not None else None
         )
+        if monitor.conformal_calib is not None:
+            # which calibration the baked p-values carry (the α is a
+            # serve-time display/counter value, recorded for adoption)
+            sidecar["conformal_alpha"] = monitor.conformal_alpha
+            sidecar["conformal_n_calib"] = int(monitor.conformal_calib.size)
+            sidecar["conformal_source"] = os.path.abspath(args.conformal_mat)
     with open(args.out + ".meta.json", "w") as f:
         json.dump(sidecar, f, indent=2)
     what = ("monitor step" if getattr(args, "monitor_step", False)
@@ -1386,11 +1414,24 @@ def cmd_monitor(args) -> int:
         if jax.device_count() > 1:
             mesh = make_mesh(jax.device_count())
             print(f"fleet sharding: streams over {jax.device_count()} devices")
+    conformal_calib = None
+    conformal_alpha = getattr(args, "conformal_alpha", 0.1)
+    if getattr(args, "conformal", False):
+        # calibrate the streaming anomaly p-values on the artifact's own
+        # normal rows (absolute |res| score — the one computable online)
+        from pinnfc_tpu.uq import normal_calibration_scores
+
+        conformal_calib = normal_calibration_scores(
+            arr, score="absolute", calib_frac=1.0
+        )
+        print(f"conformal calibration: {conformal_calib.size} normal "
+              f"scores, α={conformal_alpha:g}")
     _print_ckpt_provenance(args.ckpt)
     monitor = OnlineMonitor.from_checkpoint(
         args.ckpt, mu, sigma, cfg, head,
         glitch_alarm_n=glitch_n if glitch_n is not None else _glitch_default(),
         mesh=mesh,
+        conformal_calib=conformal_calib, conformal_alpha=conformal_alpha,
     )
 
     if getattr(args, "fleet", False):
@@ -1413,11 +1454,22 @@ def cmd_monitor(args) -> int:
     first = {"warn": None, "danger": None, "v_alarm": None}
     diag_counts = None
     warn_shares = None  # exact attribution at the first warn (layer_c)
+    # [normal, fault] × [finite-p samples, p<α samples] over the replay
+    conf_counts = np.zeros((2, 2), np.int64)
     pos = 0
     while pos < len(rows):
         out = monitor.observe(
             x_raw[pos : pos + args.block], v_meas[pos : pos + args.block]
         )
+        if out.conformal_p is not None:
+            p_blk = np.asarray(out.conformal_p)
+            is_fault = rows[pos : pos + args.block, INDEX["label"]] > 0
+            for grp in (0, 1):
+                sel = np.isfinite(p_blk) & (is_fault == bool(grp))
+                conf_counts[grp] += (
+                    int(sel.sum()),
+                    int((p_blk[sel] < monitor.conformal_alpha).sum()),
+                )
         for name, flags in (
             ("warn", out.warn), ("danger", out.danger), ("v_alarm", out.v_alarm)
         ):
@@ -1456,6 +1508,18 @@ def cmd_monitor(args) -> int:
         name = head.class_names[int(np.argmax(diag_counts))]
         share = diag_counts.max() / max(diag_counts.sum(), 1)
         print(f"online diagnosis while warned: {name} ({share:.0%} of votes)")
+    if conf_counts.sum():
+        # calibrated anomaly rate: ≈α on exchangeable (normal) rows by the
+        # coverage guarantee; the fault-row excess IS the detection signal
+        parts = []
+        for grp, tag in ((0, "normal"), (1, "fault")):
+            n, low = conf_counts[grp]
+            if n:
+                parts.append(f"{tag} {low / n:.1%} (n={n})")
+        print(
+            f"conformal anomaly rate (p<{monitor.conformal_alpha:g}): "
+            + "  ".join(parts)
+        )
     oob = monitor.stream_oob_counts()
     if oob.sum() > 0:
         # input-range drift: the replayed campaign left the checkpoint's
@@ -1529,6 +1593,11 @@ def cmd_serve(args) -> int:
               "passing it at serve time would silently have no effect",
               file=sys.stderr)
         return 2
+    if artifact and getattr(args, "conformal", False):
+        print("--conformal calibration is baked into a --monitor-step "
+              "artifact at export time (`export-model --conformal-mat`); "
+              "it cannot be attached at serve time", file=sys.stderr)
+        return 2
 
     arr = load_comprehensive_results(args.mat).array
     mu, sigma = estimate_mu_sigma_normal(arr)
@@ -1562,6 +1631,7 @@ def cmd_serve(args) -> int:
         side_glitch = None
         class_names = None
         provenance = None
+        side_conf_alpha = None
         if sidecar:
             if sidecar.get("kind") != "pinnfc_monitor_step_stablehlo":
                 print(f"{artifact} is a {sidecar.get('kind')!r} artifact — "
@@ -1572,6 +1642,7 @@ def cmd_serve(args) -> int:
                 cfg = risk_config_from_dict(sidecar["risk_config"])
             side_glitch = sidecar.get("glitch_alarm_n")
             class_names = sidecar.get("class_names")
+            side_conf_alpha = sidecar.get("conformal_alpha")
             provenance = sidecar.get("checkpoint_meta") or None
             if provenance:
                 provenance = {
@@ -1587,17 +1658,40 @@ def cmd_serve(args) -> int:
                 else _glitch_default()
             ),
             class_names=class_names,
+            conformal_alpha=(
+                getattr(args, "conformal_alpha", None)
+                if getattr(args, "conformal_alpha", None) is not None
+                else side_conf_alpha if side_conf_alpha is not None
+                else 0.1
+            ),
         )
-        print(f"serving from StableHLO artifact {artifact}")
+        print(f"serving from StableHLO artifact {artifact}"
+              + (" (conformal p-values baked in)"
+                 if getattr(monitor, "conformal_baked", False) else ""))
     else:
         head = DiagnosisHead.load(args.head) if args.head else None
         provenance = _print_ckpt_provenance(args.ckpt)
+        conformal_calib = None
+        conformal_alpha = getattr(args, "conformal_alpha", None)
+        conformal_alpha = 0.1 if conformal_alpha is None else conformal_alpha
+        if getattr(args, "conformal", False):
+            # calibrated anomaly p-values: normal-row |res| scores from
+            # the SAME artifact the mu/sigma statistics come from
+            from pinnfc_tpu.uq import normal_calibration_scores
+
+            conformal_calib = normal_calibration_scores(
+                arr, score="absolute", calib_frac=1.0
+            )
+            print(f"conformal calibration: {conformal_calib.size} normal "
+                  f"scores, α={conformal_alpha:g}")
         monitor = OnlineMonitor.from_checkpoint(
             args.ckpt, mu, sigma, RiskConfig(), head,
             glitch_alarm_n=(
                 glitch_n if glitch_n is not None else _glitch_default()
             ),
             mesh=mesh,
+            conformal_calib=conformal_calib,
+            conformal_alpha=conformal_alpha,
         )
     serve(monitor, host=args.host, port=args.port,
           max_requests=args.max_requests,
@@ -1851,6 +1945,13 @@ def main(argv: Optional[list] = None) -> int:
     ex.add_argument("--glitch-alarm-n", type=int, default=None,
                     help="with --monitor-step: bake this consecutive-glitch "
                          "sensor-alarm threshold in (default: the monitor's)")
+    ex.add_argument("--conformal-mat", default=None,
+                    help="with --monitor-step: bake calibrated anomaly "
+                         "p-values in, calibrated on this artifact's normal "
+                         "rows (|res| scores)")
+    ex.add_argument("--conformal-alpha", type=float, default=None,
+                    help="α recorded in the sidecar for the low-p counter "
+                         "(default 0.1)")
     ex.set_defaults(fn=cmd_export_model)
 
     for name, fn, extra in (
@@ -1959,6 +2060,12 @@ def main(argv: Optional[list] = None) -> int:
                         "in-training-range actuation whose predicted "
                         "voltage gain covers the measured shortfall below "
                         "the stream's dynamic alarm line")
+    m.add_argument("--conformal", action="store_true",
+                   help="calibrated anomaly p-values per sample, calibrated "
+                        "on the artifact's normal rows (uq/conformal |res| "
+                        "score); prints the normal-vs-fault anomaly rate")
+    m.add_argument("--conformal-alpha", type=float, default=0.1,
+                   help="p<α counts as a calibrated anomaly (default 0.1)")
     m.set_defaults(fn=cmd_monitor)
 
     sv = sub.add_parser(
@@ -1990,6 +2097,13 @@ def main(argv: Optional[list] = None) -> int:
                     help="shard /observe_many's stream axis over all visible "
                          "devices (fleet scoring is collective-free; capacity "
                          "scales linearly with chips)")
+    sv.add_argument("--conformal", action="store_true",
+                    help="with --ckpt: serve calibrated anomaly p-values, "
+                         "calibrated on --mat's normal rows (/observe gains "
+                         "conformal_p; /metrics a low-p counter)")
+    sv.add_argument("--conformal-alpha", type=float, default=None,
+                    help="p<α counts as a calibrated anomaly (default 0.1, "
+                         "or the artifact sidecar's recorded value)")
     sv.set_defaults(fn=cmd_serve)
 
     dr = sub.add_parser(

@@ -99,7 +99,12 @@ def export_monitor_step(
         (state, x_raw f32[b,8], v_meas f32[b], mu f32[5], sigma f32[5])
           -> (state, (rf, rf_smooth, residuals f32[b,5], v_pred, v_alarm,
                       glitch, sensor_alarm, (fault_probs, fault_pred),
-                      layer_scores f32[b,L], layer_c f32[b,L], oob bool[b]))
+                      layer_scores f32[b,L], layer_c f32[b,L], oob bool[b],
+                      conformal_p f32[b] | None))
+
+    ``conformal_p`` is present (non-None) when the exporting monitor
+    carried a conformal calibration vector — the sorted normal scores bake
+    into the step like the scalers and head do.
 
     ``state`` crosses the boundary as a PLAIN TUPLE in
     ``MonitorState._fields`` order (recorded in the CLI sidecar), not as
@@ -159,6 +164,7 @@ def monitor_from_artifact(
     config=None,
     glitch_alarm_n: int | None = None,
     class_names: Sequence[str] | None = None,
+    conformal_alpha: float = 0.1,
 ):
     """Reconstruct a serving-ready monitor from an
     :func:`export_monitor_step` artifact — jax + this package's serving
@@ -214,6 +220,10 @@ def monitor_from_artifact(
             state_avals[MonitorState._fields.index("layer_c")].shape[0]
         )
         probs_aval = outs_avals[STEP_OUT_FIELDS.index("fault")][0]
+        # conformal_p is the v3 tail output: None when the exporting
+        # monitor had no calibration vector, absent entirely pre-v3
+        conf_idx = STEP_OUT_FIELDS.index("conformal_p")
+        conf_aval = outs_avals[conf_idx] if n_out > conf_idx else None
         # raw-input width, for the drift counter: x_raw is the flat input
         # right after the n_state state leaves, shaped (b, F)
         n_features = int(exp.in_avals[n_state].shape[1])
@@ -268,9 +278,20 @@ def monitor_from_artifact(
                     f"config defines {len(self.layer_names)} — pass the "
                     "risk config recorded in the artifact's sidecar"
                 )
+            # the calibration vector itself is baked into the artifact;
+            # the α threshold is a display/counter value like the risk
+            # config — pass the sidecar's recorded conformal_alpha
+            self.conformal_calib = None
+            self.conformal_baked = conf_aval is not None
+            if not 0.0 < conformal_alpha < 1.0:
+                raise ValueError(
+                    f"conformal_alpha must be in (0, 1), got {conformal_alpha}"
+                )
+            self.conformal_alpha = float(conformal_alpha)
             self._n_features = n_features
             self._streams = {"default": self._fresh_state()}
             self._n_seen = {"default": 0}
+            self._low_p = {"default": 0}
 
             def step_fn(params, state, x_raw, v_meas, mu_, sigma_):
                 # older artifacts bake a prefix of today's state fields:

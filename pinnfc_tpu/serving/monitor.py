@@ -20,7 +20,11 @@ arrive, O(1) state per step:
    block-size invariant and identical to the batch pipeline's on the same
    residual rows (the batch pipeline consumes the *exported, segment-
    smoothed* residual columns; a live stream has no future samples to
-   smooth with — same policy as the RF path above).
+   smooth with — same policy as the RF path above);
+5. optionally, a conformal calibration vector (uq/conformal, |res| scores
+   on normal rows) bakes into the step and every sample gets a calibrated
+   anomaly p-value — uniform on normal-like data by the conformal
+   guarantee, collapsing under shift — via one on-device searchsorted.
 
 Normal-operation statistics (μ/σ of the residual channels) come from the
 training campaign (`estimate_mu_sigma_normal`), and model parameters +
@@ -163,14 +167,16 @@ class DiagnosisHead(NamedTuple):
 STEP_OUT_FIELDS = (
     "rf_inst", "rf_smooth", "residuals", "v_pred", "v_alarm", "glitch",
     "sensor_alarm", "fault", "layer_scores", "layer_c", "oob",
+    "conformal_p",
 )
 
 # (n state fields, n step-output fields) of every schema an exported
-# monitor-step artifact may carry, newest first: v2 added the input-range
-# drift surface (oob_count state / oob output); v1 predates it.  An old
-# artifact keeps working — its missing fields pack as None / carry
-# through frozen (serving/exported.py).
-STEP_SCHEMA_VERSIONS = ((8, 11), (7, 10))
+# monitor-step artifact may carry, newest first: v3 added the conformal
+# p-value output (stateless — no new state field); v2 added the
+# input-range drift surface (oob_count state / oob output); v1 predates
+# both.  An old artifact keeps working — its missing fields pack as
+# None / carry through frozen (serving/exported.py).
+STEP_SCHEMA_VERSIONS = ((8, 12), (8, 11), (7, 10))
 
 
 def contributing_layer_names(config) -> tuple:
@@ -267,6 +273,13 @@ class MonitorOutput:
     # (MonitorState.oob_count / stream_oob_counts).  None when packing an
     # old (pre-drift) exported artifact's outputs.
     oob: np.ndarray | None = None
+    # (B,) conformal anomaly p-value of each sample's |res| against the
+    # baked normal calibration scores (uq/conformal semantics: uniform on
+    # exchangeable-with-normal data, collapsing toward 1/(n+1) under
+    # shift — a CALIBRATED per-sample anomaly probability, where rf_inst
+    # is a tuned heuristic).  NaN on glitched samples.  None without a
+    # ``conformal_calib`` (or packing a pre-conformal exported artifact).
+    conformal_p: np.ndarray | None = None
 
 
 def _rf_block(s_tot, state: MonitorState, cfg: RiskConfig):
@@ -312,6 +325,8 @@ class OnlineMonitor:
         diagnosis: DiagnosisHead | None = None,
         glitch_alarm_n: int = DEFAULT_GLITCH_ALARM_N,
         mesh=None,
+        conformal_calib=None,
+        conformal_alpha: float = 0.1,
     ):
         if glitch_alarm_n < 1:
             raise ValueError(
@@ -336,6 +351,29 @@ class OnlineMonitor:
         # samples (glitched rows contribute zero risk, so a dead sensor would
         # otherwise decay RF toward "healthy" silently)
         self.glitch_alarm_n = int(glitch_alarm_n)
+        # conformal anomaly scoring: a vector of calibration scores |res|
+        # computed on NORMAL rows (uq.normal_calibration_scores with the
+        # 'absolute' score — the one streamable without MC sampling) bakes
+        # into the jitted step as a sorted constant; every sample then gets
+        # a calibrated anomaly p-value via one searchsorted (uq/conformal
+        # semantics).  Stateless per sample, so block-size invariant.
+        if conformal_calib is not None:
+            calib = np.asarray(conformal_calib, np.float32).ravel()
+            if calib.size == 0:
+                raise ValueError("conformal_calib must be non-empty")
+            if not np.isfinite(calib).all():
+                raise ValueError(
+                    "conformal_calib must be finite (uq.normal_calibration_"
+                    "scores already drops non-finite rows)"
+                )
+            if not 0.0 < conformal_alpha < 1.0:
+                raise ValueError(
+                    f"conformal_alpha must be in (0, 1), got {conformal_alpha}"
+                )
+            self.conformal_calib = np.sort(calib)
+        else:
+            self.conformal_calib = None
+        self.conformal_alpha = float(conformal_alpha)
         # layers that actually contribute, in config order — the column
         # order of layer_scores/layer_c and the length of the per-stream
         # layer_c state vector (shared rule: contributing_layer_names)
@@ -348,6 +386,11 @@ class OnlineMonitor:
         # host-side mirror of per-stream n_seen so serving never pays a
         # second device readback per request just for a counter
         self._n_seen: dict[str, int] = {"default": 0}
+        # host-side per-stream count of samples with conformal p < α — the
+        # calibrated anomaly-rate counter /metrics exposes.  Updated from
+        # observe's single batched readback (zero extra device traffic);
+        # stays zero without a calibration vector
+        self._low_p: dict[str, int] = {"default": 0}
         self._step_fn = self._build_step()
         self._step = jax.jit(self._step_fn)
         self._vstep = None  # lazily-jitted vmapped step (observe_many)
@@ -385,6 +428,11 @@ class OnlineMonitor:
         # extrema), baked as jnp constants like the scalers themselves
         box_lo = jnp.asarray(np.asarray(self.scaler_x.data_min, np.float32))
         box_hi = jnp.asarray(np.asarray(self.scaler_x.data_max, np.float32))
+        # sorted conformal calibration scores (or None) — see __init__
+        calib = (
+            jnp.asarray(self.conformal_calib)
+            if self.conformal_calib is not None else None
+        )
 
         def step(params, state: MonitorState, x_raw, v_meas, mu, sigma):
             x_norm = self.scaler_x.transform(x_raw)
@@ -501,6 +549,27 @@ class OnlineMonitor:
             # no-baseline-yet stream entirely
             v_alarm = v_first_set & (v_meas <= (v_first - cfg.voltage_drop))
 
+            if calib is not None:
+                # conformal anomaly p-value (uq.conformal_pvalues, on
+                # device): p = (1 + #{calib ≥ |res|}) / (n+1) by ONE
+                # searchsorted against the sorted baked calibration vector
+                # — exact integer rank counts, ties conservative ('left'
+                # side matches the host backend bit for bit on the ranks;
+                # only the final f32 division differs from f64 in low
+                # bits).  NaN rows (glitches) get NaN p, like fault_pred.
+                s_conf = jnp.abs(res)
+                ge = calib.shape[0] - jnp.searchsorted(
+                    calib, s_conf, side="left"
+                )
+                p_conf = (1.0 + ge.astype(jnp.float32)) / (
+                    calib.shape[0] + 1.0
+                )
+                conformal_p = jnp.where(
+                    jnp.isfinite(s_conf), p_conf, jnp.nan
+                )
+            else:
+                conformal_p = None
+
             if head is not None:
                 # script-03 posterior mapping (03:417-425), fully on device
                 from pinnfc_tpu.diagnosis.gmm import gmm_predict_proba
@@ -521,7 +590,7 @@ class OnlineMonitor:
                 fault = (None, None)
             return new_state, (
                 rf_inst, rf_smooth, r, v_pred, v_alarm, glitch, sensor_alarm,
-                fault, layer_scores, lc_series, oob,
+                fault, layer_scores, lc_series, oob, conformal_p,
             )
 
         return step
@@ -547,6 +616,14 @@ class OnlineMonitor:
 
     def stream_n_seen(self, stream: str = "default") -> int:
         return self._n_seen.get(stream, 0)
+
+    def stream_low_p(self, stream: str = "default") -> int:
+        """Cumulative count of samples whose conformal anomaly p-value fell
+        below α on this stream (0 for unknown streams or without a
+        calibration vector).  Divide by ``stream_n_seen`` for the
+        calibrated anomaly rate — ≈ α on healthy exchangeable data by the
+        coverage guarantee, climbing under fault or drift."""
+        return self._low_p.get(stream, 0)
 
     def stream_oob_counts(self, stream: str = "default") -> np.ndarray:
         """(F,) cumulative out-of-training-range sample count per input
@@ -579,7 +656,16 @@ class OnlineMonitor:
             layer_scores=d["layer_scores"],
             layer_c=d["layer_c"],
             oob=d.get("oob"),
+            conformal_p=d.get("conformal_p"),
         )
+
+    def _count_low_p(self, out: MonitorOutput, stream: str) -> None:
+        """Advance the host-side calibrated-anomaly counter from an already
+        fetched output (NaN compares False, so glitches never count)."""
+        if out.conformal_p is not None:
+            self._low_p[stream] = self._low_p.get(stream, 0) + int(
+                np.sum(np.asarray(out.conformal_p) < self.conformal_alpha)
+            )
 
     def observe(self, x_raw, v_measured, stream: str = "default") -> MonitorOutput:
         """Score a block of raw measurements (B, 8) + measured voltage (B,).
@@ -603,7 +689,9 @@ class OnlineMonitor:
         new_state, out_host = jax.device_get((new_state, out))
         self._streams[stream] = new_state
         self._n_seen[stream] = self._n_seen.get(stream, 0) + int(x_raw.shape[0])
-        return self._pack(out_host)
+        packed = self._pack(out_host)
+        self._count_low_p(packed, stream)
+        return packed
 
     def observe_many(self, x_bank, v_bank, streams) -> dict:
         """Advance MANY streams in ONE device program (vmapped step).
@@ -665,6 +753,7 @@ class OnlineMonitor:
             results[s] = self._pack(
                 jax.tree_util.tree_map(lambda a, i=i: a[i], out_host)
             )
+            self._count_low_p(results[s], s)
         return results
 
     def _shard_fleet(self, bank, x_bank, v_bank):
@@ -717,9 +806,11 @@ class OnlineMonitor:
         if stream is None:
             self._streams = {"default": self._fresh_state()}
             self._n_seen = {"default": 0}
+            self._low_p = {"default": 0}
         else:
             self._streams[stream] = self._fresh_state()
             self._n_seen[stream] = 0
+            self._low_p[stream] = 0
 
     def save_state_bank(self, path: str) -> str:
         """Snapshot every stream's RF(t) carry state + counters (npz).
@@ -743,6 +834,9 @@ class OnlineMonitor:
             "streams": np.asarray(streams),
             "n_seen": np.asarray(
                 [self._n_seen.get(s, 0) for s in streams], np.int64
+            ),
+            "low_p": np.asarray(
+                [self._low_p.get(s, 0) for s in streams], np.int64
             ),
         }
         for field in MonitorState._fields:
@@ -820,9 +914,18 @@ class OnlineMonitor:
             for i, s in enumerate(streams)
         }
         self._n_seen = {s: int(d["n_seen"][i]) for i, s in enumerate(streams)}
+        # the calibrated-anomaly counter is a host statistic; snapshots
+        # written before it existed restart it from zero (mis-sized arrays
+        # too — it gates nothing, unlike the state fields above)
+        low_p = d["low_p"] if "low_p" in d and d["low_p"].shape == (n,) else None
+        self._low_p = {
+            s: int(low_p[i]) if low_p is not None else 0
+            for i, s in enumerate(streams)
+        }
         # preserve the bank invariant the single-stream API relies on
         self._streams.setdefault("default", self._fresh_state())
         self._n_seen.setdefault("default", 0)
+        self._low_p.setdefault("default", 0)
 
     @classmethod
     def from_checkpoint(
@@ -834,6 +937,8 @@ class OnlineMonitor:
         diagnosis: DiagnosisHead | None = None,
         glitch_alarm_n: int = DEFAULT_GLITCH_ALARM_N,
         mesh=None,
+        conformal_calib=None,
+        conformal_alpha: float = 0.1,
     ) -> "OnlineMonitor":
         """Restore params + scalers saved by utils.checkpoint.save_checkpoint."""
         from pinnfc_tpu.utils.checkpoint import load_checkpoint
@@ -842,4 +947,5 @@ class OnlineMonitor:
         return cls(
             ckpt["params"], ckpt["scaler_x"], ckpt["scaler_y"], mu, sigma,
             config, diagnosis, glitch_alarm_n=glitch_alarm_n, mesh=mesh,
+            conformal_calib=conformal_calib, conformal_alpha=conformal_alpha,
         )

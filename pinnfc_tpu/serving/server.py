@@ -16,7 +16,10 @@ invariance the streaming tests prove).
            "stream": "...", "stream_n_seen": int,
            "layer_names": [...], "layer_scores": [[...]],   (risk attribution)
            "layer_c": [[...]],       (per-layer risk-integral composition)
-           "oob": [...]}             (input-range drift flags per sample)
+           "oob": [...],             (input-range drift flags per sample)
+           "conformal_p": [...], "conformal_alpha": a, "stream_low_p": n}
+                                     (calibrated anomaly p-values, with a
+                                      conformal calibration vector)
     POST /observe_many  {"streams": [...], "x": (S,B,8), "v": (S,B)}
         → {"results": {stream: <observe payload>}, "n_seen": int}
         (a whole fleet advances in ONE vmapped device program)
@@ -134,6 +137,15 @@ def _json_payload(out, monitor: OnlineMonitor, stream: str = "default") -> dict:
         # input-range drift flags (absent when serving a pre-drift exported
         # artifact); cumulative per-channel counts are on /metrics
         payload["oob"] = out.oob.tolist()
+    if out.conformal_p is not None:
+        # calibrated per-sample anomaly p-values (uq/conformal semantics:
+        # ≈uniform on normal-like data, → 1/(n+1) under shift; NaN → null
+        # on glitches); present when the monitor carries a calibration
+        # vector.  The α used by the cumulative low-p counter on /metrics
+        # rides along so clients can apply the same threshold.
+        payload["conformal_p"] = _finite_or_null(out.conformal_p)
+        payload["conformal_alpha"] = monitor.conformal_alpha
+        payload["stream_low_p"] = monitor.stream_low_p(stream)
     if out.fault_probs is not None:
         probs = np.round(np.asarray(out.fault_probs, np.float64), 6)
         payload["fault_probs"] = [
@@ -263,6 +275,20 @@ def _render_metrics(
             lines.append(
                 f'pinnfc_stream_oob_count{{{label},'
                 f'channel="{_prom_escape(name)}"}} {int(v)}'
+            )
+    if getattr(monitor, "conformal_calib", None) is not None or getattr(
+        monitor, "conformal_baked", False
+    ):
+        lines += [
+            "# HELP pinnfc_stream_conformal_low_p Samples whose conformal "
+            "anomaly p-value fell below alpha (calibrated anomaly rate: "
+            "divide by pinnfc_stream_n_seen; ~alpha when healthy).",
+            "# TYPE pinnfc_stream_conformal_low_p counter",
+        ]
+        for s in monitor.streams:
+            lines.append(
+                f'pinnfc_stream_conformal_low_p{{stream='
+                f'"{_prom_escape(s)}"}} {monitor.stream_low_p(s)}'
             )
     return "\n".join(lines) + "\n"
 

@@ -219,3 +219,249 @@ class TestCli:
         out = capsys.readouterr().out
         assert rc == 0 and "held-out normal coverage" in out
         assert "detection AUC" in out
+
+
+# ---------------------------------------------------------------------------
+# Streaming surface: OnlineMonitor(conformal_calib=...) — calibrated anomaly
+# p-values in the jitted step (one searchsorted against the baked sorted
+# calibration vector), the host-side low-p counter, state-bank back-compat,
+# and the StableHLO export path.
+# ---------------------------------------------------------------------------
+
+import jax
+import jax.numpy as jnp
+
+from pinnfc_tpu.data.scaling import AffineScaler
+from pinnfc_tpu.models.pinn import init_pinn
+from pinnfc_tpu.serving import OnlineMonitor
+
+
+@pytest.fixture(scope="module")
+def stream_setup():
+    rs = np.random.RandomState(11)
+    sx = AffineScaler.fit(rs.randn(200, 8).astype(np.float32))
+    sy = AffineScaler.fit(rs.randn(200, 1).astype(np.float32))
+    params = init_pinn(jax.random.PRNGKey(0), (8, 16, 1))
+    mu = np.zeros(5, np.float32)
+    sigma = np.array([0.05, 0.05, 2.0, 0.1, 0.2], np.float32)
+    calib = np.abs(rs.randn(99)).astype(np.float32)
+    return params, sx, sy, mu, sigma, calib, rs
+
+
+def _monitor(stream_setup, alpha=0.2, calib=True, **kw):
+    params, sx, sy, mu, sigma, cal, _ = stream_setup
+    return OnlineMonitor(
+        params, sx, sy, mu, sigma,
+        conformal_calib=cal if calib else None, conformal_alpha=alpha, **kw
+    )
+
+
+class TestStreamingConformal:
+    def test_streaming_p_matches_host_backend(self, stream_setup):
+        """The on-device searchsorted p-values equal uq.conformal_pvalues
+        on the SAME f32 scores — the rank counts are integer-exact (only
+        the final f32-vs-f64 division differs, below 1e-6 relative)."""
+        *_, calib, rs = stream_setup
+        mon = _monitor(stream_setup)
+        x = rs.randn(64, 8).astype(np.float32) * 2
+        v = rs.randn(64).astype(np.float32)
+        out = mon.observe(x, v)
+        assert out.conformal_p is not None
+        s = np.abs(out.residuals[:, 0].astype(np.float64))
+        want = conformal_pvalues(np.sort(calib).astype(np.float64), s)
+        np.testing.assert_allclose(out.conformal_p, want, rtol=1e-6)
+        # rank counts exactly: p·(n+1) − 1 = #{calib ≥ s}
+        n = calib.size
+        got_ge = np.round(out.conformal_p.astype(np.float64) * (n + 1) - 1)
+        want_ge = np.round(want * (n + 1) - 1)
+        np.testing.assert_array_equal(got_ge, want_ge)
+
+    def test_block_size_invariance(self, stream_setup):
+        """p is stateless per sample: any block split yields the identical
+        series."""
+        *_, rs = stream_setup
+        x = rs.randn(60, 8).astype(np.float32)
+        v = rs.randn(60).astype(np.float32)
+        m1, m2 = _monitor(stream_setup), _monitor(stream_setup)
+        one = m1.observe(x, v).conformal_p
+        parts = [
+            m2.observe(x[i : i + 7], v[i : i + 7]).conformal_p
+            for i in range(0, 60, 7)
+        ]
+        np.testing.assert_array_equal(one, np.concatenate(parts))
+
+    def test_glitch_rows_get_nan_p(self, stream_setup):
+        *_, rs = stream_setup
+        mon = _monitor(stream_setup)
+        x = rs.randn(8, 8).astype(np.float32)
+        v = rs.randn(8).astype(np.float32)
+        x[3, 0] = np.nan  # feature glitch → NaN residual stack
+        v[5] = np.nan  # voltage outage → NaN res
+        out = mon.observe(x, v)
+        assert np.isnan(out.conformal_p[3]) and np.isnan(out.conformal_p[5])
+        finite = np.delete(np.arange(8), [3, 5])
+        assert np.isfinite(out.conformal_p[finite]).all()
+
+    def test_low_p_counter_reset_and_unknown_stream(self, stream_setup):
+        *_, rs = stream_setup
+        mon = _monitor(stream_setup, alpha=0.5)
+        x = rs.randn(40, 8).astype(np.float32) * 3
+        v = rs.randn(40).astype(np.float32) + 5.0  # large |res| → low p
+        out = mon.observe(x, v)
+        want = int((np.asarray(out.conformal_p) < 0.5).sum())
+        assert mon.stream_low_p() == want and want > 0
+        out2 = mon.observe(x, v)
+        assert mon.stream_low_p() == want + int(
+            (np.asarray(out2.conformal_p) < 0.5).sum()
+        )
+        assert mon.stream_low_p("never-seen") == 0
+        mon.reset()
+        assert mon.stream_low_p() == 0
+
+    def test_observe_many_parity_and_counters(self, stream_setup):
+        *_, rs = stream_setup
+        fleet = _monitor(stream_setup)
+        solo = _monitor(stream_setup)
+        xb = rs.randn(3, 10, 8).astype(np.float32)
+        vb = rs.randn(3, 10).astype(np.float32)
+        outs = fleet.observe_many(xb, vb, ["a", "b", "c"])
+        for i, s in enumerate(["a", "b", "c"]):
+            ref = solo.observe(xb[i], vb[i], stream=s)
+            np.testing.assert_array_equal(outs[s].conformal_p, ref.conformal_p)
+            assert fleet.stream_low_p(s) == solo.stream_low_p(s)
+
+    def test_state_bank_roundtrip_and_backcompat(self, stream_setup, tmp_path):
+        *_, rs = stream_setup
+        mon = _monitor(stream_setup, alpha=0.5)
+        mon.observe(rs.randn(20, 8).astype(np.float32) * 3,
+                    rs.randn(20).astype(np.float32) + 4.0, stream="s1")
+        path = str(tmp_path / "bank.npz")
+        mon.save_state_bank(path)
+        low = mon.stream_low_p("s1")
+        assert low > 0
+        mon2 = _monitor(stream_setup, alpha=0.5)
+        mon2.load_state_bank(path)
+        assert mon2.stream_low_p("s1") == low
+        # a snapshot from before the counter existed loads with zeros
+        d = dict(np.load(path))
+        del d["low_p"]
+        np.savez(str(tmp_path / "old.npz"), **d)
+        mon3 = _monitor(stream_setup, alpha=0.5)
+        mon3.load_state_bank(str(tmp_path / "old.npz"))
+        assert mon3.stream_low_p("s1") == 0
+        assert mon3.stream_n_seen("s1") == 20  # everything else restored
+
+    def test_without_calib_everything_is_none_and_zero(self, stream_setup):
+        *_, rs = stream_setup
+        mon = _monitor(stream_setup, calib=False)
+        out = mon.observe(rs.randn(4, 8).astype(np.float32),
+                          rs.randn(4).astype(np.float32))
+        assert out.conformal_p is None
+        assert mon.stream_low_p() == 0
+
+    def test_constructor_validation(self, stream_setup):
+        params, sx, sy, mu, sigma, calib, _ = stream_setup
+        with pytest.raises(ValueError, match="non-empty"):
+            OnlineMonitor(params, sx, sy, mu, sigma,
+                          conformal_calib=np.array([]))
+        with pytest.raises(ValueError, match="finite"):
+            OnlineMonitor(params, sx, sy, mu, sigma,
+                          conformal_calib=np.array([1.0, np.nan]))
+        with pytest.raises(ValueError, match="alpha"):
+            OnlineMonitor(params, sx, sy, mu, sigma,
+                          conformal_calib=calib, conformal_alpha=1.5)
+
+    def test_server_payload_carries_p(self, stream_setup):
+        from pinnfc_tpu.serving.server import _json_payload, _render_metrics
+
+        *_, rs = stream_setup
+        mon = _monitor(stream_setup, alpha=0.5)
+        out = mon.observe(rs.randn(6, 8).astype(np.float32) * 3,
+                          rs.randn(6).astype(np.float32) + 4.0)
+        payload = _json_payload(out, mon, "default")
+        assert len(payload["conformal_p"]) == 6
+        assert payload["conformal_alpha"] == 0.5
+        assert payload["stream_low_p"] == mon.stream_low_p()
+        stats = {"requests": {}, "observe_seconds": 0.0, "observe_calls": 0}
+        text = _render_metrics(mon, stats)
+        assert 'pinnfc_stream_conformal_low_p{stream="default"} ' \
+               f'{mon.stream_low_p()}' in text
+        # without a calibration vector neither surface appears
+        mon2 = _monitor(stream_setup, calib=False)
+        out2 = mon2.observe(rs.randn(2, 8).astype(np.float32),
+                            rs.randn(2).astype(np.float32))
+        assert "conformal_p" not in _json_payload(out2, mon2, "default")
+        assert "conformal_low_p" not in _render_metrics(mon2, stats)
+
+
+class TestExportedConformal:
+    """The calibration vector bakes into StableHLO monitor-step artifacts
+    (serving/exported.py v3 schema)."""
+
+    def test_artifact_roundtrip_parity(self, stream_setup):
+        from pinnfc_tpu.serving import export_monitor_step, monitor_from_artifact
+
+        params, sx, sy, mu, sigma, calib, rs = stream_setup
+        src = _monitor(stream_setup, alpha=0.3)
+        blob = export_monitor_step(src, platforms=("cpu", "tpu"))
+        am = monitor_from_artifact(blob, mu, sigma, conformal_alpha=0.3)
+        assert am.conformal_baked and am.conformal_alpha == 0.3
+        x = rs.randn(9, 8).astype(np.float32) * 2
+        v = rs.randn(9).astype(np.float32)
+        o_art, o_src = am.observe(x, v), src.observe(x, v)
+        # rank statistics are exact across the export boundary (searchsorted
+        # against identical baked constants; only the |res| input can move
+        # at fusion-level rounding — assert ranks equal, not just close)
+        np.testing.assert_array_equal(o_art.conformal_p, o_src.conformal_p)
+        assert am.stream_low_p() == src.stream_low_p()
+
+    def test_artifact_without_calib_stays_none(self, stream_setup):
+        from pinnfc_tpu.serving import export_monitor_step, monitor_from_artifact
+
+        params, sx, sy, mu, sigma, *_ , rs = stream_setup
+        src = _monitor(stream_setup, calib=False)
+        am = monitor_from_artifact(
+            export_monitor_step(src, platforms=("cpu", "tpu")), mu, sigma
+        )
+        assert not am.conformal_baked
+        out = am.observe(rs.randn(3, 8).astype(np.float32),
+                         rs.randn(3).astype(np.float32))
+        assert out.conformal_p is None
+
+
+class TestConformalCli:
+    def test_cli_monitor_conformal_summary(self, tmp_path, capsys):
+        """`cli monitor --conformal`: normal rows anomaly at ≈α, the
+        induced fault segment far above it."""
+        import jax
+
+        from pinnfc_tpu.cli import main
+        from pinnfc_tpu.data.contract import save_comprehensive_results
+        from pinnfc_tpu.models.pinn import init_pinn
+        from pinnfc_tpu.utils import save_checkpoint
+
+        rs = np.random.RandomState(3)
+        sx = AffineScaler.fit(rs.randn(200, 8).astype(np.float32))
+        sy = AffineScaler.fit(rs.randn(200, 1).astype(np.float32))
+        params = init_pinn(jax.random.PRNGKey(0), (8, 16, 1))
+        ckpt = str(tmp_path / "ck")
+        save_checkpoint(ckpt, params, sx, sy)
+
+        n = 300
+        arr = np.zeros((n, 22))
+        arr[:, 0:8] = rs.randn(n, 8)
+        arr[:, INDEX["y_true"]] = rs.randn(n) * 0.1
+        arr[n // 2 :, INDEX["label"]] = 2
+        arr[n // 2 :, INDEX["y_true"]] -= 3.0  # collapse → large |res|
+        # res column feeds the calibration scores
+        arr[:, INDEX["res"]] = arr[:, INDEX["y_true"]]
+        mat = str(tmp_path / "F01.mat")
+        save_comprehensive_results(arr, mat)
+
+        rc = main(["monitor", "--mat", mat, "--ckpt", ckpt,
+                   "--conformal", "--conformal-alpha", "0.2", "--block", "50"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "conformal calibration:" in out
+        assert "conformal anomaly rate (p<0.2):" in out
+        assert "normal" in out and "fault" in out
