@@ -26,7 +26,7 @@ N_REPEAT = 20
 LAYERS = (8, 256, 256, 256, 1)
 
 
-def build_monitor(with_head: bool):
+def build_monitor(with_head: bool, with_conformal: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -55,7 +55,12 @@ def build_monitor(with_head: bool):
             gmm=model, comp_fault_prob=jnp.asarray(comp, jnp.float32),
             class_names=("a", "b", "c", "d"), feature_indices=(1, 2, 3, 4),
         )
-    return OnlineMonitor(params, sx, sy, mu, sigma, diagnosis=head)
+    conformal = (
+        np.abs(np.random.RandomState(5).randn(14000)).astype(np.float32)
+        if with_conformal else None
+    )  # campaign-scale calibration vector (≈ the normal-row count)
+    return OnlineMonitor(params, sx, sy, mu, sigma, diagnosis=head,
+                         conformal_calib=conformal)
 
 
 def _median(ts) -> float:
@@ -131,9 +136,11 @@ def main():
 
     enable_compilation_cache()
     out = {"metric": "serving_observe_latency_ms"}
-    for with_head in (False, True):
-        mon = build_monitor(with_head)
-        key = "with_diagnosis" if with_head else "rf_only"
+    for with_head, with_conformal in ((False, False), (True, False),
+                                      (True, True)):
+        mon = build_monitor(with_head, with_conformal)
+        key = ("with_diagnosis_conformal" if with_conformal
+               else "with_diagnosis" if with_head else "rf_only")
         out[key] = {}
         for b in BLOCKS:
             dt = bench(mon, b)

@@ -529,6 +529,20 @@ def cmd_explain(args) -> int:
     return 0
 
 
+def _streaming_conformal_calib(arr, alpha, announce=True):
+    """Normal-row |res| calibration vector for the streaming monitor
+    (uq/conformal 'absolute' score — the one computable online without MC
+    sampling).  One rule for all three surfaces that bake it: cli monitor,
+    cli serve, and export-model --conformal-mat."""
+    from pinnfc_tpu.uq import normal_calibration_scores
+
+    calib = normal_calibration_scores(arr, score="absolute", calib_frac=1.0)
+    if announce:
+        print(f"conformal calibration: {calib.size} normal scores, "
+              f"α={alpha:g}")
+    return calib
+
+
 def cmd_conformal(args) -> int:
     """Split-conformal analysis of an exported artifact (uq/conformal):
     a distribution-free 1−α coverage guarantee for the voltage interval
@@ -557,8 +571,22 @@ def cmd_conformal(args) -> int:
         print(f"figure → {path}")
 
     if getattr(args, "json", False):
-        print(json.dumps(rep.to_dict(), indent=2, allow_nan=False,
-                         default=lambda o: None))
+        import math
+
+        def clean(o):
+            # strict JSON (serving convention): non-finite floats become
+            # null — a fault-free artifact has detection_auc = NaN, too few
+            # calibration normals make q̂ = inf (json.dumps allow_nan=False
+            # RAISES on those; its `default` hook never fires for floats)
+            if isinstance(o, float) and not math.isfinite(o):
+                return None
+            if isinstance(o, dict):
+                return {k: clean(v) for k, v in o.items()}
+            if isinstance(o, list):
+                return [clean(v) for v in o]
+            return o
+
+        print(json.dumps(clean(rep.to_dict()), indent=2, allow_nan=False))
         return 0
 
     kind = ("|res|/σ̂ (adaptive width)" if rep.score == "adaptive"
@@ -567,7 +595,7 @@ def cmd_conformal(args) -> int:
           f"q̂={rep.q_hat:.4g} from {rep.n_calib} calibration normals"
           + (f" ({rep.n_dropped} non-finite dropped)" if rep.n_dropped else ""))
     print(f"{'class':>6} {'n':>6} {'coverage':>9} {'width[V]':>9} "
-          f"{'median p':>9} {'p<α':>7}")
+          f"{'median p':>9} {'p≤α':>7}")
     for c in rep.classes:
         tag = "normal" if c.label == 0 else f"f{c.label:02d}"
         print(f"{tag:>6} {c.n:>6} {c.coverage:>9.3f} {c.mean_width:>9.3g} "
@@ -799,11 +827,10 @@ def _export_model_pinned(args, platforms) -> int:
             # the scalers (serve-time attachment is impossible — see
             # `cli serve --conformal` rejection for artifacts)
             from pinnfc_tpu.data import load_comprehensive_results
-            from pinnfc_tpu.uq import normal_calibration_scores
 
-            conformal_calib = normal_calibration_scores(
+            conformal_calib = _streaming_conformal_calib(
                 load_comprehensive_results(args.conformal_mat).array,
-                score="absolute", calib_frac=1.0,
+                conformal_alpha,
             )
         monitor = OnlineMonitor(
             ckpt["params"], ckpt["scaler_x"], ckpt["scaler_y"],
@@ -1237,6 +1264,9 @@ def cmd_run_all(args) -> int:
     rc = cmd_monitor(argparse.Namespace(
         mat=mat_path, ckpt=ns.ckpt, block=256, fault_label=1, lead=200,
         diagnose=True, gmm_result=gmm_result,
+        # stream the calibrated anomaly p-values too, so the serving demo
+        # reports the normal-vs-fault conformal anomaly rate
+        conformal=True, conformal_alpha=0.1,
     ))
     if rc:
         return rc
@@ -1372,6 +1402,16 @@ def cmd_monitor(args) -> int:
     measurements; print the first warn/danger/voltage alarms."""
     import numpy as np
 
+    if getattr(args, "fleet", False) and getattr(args, "conformal", False):
+        # the fleet table has no p-value column — baking the calib vector
+        # in would silently change nothing the user sees (same policy as
+        # --fleet --whatif below); validated before any loading happens
+        print("--conformal applies to a single-stream replay (the fleet "
+              "table has no p-value column); drop --fleet, or stream "
+              "conformal_p per sample via `cli serve --conformal`",
+              file=sys.stderr)
+        return 2
+
     from pinnfc_tpu.config import RiskConfig
     from pinnfc_tpu.data import load_comprehensive_results
     from pinnfc_tpu.data.contract import INDEX
@@ -1417,15 +1457,7 @@ def cmd_monitor(args) -> int:
     conformal_calib = None
     conformal_alpha = getattr(args, "conformal_alpha", 0.1)
     if getattr(args, "conformal", False):
-        # calibrate the streaming anomaly p-values on the artifact's own
-        # normal rows (absolute |res| score — the one computable online)
-        from pinnfc_tpu.uq import normal_calibration_scores
-
-        conformal_calib = normal_calibration_scores(
-            arr, score="absolute", calib_frac=1.0
-        )
-        print(f"conformal calibration: {conformal_calib.size} normal "
-              f"scores, α={conformal_alpha:g}")
+        conformal_calib = _streaming_conformal_calib(arr, conformal_alpha)
     _print_ckpt_provenance(args.ckpt)
     monitor = OnlineMonitor.from_checkpoint(
         args.ckpt, mu, sigma, cfg, head,
@@ -1468,7 +1500,9 @@ def cmd_monitor(args) -> int:
                 sel = np.isfinite(p_blk) & (is_fault == bool(grp))
                 conf_counts[grp] += (
                     int(sel.sum()),
-                    int((p_blk[sel] < monitor.conformal_alpha).sum()),
+                    # tie-inclusive, like the monitor's own counter: the
+                    # duality is covered ⟺ p > α
+                    int((p_blk[sel] <= monitor.conformal_alpha).sum()),
                 )
         for name, flags in (
             ("warn", out.warn), ("danger", out.danger), ("v_alarm", out.v_alarm)
@@ -1517,7 +1551,7 @@ def cmd_monitor(args) -> int:
             if n:
                 parts.append(f"{tag} {low / n:.1%} (n={n})")
         print(
-            f"conformal anomaly rate (p<{monitor.conformal_alpha:g}): "
+            f"conformal anomaly rate (p≤{monitor.conformal_alpha:g}): "
             + "  ".join(parts)
         )
     oob = monitor.stream_oob_counts()
@@ -1677,13 +1711,7 @@ def cmd_serve(args) -> int:
         if getattr(args, "conformal", False):
             # calibrated anomaly p-values: normal-row |res| scores from
             # the SAME artifact the mu/sigma statistics come from
-            from pinnfc_tpu.uq import normal_calibration_scores
-
-            conformal_calib = normal_calibration_scores(
-                arr, score="absolute", calib_frac=1.0
-            )
-            print(f"conformal calibration: {conformal_calib.size} normal "
-                  f"scores, α={conformal_alpha:g}")
+            conformal_calib = _streaming_conformal_calib(arr, conformal_alpha)
         monitor = OnlineMonitor.from_checkpoint(
             args.ckpt, mu, sigma, RiskConfig(), head,
             glitch_alarm_n=(

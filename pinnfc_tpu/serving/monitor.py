@@ -386,7 +386,7 @@ class OnlineMonitor:
         # host-side mirror of per-stream n_seen so serving never pays a
         # second device readback per request just for a counter
         self._n_seen: dict[str, int] = {"default": 0}
-        # host-side per-stream count of samples with conformal p < α — the
+        # host-side per-stream count of samples with conformal p ≤ α — the
         # calibrated anomaly-rate counter /metrics exposes.  Updated from
         # observe's single batched readback (zero extra device traffic);
         # stays zero without a calibration vector
@@ -618,11 +618,11 @@ class OnlineMonitor:
         return self._n_seen.get(stream, 0)
 
     def stream_low_p(self, stream: str = "default") -> int:
-        """Cumulative count of samples whose conformal anomaly p-value fell
-        below α on this stream (0 for unknown streams or without a
-        calibration vector).  Divide by ``stream_n_seen`` for the
-        calibrated anomaly rate — ≈ α on healthy exchangeable data by the
-        coverage guarantee, climbing under fault or drift."""
+        """Cumulative count of samples with conformal anomaly p ≤ α on
+        this stream (0 for unknown streams or without a calibration
+        vector).  Divide by ``stream_n_seen`` for the calibrated anomaly
+        rate — ≤ α (≈ α) on healthy exchangeable data by the coverage
+        guarantee, climbing under fault or drift."""
         return self._low_p.get(stream, 0)
 
     def stream_oob_counts(self, stream: str = "default") -> np.ndarray:
@@ -661,10 +661,14 @@ class OnlineMonitor:
 
     def _count_low_p(self, out: MonitorOutput, stream: str) -> None:
         """Advance the host-side calibrated-anomaly counter from an already
-        fetched output (NaN compares False, so glitches never count)."""
+        fetched output (NaN compares False, so glitches never count).
+
+        Tie-inclusive ``p ≤ α``: the conformal coverage duality is
+        covered ⟺ p > α, so the boundary sample (p == α exactly, reachable
+        whenever α·(n_calib+1) is an integer) is an uncovered anomaly."""
         if out.conformal_p is not None:
             self._low_p[stream] = self._low_p.get(stream, 0) + int(
-                np.sum(np.asarray(out.conformal_p) < self.conformal_alpha)
+                np.sum(np.asarray(out.conformal_p) <= self.conformal_alpha)
             )
 
     def observe(self, x_raw, v_measured, stream: str = "default") -> MonitorOutput:

@@ -280,8 +280,8 @@ def _render_metrics(
         monitor, "conformal_baked", False
     ):
         lines += [
-            "# HELP pinnfc_stream_conformal_low_p Samples whose conformal "
-            "anomaly p-value fell below alpha (calibrated anomaly rate: "
+            "# HELP pinnfc_stream_conformal_low_p Samples with conformal "
+            "anomaly p-value at or below alpha (calibrated anomaly rate: "
             "divide by pinnfc_stream_n_seen; ~alpha when healthy).",
             "# TYPE pinnfc_stream_conformal_low_p counter",
         ]

@@ -49,7 +49,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List
 
 import numpy as np
 
@@ -97,11 +97,18 @@ class ClassCoverage:
     """Coverage of the conformal interval over one label's rows."""
 
     label: int  # 0 = normal (evaluation half), 1..12 = fault segment
-    n: int
-    coverage: float  # fraction with |res| ≤ q̂·σ̂ (finite rows)
-    mean_width: float  # mean 2·q̂·σ̂ [V]
-    median_p: float  # median conformal p-value
-    frac_low_p: float  # fraction with p < alpha ( = 1 − coverage by duality)
+    n: int  # rows in the class (including glitched / non-finite-score rows)
+    # fraction of FINITE-score rows with |res| ≤ q̂·σ̂ — glitched rows are
+    # excluded from the denominator here (they are a sensor problem, not a
+    # coverage one); the report-level ``covered`` array keeps them False
+    # for the per-row view.  NaN when every row glitched.
+    coverage: float
+    mean_width: float  # mean 2·q̂·σ̂ [V] over finite rows
+    median_p: float  # median conformal p-value (glitches excluded)
+    # fraction of finite rows with p ≤ α — EXACTLY 1 − coverage, by the
+    # duality covered ⟺ p > α (tie-inclusive: when α·(n_calib+1) is an
+    # integer, the boundary sample has p == α and is uncovered)
+    frac_low_p: float
 
 
 @dataclasses.dataclass
@@ -221,11 +228,13 @@ def conformal_report(
         classes.append(ClassCoverage(
             label=int(lbl),
             n=n,
-            coverage=float(covered[rows].mean()),
+            coverage=float(covered[fin].mean()) if fin.any()
+            else float("nan"),
             mean_width=float(2.0 * q_hat * sigma[fin].mean()) if fin.any()
             else float("nan"),
-            median_p=float(np.nanmedian(p[rows])),
-            frac_low_p=float(np.nanmean(p[rows] < alpha)) if fin.any()
+            median_p=float(np.nanmedian(p[rows])) if fin.any()
+            else float("nan"),
+            frac_low_p=float((p[fin] <= alpha).mean()) if fin.any()
             else float("nan"),
         ))
 

@@ -180,6 +180,7 @@ class TestRunAllOrchestration:
         for token in ("voltage_mae", "AUC=", "accuracy", "advance",
                       "Supervised_LR", "streamed",
                       "identifiability over",  # closing identify report
+                      "conformal anomaly rate",  # streaming p-values
                       "held-out normal coverage"):  # conformal audit
             assert token in stdout, token
         # artifacts: exported matrix, checkpoint, figure inventory

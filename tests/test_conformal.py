@@ -144,6 +144,27 @@ class TestReport:
         for c in rep.classes:
             assert c.frac_low_p == pytest.approx(1.0 - c.coverage, abs=1e-12)
 
+    def test_duality_holds_with_glitches_and_integer_alpha(self):
+        """frac_low_p == 1 − coverage EXACTLY even with glitched rows in
+        the class (both are computed over finite rows) and at an α where
+        α·(n_calib+1) is an integer (tie-inclusive p ≤ α)."""
+        arr = _fake_artifact()
+        arr[-5:, INDEX["res"]] = np.nan  # glitch a few fault rows
+        alpha = 134 / 201  # calib_frac .5 of 400 normals → n_calib+1 = 201
+        rep = conformal_report(arr, alpha=alpha)
+        assert rep.n_calib == 200
+        for c in rep.classes:
+            assert c.frac_low_p == pytest.approx(1.0 - c.coverage, abs=1e-12)
+
+    def test_all_glitch_class_reports_nan(self):
+        arr = _fake_artifact()
+        lbl = arr[:, INDEX["label"]]
+        arr[lbl == 3, INDEX["res"]] = np.nan
+        rep = conformal_report(arr)
+        c3 = next(c for c in rep.classes if c.label == 3)
+        assert np.isnan(c3.coverage) and np.isnan(c3.frac_low_p)
+        assert np.isnan(c3.median_p) and c3.n > 0
+
     def test_calib_rows_excluded_from_eval(self):
         arr = _fake_artifact()
         rep = conformal_report(arr, calib_frac=0.5)
@@ -207,6 +228,22 @@ class TestCli:
         assert rc == 0
         assert blob["alpha"] == 0.1 and blob["detection_auc"] > 0.99
         assert (tmp_path / "figs" / "conformal_coverage.png").exists()
+
+    def test_cli_conformal_json_nan_inf_become_null(self, tmp_path, capsys):
+        """Strict JSON: a fault-free artifact (detection_auc = NaN) at an
+        α too small for the calibration count (q̂ = inf) must emit nulls,
+        not crash json.dumps(allow_nan=False)."""
+        from pinnfc_tpu.cli import main
+        from pinnfc_tpu.data import save_comprehensive_results
+
+        mat = str(tmp_path / "F01.mat")
+        save_comprehensive_results(_fake_artifact(n_normal=40, n_fault=0), mat)
+        rc = main(["conformal", "--mat", mat, "--json", "--alpha", "0.01"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        blob = json.loads(out[out.index("{"):])
+        assert blob["detection_auc"] is None  # NaN → null
+        assert blob["q_hat"] is None  # inf → null
 
     def test_cli_conformal_table(self, tmp_path, capsys):
         from pinnfc_tpu.cli import main
@@ -308,11 +345,13 @@ class TestStreamingConformal:
         x = rs.randn(40, 8).astype(np.float32) * 3
         v = rs.randn(40).astype(np.float32) + 5.0  # large |res| → low p
         out = mon.observe(x, v)
-        want = int((np.asarray(out.conformal_p) < 0.5).sum())
+        # tie-inclusive p ≤ α (duality: covered ⟺ p > α; with n_calib=99
+        # the boundary p == 0.5 is exactly representable)
+        want = int((np.asarray(out.conformal_p) <= 0.5).sum())
         assert mon.stream_low_p() == want and want > 0
         out2 = mon.observe(x, v)
         assert mon.stream_low_p() == want + int(
-            (np.asarray(out2.conformal_p) < 0.5).sum()
+            (np.asarray(out2.conformal_p) <= 0.5).sum()
         )
         assert mon.stream_low_p("never-seen") == 0
         mon.reset()
@@ -463,5 +502,16 @@ class TestConformalCli:
         out = capsys.readouterr().out
         assert rc == 0
         assert "conformal calibration:" in out
-        assert "conformal anomaly rate (p<0.2):" in out
+        assert "conformal anomaly rate (p≤0.2):" in out
         assert "normal" in out and "fault" in out
+
+    def test_cli_monitor_fleet_conformal_rejected(self, tmp_path, capsys):
+        """--conformal with --fleet would be a silent no-op (the fleet
+        table has no p-value column) — rejected loudly, same policy as
+        --fleet --whatif."""
+        from pinnfc_tpu.cli import main
+
+        rc = main(["monitor", "--mat", "whatever.mat", "--ckpt", "ck",
+                   "--fleet", "--conformal"])
+        assert rc == 2
+        assert "single-stream" in capsys.readouterr().err

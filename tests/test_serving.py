@@ -1350,8 +1350,11 @@ class TestShardedFleet:
 
         params, d, mu, sigma, x_raw, v_meas = setup
         mesh = self._mesh()
+        # conformal enabled: the baked calibration searchsorted is row-local
+        # and must not introduce collectives either
         mon = OnlineMonitor(params, d.scaler_x, d.scaler_y, mu, sigma,
-                            mesh=mesh)
+                            mesh=mesh,
+                            conformal_calib=np.linspace(0.01, 1.0, 40))
         n = jax.device_count()
         streams = [f"s{i}" for i in range(n)]
         x_bank = np.stack([x_raw[:16]] * n).astype(np.float32)
