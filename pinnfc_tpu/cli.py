@@ -773,6 +773,11 @@ def cmd_export_model(args) -> int:
         print("--conformal-mat requires --monitor-step (the scorer artifact "
               "has no p-value output)", file=sys.stderr)
         return 2
+    if (getattr(args, "conformal_gamma", None)
+            and not getattr(args, "conformal_mat", None)):
+        print("--conformal-gamma requires --conformal-mat (there is no "
+              "p-value to adapt the level against)", file=sys.stderr)
+        return 2
 
     # pin the CPU backend for the load + trace + lowering (relay-outage
     # proof; jax.export cross-lowers the tpu target), restoring the prior
@@ -841,6 +846,7 @@ def _export_model_pinned(args, platforms) -> int:
             ),
             conformal_calib=conformal_calib,
             conformal_alpha=conformal_alpha,
+            conformal_gamma=getattr(args, "conformal_gamma", None) or 0.0,
         )
         blob = export_monitor_step(monitor, platforms=platforms)
         signature = (
@@ -885,8 +891,11 @@ def _export_model_pinned(args, platforms) -> int:
         )
         if monitor.conformal_calib is not None:
             # which calibration the baked p-values carry (the α is a
-            # serve-time display/counter value, recorded for adoption)
+            # serve-time display/counter value, recorded for adoption; γ
+            # is baked into the device recurrence — recorded so a
+            # deployment can tell whether α_t adapts)
             sidecar["conformal_alpha"] = monitor.conformal_alpha
+            sidecar["conformal_gamma"] = monitor.conformal_gamma
             sidecar["conformal_n_calib"] = int(monitor.conformal_calib.size)
             sidecar["conformal_source"] = os.path.abspath(args.conformal_mat)
     with open(args.out + ".meta.json", "w") as f:
@@ -1411,6 +1420,11 @@ def cmd_monitor(args) -> int:
               "conformal_p per sample via `cli serve --conformal`",
               file=sys.stderr)
         return 2
+    conformal_gamma = getattr(args, "conformal_gamma", 0.0) or 0.0
+    if conformal_gamma and not getattr(args, "conformal", False):
+        print("--conformal-gamma needs --conformal (there is no p-value "
+              "to adapt the level against)", file=sys.stderr)
+        return 2
 
     from pinnfc_tpu.config import RiskConfig
     from pinnfc_tpu.data import load_comprehensive_results
@@ -1464,6 +1478,7 @@ def cmd_monitor(args) -> int:
         glitch_alarm_n=glitch_n if glitch_n is not None else _glitch_default(),
         mesh=mesh,
         conformal_calib=conformal_calib, conformal_alpha=conformal_alpha,
+        conformal_gamma=conformal_gamma,
     )
 
     if getattr(args, "fleet", False):
@@ -1554,6 +1569,14 @@ def cmd_monitor(args) -> int:
             f"conformal anomaly rate (p≤{monitor.conformal_alpha:g}): "
             + "  ".join(parts)
         )
+        if conformal_gamma:
+            # the adaptive level after the replay IS the drift verdict:
+            # ≈α* = the stream still matches the calibration campaign
+            a_t = monitor.stream_aci_alpha()
+            print(f"adaptive conformal level after replay: α_t={a_t:.4f} "
+                  f"(target α*={monitor.conformal_alpha:g}, γ="
+                  f"{conformal_gamma:g}; α_t well below α* = the score "
+                  f"distribution has shifted)")
     oob = monitor.stream_oob_counts()
     if oob.sum() > 0:
         # input-range drift: the replayed campaign left the checkpoint's
@@ -1631,6 +1654,17 @@ def cmd_serve(args) -> int:
         print("--conformal calibration is baked into a --monitor-step "
               "artifact at export time (`export-model --conformal-mat`); "
               "it cannot be attached at serve time", file=sys.stderr)
+        return 2
+    if artifact and getattr(args, "conformal_gamma", None) is not None:
+        print("--conformal-gamma is baked into the artifact's device "
+              "recurrence at export time (`export-model --conformal-gamma`);"
+              " passing it at serve time would silently have no effect",
+              file=sys.stderr)
+        return 2
+    if (not artifact and getattr(args, "conformal_gamma", None)
+            and not getattr(args, "conformal", False)):
+        print("--conformal-gamma needs --conformal (there is no p-value "
+              "to adapt the level against)", file=sys.stderr)
         return 2
 
     arr = load_comprehensive_results(args.mat).array
@@ -1720,6 +1754,7 @@ def cmd_serve(args) -> int:
             mesh=mesh,
             conformal_calib=conformal_calib,
             conformal_alpha=conformal_alpha,
+            conformal_gamma=getattr(args, "conformal_gamma", None) or 0.0,
         )
     serve(monitor, host=args.host, port=args.port,
           max_requests=args.max_requests,
@@ -1980,6 +2015,12 @@ def main(argv: Optional[list] = None) -> int:
     ex.add_argument("--conformal-alpha", type=float, default=None,
                     help="α recorded in the sidecar for the low-p counter "
                          "(default 0.1)")
+    ex.add_argument("--conformal-gamma", type=float, default=None,
+                    help="with --conformal-mat: bake the adaptive conformal "
+                         "step size γ into the step — deployed streams "
+                         "carry a drift-tracked alarm level α_t whose "
+                         "long-run alarm rate stays at α* (default 0: "
+                         "static level)")
     ex.set_defaults(fn=cmd_export_model)
 
     for name, fn, extra in (
@@ -2094,6 +2135,12 @@ def main(argv: Optional[list] = None) -> int:
                         "score); prints the normal-vs-fault anomaly rate")
     m.add_argument("--conformal-alpha", type=float, default=0.1,
                    help="p<α counts as a calibrated anomaly (default 0.1)")
+    m.add_argument("--conformal-gamma", type=float, default=0.0,
+                   help="with --conformal: adaptive conformal step size γ "
+                        "(Gibbs & Candès ACI) — the alarm level α_t tracks "
+                        "drift so the long-run alarm rate stays at α*; the "
+                        "replayed stream's final α_t is a calibrated drift "
+                        "gauge (0 = static level, default)")
     m.set_defaults(fn=cmd_monitor)
 
     sv = sub.add_parser(
@@ -2132,6 +2179,12 @@ def main(argv: Optional[list] = None) -> int:
     sv.add_argument("--conformal-alpha", type=float, default=None,
                     help="p<α counts as a calibrated anomaly (default 0.1, "
                          "or the artifact sidecar's recorded value)")
+    sv.add_argument("--conformal-gamma", type=float, default=None,
+                    help="with --ckpt --conformal: adaptive conformal step "
+                         "size γ — each stream's alarm level α_t tracks "
+                         "drift (/observe gains aci_alpha/aci_anomaly; "
+                         "/metrics a per-stream α_t gauge). Baked in for "
+                         "artifacts (`export-model --conformal-gamma`)")
     sv.set_defaults(fn=cmd_serve)
 
     dr = sub.add_parser(

@@ -100,11 +100,16 @@ def export_monitor_step(
           -> (state, (rf, rf_smooth, residuals f32[b,5], v_pred, v_alarm,
                       glitch, sensor_alarm, (fault_probs, fault_pred),
                       layer_scores f32[b,L], layer_c f32[b,L], oob bool[b],
-                      conformal_p f32[b] | None))
+                      conformal_p f32[b] | None,
+                      aci_alpha f32[b] | None, aci_anomaly bool[b] | None))
 
-    ``conformal_p`` is present (non-None) when the exporting monitor
-    carried a conformal calibration vector — the sorted normal scores bake
-    into the step like the scalers and head do.
+    ``conformal_p``/``aci_*`` are present (non-None) when the exporting
+    monitor carried a conformal calibration vector — the sorted normal
+    scores, the target level α* and the ACI step size γ bake into the
+    step like the scalers and head do.  The CARRIED level α_t is state
+    (crosses the boundary like C(t)); a fresh stream starts at whatever
+    the serving shell's ``conformal_alpha`` is, so pass the sidecar's
+    recorded value to start at the baked target.
 
     ``state`` crosses the boundary as a PLAIN TUPLE in
     ``MonitorState._fields`` order (recorded in the CLI sidecar), not as

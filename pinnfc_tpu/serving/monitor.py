@@ -167,16 +167,17 @@ class DiagnosisHead(NamedTuple):
 STEP_OUT_FIELDS = (
     "rf_inst", "rf_smooth", "residuals", "v_pred", "v_alarm", "glitch",
     "sensor_alarm", "fault", "layer_scores", "layer_c", "oob",
-    "conformal_p",
+    "conformal_p", "aci_alpha", "aci_anomaly",
 )
 
 # (n state fields, n step-output fields) of every schema an exported
-# monitor-step artifact may carry, newest first: v3 added the conformal
-# p-value output (stateless — no new state field); v2 added the
+# monitor-step artifact may carry, newest first: v4 added the adaptive
+# conformal level (aci_alpha state + aci_alpha/aci_anomaly outputs);
+# v3 added the conformal p-value output (stateless); v2 added the
 # input-range drift surface (oob_count state / oob output); v1 predates
-# both.  An old artifact keeps working — its missing fields pack as
+# all three.  An old artifact keeps working — its missing fields pack as
 # None / carry through frozen (serving/exported.py).
-STEP_SCHEMA_VERSIONS = ((8, 12), (8, 11), (7, 10))
+STEP_SCHEMA_VERSIONS = ((9, 14), (8, 12), (8, 11), (7, 10))
 
 
 def contributing_layer_names(config) -> tuple:
@@ -237,6 +238,19 @@ class MonitorState(NamedTuple):
     # model was fit on.  NaN inputs are glitches, not drift (comparisons
     # with NaN are False, so they never count here).
     oob_count: jnp.ndarray
+    # () the adaptive conformal level α_t (Gibbs & Candès 2021 ACI):
+    # α_{t+1} = α_t + γ·(α* − err_t) with err_t = [p_t ≤ α_t], carried
+    # across blocks like C(t).  Deliberately UNCLIPPED: α_t transiently
+    # leaving [0,1] is what makes the budget argument work — a level
+    # driven below 0 by an alarm storm stores "debt" (no p ≤ α_t < 0 can
+    # alarm) that must be repaid by γα*-sized quiet steps before the next
+    # alarm, which is exactly how the long-run alarm rate is pinned to α*
+    # REGARDLESS of distribution shift (clipping at 0 would alarm every
+    # other sample under a full shift — measured 0.5, not α*).  With γ=0
+    # it stays at α* (static conformal).  α_t itself is a calibrated
+    # drift gauge: α_t ≈ α* means the plant still matches the calibration
+    # campaign; α_t falling means the score distribution has shifted.
+    aci_alpha: jnp.ndarray
 
 
 @dataclasses.dataclass
@@ -280,6 +294,14 @@ class MonitorOutput:
     # is a tuned heuristic).  NaN on glitched samples.  None without a
     # ``conformal_calib`` (or packing a pre-conformal exported artifact).
     conformal_p: np.ndarray | None = None
+    # (B,) the adaptive conformal level α_t each sample was tested at
+    # (MonitorState.aci_alpha docs; constant α* when γ=0) and the
+    # resulting anomaly flag p_t ≤ α_t.  aci_anomaly is the BUDGETED
+    # alarm — its long-run rate tracks α* even under drift (γ>0) — while
+    # ``conformal_p <= alpha*`` is the static detection signal; glitched
+    # samples never flag (their p is NaN) and never move α_t.
+    aci_alpha: np.ndarray | None = None
+    aci_anomaly: np.ndarray | None = None
 
 
 def _rf_block(s_tot, state: MonitorState, cfg: RiskConfig):
@@ -327,6 +349,7 @@ class OnlineMonitor:
         mesh=None,
         conformal_calib=None,
         conformal_alpha: float = 0.1,
+        conformal_gamma: float = 0.0,
     ):
         if glitch_alarm_n < 1:
             raise ValueError(
@@ -374,6 +397,19 @@ class OnlineMonitor:
         else:
             self.conformal_calib = None
         self.conformal_alpha = float(conformal_alpha)
+        # adaptive conformal step size (MonitorState.aci_alpha docs):
+        # γ=0 keeps α_t pinned at α* (static); γ>0 makes the per-stream
+        # alarm level track drift so the long-run alarm rate stays at α*
+        if not 0.0 <= conformal_gamma < 1.0:
+            raise ValueError(
+                f"conformal_gamma must be in [0, 1), got {conformal_gamma}"
+            )
+        if conformal_gamma > 0.0 and conformal_calib is None:
+            raise ValueError(
+                "conformal_gamma needs a conformal_calib vector (there is "
+                "no p-value to adapt the level against)"
+            )
+        self.conformal_gamma = float(conformal_gamma)
         # layers that actually contribute, in config order — the column
         # order of layer_scores/layer_c and the length of the per-stream
         # layer_c state vector (shared rule: contributing_layer_names)
@@ -416,6 +452,7 @@ class OnlineMonitor:
             glitch_run=np.float32(0.0),
             layer_c=np.zeros(len(self.layer_names), np.float32),
             oob_count=np.zeros(self._n_features, np.int32),
+            aci_alpha=np.float32(self.conformal_alpha),
         )
 
     def _build_step(self):
@@ -533,17 +570,6 @@ class OnlineMonitor:
             )
             oob = jnp.any(oob_ch, axis=1)
 
-            new_state = MonitorState(
-                c=c_series[-1],
-                rf_smooth=rf_smooth[-1],
-                v_first=v_first,
-                n_seen=state.n_seen + s_tot.shape[0],
-                v_first_set=v_first_set,
-                glitch_run=glitch_series[-1],
-                layer_c=lc_series[-1],
-                oob_count=state.oob_count
-                + jnp.sum(oob_ch, axis=0, dtype=state.oob_count.dtype),
-            )
             # NaN comparisons are False, so pre-baseline (non-finite) samples
             # in the capturing block never alarm; the flag guards the
             # no-baseline-yet stream entirely
@@ -567,8 +593,46 @@ class OnlineMonitor:
                 conformal_p = jnp.where(
                     jnp.isfinite(s_conf), p_conf, jnp.nan
                 )
+                # adaptive conformal level (MonitorState.aci_alpha docs):
+                # a sequential scalar recurrence — err_t depends on α_t
+                # through the comparison, so unlike C(t) it is NOT a
+                # linear recurrence; a lax.scan over the block (B scalar
+                # ops) is negligible next to the forward pass.  Glitched
+                # samples (NaN p) neither flag nor move the level.
+                gamma = self.conformal_gamma
+                alpha_star = self.conformal_alpha
+
+                def aci_step(alpha_t, p_t):
+                    fin = jnp.isfinite(p_t)
+                    err = fin & (p_t <= alpha_t)
+                    # unclipped on purpose — see MonitorState.aci_alpha
+                    nxt = alpha_t + gamma * (
+                        alpha_star - err.astype(jnp.float32)
+                    )
+                    nxt = jnp.where(fin, nxt, alpha_t)
+                    return nxt, (alpha_t, err)
+
+                aci_last, (aci_alpha, aci_anomaly) = jax.lax.scan(
+                    aci_step, state.aci_alpha, conformal_p
+                )
             else:
                 conformal_p = None
+                aci_alpha = None
+                aci_anomaly = None
+                aci_last = state.aci_alpha
+
+            new_state = MonitorState(
+                c=c_series[-1],
+                rf_smooth=rf_smooth[-1],
+                v_first=v_first,
+                n_seen=state.n_seen + s_tot.shape[0],
+                v_first_set=v_first_set,
+                glitch_run=glitch_series[-1],
+                layer_c=lc_series[-1],
+                oob_count=state.oob_count
+                + jnp.sum(oob_ch, axis=0, dtype=state.oob_count.dtype),
+                aci_alpha=aci_last,
+            )
 
             if head is not None:
                 # script-03 posterior mapping (03:417-425), fully on device
@@ -591,6 +655,7 @@ class OnlineMonitor:
             return new_state, (
                 rf_inst, rf_smooth, r, v_pred, v_alarm, glitch, sensor_alarm,
                 fault, layer_scores, lc_series, oob, conformal_p,
+                aci_alpha, aci_anomaly,
             )
 
         return step
@@ -625,6 +690,16 @@ class OnlineMonitor:
         guarantee, climbing under fault or drift."""
         return self._low_p.get(stream, 0)
 
+    def stream_aci_alpha(self, stream: str = "default") -> float:
+        """Current adaptive conformal level α_t for one stream (the
+        configured α* for unknown streams — a fresh stream starts there).
+        With γ>0 this is a calibrated drift gauge: α_t ≈ α* means the
+        stream still matches the calibration campaign."""
+        state = self._streams.get(stream)
+        if state is None:
+            return self.conformal_alpha
+        return float(jax.device_get(state.aci_alpha))
+
     def stream_oob_counts(self, stream: str = "default") -> np.ndarray:
         """(F,) cumulative out-of-training-range sample count per input
         channel for one stream (host copy; fresh zeros for an unknown
@@ -657,6 +732,8 @@ class OnlineMonitor:
             layer_c=d["layer_c"],
             oob=d.get("oob"),
             conformal_p=d.get("conformal_p"),
+            aci_alpha=d.get("aci_alpha"),
+            aci_anomaly=d.get("aci_anomaly"),
         )
 
     def _count_low_p(self, out: MonitorOutput, stream: str) -> None:
@@ -857,13 +934,14 @@ class OnlineMonitor:
         step keeps its single compile signature across a save/load cycle."""
         d = np.load(path if path.endswith(".npz") else path + ".npz")
         fresh = self._fresh_state()
-        # layer_c / oob_count may be absent from snapshots written before
-        # those surfaces existed (or under a different layer config /
-        # feature width): the RF recurrence itself restores exactly; the
-        # attribution restarts from zero and re-fills with the integral's
-        # own ~1/(1−λ) memory, the drift counter restarts from zero
+        # layer_c / oob_count / aci_alpha may be absent from snapshots
+        # written before those surfaces existed (or under a different
+        # layer config / feature width): the RF recurrence itself restores
+        # exactly; the attribution restarts from zero and re-fills with
+        # the integral's own ~1/(1−λ) memory, the drift counter restarts
+        # from zero, the adaptive level restarts at α*
         optional = {
-            f for f in ("layer_c", "oob_count")
+            f for f in ("layer_c", "oob_count", "aci_alpha")
             if f"state_{f}" not in d
             or d[f"state_{f}"].shape[1:] != np.asarray(
                 getattr(fresh, f)).shape
@@ -943,6 +1021,7 @@ class OnlineMonitor:
         mesh=None,
         conformal_calib=None,
         conformal_alpha: float = 0.1,
+        conformal_gamma: float = 0.0,
     ) -> "OnlineMonitor":
         """Restore params + scalers saved by utils.checkpoint.save_checkpoint."""
         from pinnfc_tpu.utils.checkpoint import load_checkpoint
@@ -952,4 +1031,5 @@ class OnlineMonitor:
             ckpt["params"], ckpt["scaler_x"], ckpt["scaler_y"], mu, sigma,
             config, diagnosis, glitch_alarm_n=glitch_alarm_n, mesh=mesh,
             conformal_calib=conformal_calib, conformal_alpha=conformal_alpha,
+            conformal_gamma=conformal_gamma,
         )

@@ -17,8 +17,10 @@ invariance the streaming tests prove).
            "layer_names": [...], "layer_scores": [[...]],   (risk attribution)
            "layer_c": [[...]],       (per-layer risk-integral composition)
            "oob": [...],             (input-range drift flags per sample)
-           "conformal_p": [...], "conformal_alpha": a, "stream_low_p": n}
-                                     (calibrated anomaly p-values, with a
+           "conformal_p": [...], "conformal_alpha": a, "stream_low_p": n,
+           "aci_alpha": [...], "aci_anomaly": [...]}
+                                     (calibrated anomaly p-values and the
+                                      adaptive-level alarm, with a
                                       conformal calibration vector)
     POST /observe_many  {"streams": [...], "x": (S,B,8), "v": (S,B)}
         → {"results": {stream: <observe payload>}, "n_seen": int}
@@ -146,6 +148,12 @@ def _json_payload(out, monitor: OnlineMonitor, stream: str = "default") -> dict:
         payload["conformal_p"] = _finite_or_null(out.conformal_p)
         payload["conformal_alpha"] = monitor.conformal_alpha
         payload["stream_low_p"] = monitor.stream_low_p(stream)
+    if out.aci_anomaly is not None:
+        # adaptive conformal: the drift-tracked level each sample was
+        # tested at and the budgeted alarm flag (long-run rate ≈ α* even
+        # under drift when γ>0; constant α* when γ=0)
+        payload["aci_alpha"] = _finite_or_null(out.aci_alpha)
+        payload["aci_anomaly"] = out.aci_anomaly.tolist()
     if out.fault_probs is not None:
         probs = np.round(np.asarray(out.fault_probs, np.float64), 6)
         payload["fault_probs"] = [
@@ -289,6 +297,18 @@ def _render_metrics(
             lines.append(
                 f'pinnfc_stream_conformal_low_p{{stream='
                 f'"{_prom_escape(s)}"}} {monitor.stream_low_p(s)}'
+            )
+        lines += [
+            "# HELP pinnfc_stream_aci_alpha Adaptive conformal level "
+            "alpha_t (drift gauge: ~alpha* while the stream matches the "
+            "calibration campaign, falling under shift; constant at "
+            "alpha* when gamma=0).",
+            "# TYPE pinnfc_stream_aci_alpha gauge",
+        ]
+        for s, state in states.items():
+            lines.append(
+                f'pinnfc_stream_aci_alpha{{stream="{_prom_escape(s)}"}} '
+                f"{float(state.aci_alpha):.6g}"
             )
     return "\n".join(lines) + "\n"
 

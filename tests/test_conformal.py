@@ -433,6 +433,185 @@ class TestStreamingConformal:
         assert "conformal_low_p" not in _render_metrics(mon2, stats)
 
 
+def _aci_oracle(p, alpha0, alpha_star, gamma):
+    """Host reference for the ACI recurrence, in the step's own f32 ops:
+    α_{t+1} = α_t + γ(α* − err_t) (UNCLIPPED — the transient excursions
+    outside [0,1] carry the budget debt), err_t = [finite ∧ p_t ≤ α_t],
+    NaN p freezes the level."""
+    a = np.float32(alpha0)
+    g, s = np.float32(gamma), np.float32(alpha_star)
+    alphas, errs = [], []
+    for pi in np.asarray(p, np.float32):
+        fin = bool(np.isfinite(pi))
+        err = fin and bool(pi <= a)
+        alphas.append(a)
+        errs.append(err)
+        if fin:
+            a = np.float32(a + g * (s - np.float32(err)))
+    return np.array(alphas, np.float32), np.array(errs, bool), a
+
+
+class TestAdaptiveConformal:
+    """Gibbs & Candès ACI in the jitted step: the per-stream alarm level
+    α_t tracks drift so the long-run alarm rate stays at α*, and the
+    carried level itself is a calibrated drift gauge."""
+
+    def test_gamma_zero_pins_level(self, stream_setup):
+        *_, rs = stream_setup
+        mon = _monitor(stream_setup, alpha=0.2)  # default γ=0
+        out = mon.observe(rs.randn(16, 8).astype(np.float32),
+                          rs.randn(16).astype(np.float32))
+        np.testing.assert_array_equal(out.aci_alpha, np.float32(0.2))
+        finite = np.isfinite(np.asarray(out.conformal_p))
+        np.testing.assert_array_equal(
+            out.aci_anomaly,
+            finite & (np.asarray(out.conformal_p) <= np.float32(0.2)),
+        )
+        assert mon.stream_aci_alpha() == np.float32(0.2)
+
+    def test_recurrence_matches_host_oracle(self, stream_setup):
+        *_, rs = stream_setup
+        mon = _monitor(stream_setup, alpha=0.2, conformal_gamma=0.05)
+        x = rs.randn(50, 8).astype(np.float32) * 2
+        v = rs.randn(50).astype(np.float32) + 2.0
+        x[7, 1] = np.nan  # a glitch mid-stream must freeze the level
+        out = mon.observe(x, v)
+        alphas, errs, last = _aci_oracle(out.conformal_p, 0.2, 0.2, 0.05)
+        np.testing.assert_allclose(out.aci_alpha, alphas, atol=2e-7)
+        # flags re-derived from the DEVICE's own levels (robust to 1-ulp
+        # drift at exact-tie boundaries, impossible here by construction)
+        finite = np.isfinite(np.asarray(out.conformal_p))
+        np.testing.assert_array_equal(
+            out.aci_anomaly,
+            finite & (np.asarray(out.conformal_p) <= out.aci_alpha),
+        )
+        assert not out.aci_anomaly[7] and np.isfinite(out.aci_alpha[7])
+        np.testing.assert_allclose(mon.stream_aci_alpha(), last, atol=2e-7)
+
+    def test_block_split_invariance(self, stream_setup):
+        """α_t is carried state like C(t): any block split replays the
+        identical level series."""
+        *_, rs = stream_setup
+        x = rs.randn(60, 8).astype(np.float32) * 2
+        v = rs.randn(60).astype(np.float32) + 1.0
+        m1 = _monitor(stream_setup, alpha=0.2, conformal_gamma=0.03)
+        m2 = _monitor(stream_setup, alpha=0.2, conformal_gamma=0.03)
+        one = m1.observe(x, v)
+        parts = [m2.observe(x[i:i + 7], v[i:i + 7]) for i in range(0, 60, 7)]
+        np.testing.assert_array_equal(
+            one.aci_alpha, np.concatenate([p.aci_alpha for p in parts])
+        )
+        np.testing.assert_array_equal(
+            one.aci_anomaly, np.concatenate([p.aci_anomaly for p in parts])
+        )
+
+    def test_long_run_alarm_rate_tracks_alpha_star_under_shift(
+        self, stream_setup
+    ):
+        """The headline ACI property: on fully shifted data (every p at the
+        1/(n+1) floor) the static rule alarms on EVERY sample, while the
+        adaptive level self-throttles to the α* budget."""
+        *_, rs = stream_setup
+        mon = _monitor(stream_setup, alpha=0.2, conformal_gamma=0.05)
+        x = (rs.randn(500, 8) * 4).astype(np.float32)
+        v = (rs.randn(500) + 30.0).astype(np.float32)  # huge |res|
+        out = mon.observe(x, v)
+        p = np.asarray(out.conformal_p)
+        assert (p <= 0.2).mean() > 0.95  # static rule: alarm storm
+        rate = np.asarray(out.aci_anomaly)[100:].mean()  # after burn-in
+        assert abs(rate - 0.2) < 0.05
+        # and the carried level IS the drift verdict: far below α*
+        assert mon.stream_aci_alpha() < 0.1
+
+    def test_constructor_validation(self, stream_setup):
+        params, sx, sy, mu, sigma, calib, _ = stream_setup
+        with pytest.raises(ValueError, match="conformal_gamma"):
+            OnlineMonitor(params, sx, sy, mu, sigma,
+                          conformal_calib=calib, conformal_gamma=1.0)
+        with pytest.raises(ValueError, match="conformal_gamma"):
+            OnlineMonitor(params, sx, sy, mu, sigma,
+                          conformal_calib=calib, conformal_gamma=-0.1)
+        with pytest.raises(ValueError, match="calib"):
+            OnlineMonitor(params, sx, sy, mu, sigma, conformal_gamma=0.05)
+
+    def test_observe_many_parity(self, stream_setup):
+        *_, rs = stream_setup
+        fleet = _monitor(stream_setup, alpha=0.3, conformal_gamma=0.04)
+        solo = _monitor(stream_setup, alpha=0.3, conformal_gamma=0.04)
+        xb = (rs.randn(3, 12, 8) * 2).astype(np.float32)
+        vb = (rs.randn(3, 12) + 3.0).astype(np.float32)
+        outs = fleet.observe_many(xb, vb, ["a", "b", "c"])
+        for i, s in enumerate(["a", "b", "c"]):
+            ref = solo.observe(xb[i], vb[i], stream=s)
+            np.testing.assert_array_equal(outs[s].aci_alpha, ref.aci_alpha)
+            np.testing.assert_array_equal(outs[s].aci_anomaly, ref.aci_anomaly)
+            assert fleet.stream_aci_alpha(s) == solo.stream_aci_alpha(s)
+
+    def test_state_bank_roundtrip_and_backcompat(self, stream_setup, tmp_path):
+        *_, rs = stream_setup
+        mon = _monitor(stream_setup, alpha=0.2, conformal_gamma=0.05)
+        mon.observe((rs.randn(30, 8) * 3).astype(np.float32),
+                    (rs.randn(30) + 10.0).astype(np.float32), stream="s1")
+        a1 = mon.stream_aci_alpha("s1")
+        assert a1 != np.float32(0.2)  # the level actually moved
+        path = str(tmp_path / "bank.npz")
+        mon.save_state_bank(path)
+        mon2 = _monitor(stream_setup, alpha=0.2, conformal_gamma=0.05)
+        mon2.load_state_bank(path)
+        assert mon2.stream_aci_alpha("s1") == a1
+        # a pre-ACI snapshot restores with the level reset to α*
+        d = dict(np.load(path))
+        del d["state_aci_alpha"]
+        np.savez(str(tmp_path / "old.npz"), **d)
+        mon3 = _monitor(stream_setup, alpha=0.2, conformal_gamma=0.05)
+        mon3.load_state_bank(str(tmp_path / "old.npz"))
+        assert mon3.stream_aci_alpha("s1") == np.float32(0.2)
+        assert mon3.stream_n_seen("s1") == 30  # everything else restored
+
+    def test_unknown_stream_reports_alpha_star(self, stream_setup):
+        mon = _monitor(stream_setup, alpha=0.25, conformal_gamma=0.02)
+        assert mon.stream_aci_alpha("never-seen") == 0.25
+
+    def test_server_payload_and_metrics(self, stream_setup):
+        from pinnfc_tpu.serving.server import _json_payload, _render_metrics
+
+        *_, rs = stream_setup
+        mon = _monitor(stream_setup, alpha=0.2, conformal_gamma=0.05)
+        out = mon.observe((rs.randn(6, 8) * 3).astype(np.float32),
+                          (rs.randn(6) + 8.0).astype(np.float32))
+        payload = _json_payload(out, mon, "default")
+        assert len(payload["aci_alpha"]) == 6
+        assert payload["aci_anomaly"] == out.aci_anomaly.tolist()
+        stats = {"requests": {}, "observe_seconds": 0.0, "observe_calls": 0}
+        text = _render_metrics(mon, stats)
+        assert ('pinnfc_stream_aci_alpha{stream="default"} '
+                f"{mon.stream_aci_alpha():.6g}") in text
+        # without a calibration vector the surface is absent entirely
+        mon2 = _monitor(stream_setup, calib=False)
+        out2 = mon2.observe(rs.randn(2, 8).astype(np.float32),
+                            rs.randn(2).astype(np.float32))
+        assert "aci_alpha" not in _json_payload(out2, mon2, "default")
+        assert "pinnfc_stream_aci_alpha" not in _render_metrics(mon2, stats)
+
+    def test_artifact_roundtrip_parity(self, stream_setup):
+        """γ bakes into the exported step; the carried level crosses the
+        StableHLO boundary as state and replays identically."""
+        from pinnfc_tpu.serving import export_monitor_step, monitor_from_artifact
+
+        params, sx, sy, mu, sigma, calib, rs = stream_setup
+        src = _monitor(stream_setup, alpha=0.2, conformal_gamma=0.05)
+        blob = export_monitor_step(src, platforms=("cpu", "tpu"))
+        am = monitor_from_artifact(blob, mu, sigma, conformal_alpha=0.2)
+        x = (rs.randn(40, 8) * 3).astype(np.float32)
+        v = (rs.randn(40) + 10.0).astype(np.float32)
+        for _ in range(2):  # two blocks: the carried α_t must round-trip
+            o_art, o_src = am.observe(x, v), src.observe(x, v)
+            np.testing.assert_array_equal(o_art.aci_alpha, o_src.aci_alpha)
+            np.testing.assert_array_equal(o_art.aci_anomaly, o_src.aci_anomaly)
+        assert am.stream_aci_alpha() == src.stream_aci_alpha()
+        assert am.stream_aci_alpha() != np.float32(0.2)  # it moved
+
+
 class TestExportedConformal:
     """The calibration vector bakes into StableHLO monitor-step artifacts
     (serving/exported.py v3 schema)."""
@@ -504,6 +683,67 @@ class TestConformalCli:
         assert "conformal calibration:" in out
         assert "conformal anomaly rate (p≤0.2):" in out
         assert "normal" in out and "fault" in out
+
+    def test_cli_monitor_conformal_gamma_summary(self, tmp_path, capsys):
+        """`cli monitor --conformal --conformal-gamma`: the replay prints
+        the adaptive level after the stream — the calibrated drift verdict."""
+        import jax
+
+        from pinnfc_tpu.cli import main
+        from pinnfc_tpu.data.contract import save_comprehensive_results
+        from pinnfc_tpu.models.pinn import init_pinn
+        from pinnfc_tpu.utils import save_checkpoint
+
+        rs = np.random.RandomState(4)
+        sx = AffineScaler.fit(rs.randn(200, 8).astype(np.float32))
+        sy = AffineScaler.fit(rs.randn(200, 1).astype(np.float32))
+        params = init_pinn(jax.random.PRNGKey(0), (8, 16, 1))
+        ckpt = str(tmp_path / "ck")
+        save_checkpoint(ckpt, params, sx, sy)
+        n = 200
+        arr = np.zeros((n, 22))
+        arr[:, 0:8] = rs.randn(n, 8)
+        arr[:, INDEX["y_true"]] = rs.randn(n) * 0.1
+        arr[:, INDEX["res"]] = arr[:, INDEX["y_true"]]
+        mat = str(tmp_path / "F01.mat")
+        save_comprehensive_results(arr, mat)
+        rc = main(["monitor", "--mat", mat, "--ckpt", ckpt, "--conformal",
+                   "--conformal-alpha", "0.2", "--conformal-gamma", "0.05",
+                   "--block", "50"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "adaptive conformal level after replay: α_t=" in out
+        assert "γ=0.05" in out
+
+    def test_cli_monitor_gamma_without_conformal_rejected(self, capsys):
+        from pinnfc_tpu.cli import main
+
+        rc = main(["monitor", "--mat", "whatever.mat", "--ckpt", "ck",
+                   "--conformal-gamma", "0.05"])
+        assert rc == 2
+        assert "needs --conformal" in capsys.readouterr().err
+
+    def test_cli_serve_gamma_rejections(self, capsys):
+        from pinnfc_tpu.cli import main
+
+        # with an artifact: γ is baked at export time — loud rejection
+        rc = main(["serve", "--mat", "m.mat", "--artifact", "a.shlo",
+                   "--conformal-gamma", "0.05"])
+        assert rc == 2
+        assert "baked into the artifact" in capsys.readouterr().err
+        # checkpoint path: γ without --conformal has no p-value to adapt
+        rc = main(["serve", "--mat", "m.mat", "--ckpt", "ck",
+                   "--conformal-gamma", "0.05"])
+        assert rc == 2
+        assert "needs --conformal" in capsys.readouterr().err
+
+    def test_cli_export_gamma_requires_conformal_mat(self, capsys):
+        from pinnfc_tpu.cli import main
+
+        rc = main(["export-model", "--ckpt", "ck", "--out", "o.shlo",
+                   "--monitor-step", "--conformal-gamma", "0.05"])
+        assert rc == 2
+        assert "--conformal-mat" in capsys.readouterr().err
 
     def test_cli_monitor_fleet_conformal_rejected(self, tmp_path, capsys):
         """--conformal with --fleet would be a silent no-op (the fleet

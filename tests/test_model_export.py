@@ -147,7 +147,7 @@ class TestMonitorStepExport:
             state = jax.device_get(state)
             (rf_inst, rf_smooth, r, v_pred, v_alarm, glitch, sensor_alarm,
              (probs, pred), layer_scores, layer_c, oob,
-             conformal_p) = jax.device_get(outs)
+             conformal_p, aci_alpha, aci_anomaly) = jax.device_get(outs)
             ref = monitor.observe(x, v)
             close(rf_inst, ref.rf_inst)
             close(rf_smooth, ref.rf_smooth)
@@ -160,7 +160,9 @@ class TestMonitorStepExport:
             close(layer_c, ref.layer_c)
             np.testing.assert_array_equal(oob, ref.oob)
             assert probs is None and pred is None  # no head baked in
-            assert conformal_p is None  # no calibration vector baked in
+            # no calibration vector baked in → the whole conformal tail
+            assert conformal_p is None
+            assert aci_alpha is None and aci_anomaly is None
         # the carried state round-trips (same tolerance story)
         bank = monitor._streams["default"]
         for got, want in zip(state, tuple(bank)):
@@ -206,7 +208,7 @@ class TestMonitorStepExport:
         x = rs.randn(6, 8).astype(np.float32)
         v = rs.randn(6).astype(np.float32)
         state, outs = exp.call(tuple(monitor._fresh_state()), x, v, mu, sigma)
-        (*_, (probs, pred), _ls, _lc, _oob, _cp) = jax.device_get(outs)
+        (*_, (probs, pred), _ls, _lc, _oob, _cp, _aa, _an) = jax.device_get(outs)
         ref = monitor.observe(x, v)
         np.testing.assert_allclose(np.asarray(probs), ref.fault_probs,
                                    rtol=1e-5, atol=1e-8)
