@@ -778,6 +778,11 @@ def cmd_export_model(args) -> int:
         print("--conformal-gamma requires --conformal-mat (there is no "
               "p-value to adapt the level against)", file=sys.stderr)
         return 2
+    if (getattr(args, "fleet_step", False)
+            and not getattr(args, "monitor_step", False)):
+        print("--fleet-step requires --monitor-step (the scorer artifact "
+              "has no stream state to vmap over)", file=sys.stderr)
+        return 2
 
     # pin the CPU backend for the load + trace + lowering (relay-outage
     # proof; jax.export cross-lowers the tpu target), restoring the prior
@@ -848,13 +853,26 @@ def _export_model_pinned(args, platforms) -> int:
             conformal_alpha=conformal_alpha,
             conformal_gamma=getattr(args, "conformal_gamma", None) or 0.0,
         )
-        blob = export_monitor_step(monitor, platforms=platforms)
-        signature = (
-            "(state tuple "
-            + "/".join(MonitorState._fields)
-            + ", f32[b,8] raw sensors, f32[b] v_meas, f32[5] mu, "
-              "f32[5] sigma) -> (state, outputs)"
-        )
+        if getattr(args, "fleet_step", False):
+            # observe_many's vmapped program, symbolic on BOTH axes —
+            # artifact deployments keep the one-dispatch fleet
+            from pinnfc_tpu.serving.exported import export_monitor_fleet_step
+
+            blob = export_monitor_fleet_step(monitor, platforms=platforms)
+            signature = (
+                "(state bank tuple "
+                + "/".join(MonitorState._fields)
+                + " each leading s, f32[s,b,8] raw sensors, f32[s,b] "
+                  "v_meas, f32[5] mu, f32[5] sigma) -> (state bank, outputs)"
+            )
+        else:
+            blob = export_monitor_step(monitor, platforms=platforms)
+            signature = (
+                "(state tuple "
+                + "/".join(MonitorState._fields)
+                + ", f32[b,8] raw sensors, f32[b] v_meas, f32[5] mu, "
+                  "f32[5] sigma) -> (state, outputs)"
+            )
     else:
         blob = export_scorer(
             ckpt["params"], ckpt["scaler_x"], ckpt["scaler_y"],
@@ -881,6 +899,7 @@ def _export_model_pinned(args, platforms) -> int:
         import dataclasses
 
         sidecar["glitch_alarm_n"] = monitor.glitch_alarm_n
+        sidecar["fleet_step"] = bool(getattr(args, "fleet_step", False))
         sidecar["risk_config"] = dataclasses.asdict(monitor.config)
         sidecar["diagnosis_head"] = (
             os.path.abspath(args.head) if getattr(args, "head", None)
@@ -1735,7 +1754,9 @@ def cmd_serve(args) -> int:
         )
         print(f"serving from StableHLO artifact {artifact}"
               + (" (conformal p-values baked in)"
-                 if getattr(monitor, "conformal_baked", False) else ""))
+                 if getattr(monitor, "conformal_baked", False) else "")
+              + (" (fleet step: /observe_many is one dispatch)"
+                 if getattr(monitor, "fleet_baked", False) else ""))
     else:
         head = DiagnosisHead.load(args.head) if args.head else None
         provenance = _print_ckpt_provenance(args.ckpt)
@@ -2002,6 +2023,12 @@ def main(argv: Optional[list] = None) -> int:
                     help="export the full streaming RF(t) block step "
                          "(state in/out as a plain tuple; μ/σ runtime "
                          "inputs) instead of the plain scorer")
+    ex.add_argument("--fleet-step", action="store_true",
+                    help="with --monitor-step: export observe_many's "
+                         "VMAPPED fleet program instead (symbolic stream "
+                         "axis AND block size) — artifact deployments "
+                         "advance a whole fleet in one dispatch instead "
+                         "of S sequential calls")
     ex.add_argument("--head", default=None,
                     help="with --monitor-step: bake this DiagnosisHead "
                          "(.npz) in for online fault typing")

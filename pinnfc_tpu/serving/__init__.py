@@ -6,6 +6,7 @@ from pinnfc_tpu.serving.monitor import (
 )
 from pinnfc_tpu.serving.exported import (
     build_scorer_fn,
+    export_monitor_fleet_step,
     export_monitor_step,
     export_scorer,
     load_scorer,
@@ -17,6 +18,7 @@ from pinnfc_tpu.serving.server import make_server, serve
 __all__ = [
     "DiagnosisHead",
     "build_scorer_fn",
+    "export_monitor_fleet_step",
     "export_monitor_step",
     "export_scorer",
     "load_scorer",

@@ -155,6 +155,68 @@ def export_monitor_step(
     return exp.serialize()
 
 
+def export_monitor_fleet_step(
+    monitor, platforms: Sequence[str] = ("cpu", "tpu")
+) -> bytes:
+    """Serialize the monitor's VMAPPED fleet step — ``observe_many``'s
+    device program — with BOTH the stream axis and the block size
+    symbolic.
+
+    Exported signature (symbolic ``s`` streams × ``b`` block)::
+
+        (state bank tuple — each field with a leading s axis,
+         x_raw f32[s,b,8], v_meas f32[s,b], mu f32[5], sigma f32[5])
+          -> (state bank, outputs — every per-sample output (s,b,...))
+
+    Rationale: a deserialized exported call cannot be re-vmapped, so a
+    plain :func:`export_monitor_step` artifact advances a fleet
+    sequentially — S relay round trips per poll where the checkpoint
+    path pays one (serving/monitor.observe_many).  Baking the vmap INTO
+    the artifact restores the one-dispatch fleet for artifact
+    deployments: :func:`monitor_from_artifact` detects the extra input
+    rank and routes ``observe_many`` through a single call (and single
+    ``observe`` through the same program at s=1 — one compiled family
+    serves both).  Mesh sharding stays checkpoint-only (an exported call
+    cannot be sharded over a new mesh), so chips-scaled fleets still
+    come from ``cli serve --ckpt --data-parallel``.
+
+    Per-stream semantics are identical to S independent
+    :func:`export_monitor_step` calls (streams never interact —
+    parity-tested); state/recurrence contracts are as documented there.
+    """
+    from jax import export as jexport
+
+    import numpy as np
+
+    params = monitor.params
+    step_fn = monitor._step_fn
+    state_cls = type(monitor._fresh_state())
+    vstep = jax.vmap(step_fn, in_axes=(None, 0, 0, 0, None, None))
+
+    def fn(state_tuple, x_raw, v_meas, mu, sigma):
+        new_state, outs = vstep(
+            params, state_cls(*state_tuple), x_raw, v_meas, mu, sigma
+        )
+        return tuple(new_state), outs
+
+    fresh = monitor._fresh_state()
+    n_features = int(np.asarray(monitor.scaler_x.scale).shape[0])
+    n_res = int(monitor.mu.shape[0])
+    s, b = jexport.symbolic_shape("s, b")
+    state_spec = tuple(
+        jax.ShapeDtypeStruct((s,) + jnp.shape(a), jnp.asarray(a).dtype)
+        for a in fresh
+    )
+    exp = jexport.export(jax.jit(fn), platforms=list(platforms))(
+        state_spec,
+        jax.ShapeDtypeStruct((s, b, n_features), jnp.float32),
+        jax.ShapeDtypeStruct((s, b), jnp.float32),
+        jax.ShapeDtypeStruct((n_res,), jnp.float32),
+        jax.ShapeDtypeStruct((n_res,), jnp.float32),
+    )
+    return exp.serialize()
+
+
 class _ArtifactDiagnosis(NamedTuple):
     """The one attribute the serving layer reads off a DiagnosisHead when
     fault outputs are present (server.py payload naming)."""
@@ -179,9 +241,12 @@ def monitor_from_artifact(
     Returns an :class:`~pinnfc_tpu.serving.OnlineMonitor` subclass whose
     jitted step delegates to the deserialized StableHLO call; the state
     bank, HTTP server, snapshot/restore, and Prometheus surfaces are the
-    inherited ones.  ``observe_many`` falls back to per-stream sequential
-    calls (an exported call cannot be vmapped), so fleet throughput is the
-    one thing the checkpoint path does better.
+    inherited ones.  Accepts BOTH artifact shapes, detected from the input
+    signature: a plain :func:`export_monitor_step` blob (``observe_many``
+    falls back to per-stream sequential calls — an exported call cannot
+    be re-vmapped) or an :func:`export_monitor_fleet_step` blob (the
+    baked vmap restores the one-dispatch fleet; single ``observe`` rides
+    the same program at s=1).  Mesh sharding stays checkpoint-only.
 
     ``config``/``glitch_alarm_n`` are DISPLAY-layer values (warn/danger
     thresholds at pack time; the artifact's baked values govern the device
@@ -222,7 +287,7 @@ def monitor_from_artifact(
         if (n_state, n_out) not in STEP_SCHEMA_VERSIONS:
             raise TypeError
         n_layers = int(
-            state_avals[MonitorState._fields.index("layer_c")].shape[0]
+            state_avals[MonitorState._fields.index("layer_c")].shape[-1]
         )
         probs_aval = outs_avals[STEP_OUT_FIELDS.index("fault")][0]
         # conformal_p is the v3 tail output: None when the exporting
@@ -230,8 +295,14 @@ def monitor_from_artifact(
         conf_idx = STEP_OUT_FIELDS.index("conformal_p")
         conf_aval = outs_avals[conf_idx] if n_out > conf_idx else None
         # raw-input width, for the drift counter: x_raw is the flat input
-        # right after the n_state state leaves, shaped (b, F)
-        n_features = int(exp.in_avals[n_state].shape[1])
+        # right after the n_state state leaves — (b, F) for a plain
+        # monitor-step artifact, (s, b, F) for a fleet-step one (the rank
+        # IS the detection: export_monitor_fleet_step)
+        x_aval = exp.in_avals[n_state]
+        if x_aval.ndim not in (2, 3):
+            raise TypeError
+        fleet = x_aval.ndim == 3
+        n_features = int(x_aval.shape[-1])
     except (TypeError, ValueError, IndexError, AttributeError):
         raise ValueError(
             "not an `export-model --monitor-step` artifact: the output "
@@ -261,7 +332,7 @@ def monitor_from_artifact(
                     f"glitch_alarm_n must be >= 1, got {self.glitch_alarm_n}"
                 )
             if probs_aval is not None:
-                k = int(probs_aval.shape[1])
+                k = int(probs_aval.shape[-1])
                 names = (
                     tuple(class_names) if class_names
                     else tuple(f"class_{i}" for i in range(k))
@@ -298,27 +369,68 @@ def monitor_from_artifact(
             self._n_seen = {"default": 0}
             self._low_p = {"default": 0}
 
-            def step_fn(params, state, x_raw, v_meas, mu_, sigma_):
-                # older artifacts bake a prefix of today's state fields:
-                # feed them the prefix, carry the rest through unchanged
-                # (a pre-drift artifact keeps oob_count frozen at zero)
-                new_state, outs = exp.call(
-                    tuple(state)[:n_state], x_raw, v_meas, mu_, sigma_
-                )
-                new_state = MonitorState(
-                    *new_state, *tuple(state)[n_state:]
-                )
-                return new_state, outs
+            self.fleet_baked = fleet
+            if fleet:
+                # the artifact IS observe_many's vmapped program — drive
+                # a single stream through it at s=1 (same compiled
+                # family, symbolic on both axes) and the whole bank
+                # through it directly
+                def step_fn(params, state, x_raw, v_meas, mu_, sigma_):
+                    st = tuple(
+                        jnp.asarray(a)[None] for a in tuple(state)[:n_state]
+                    )
+                    new_state, outs = exp.call(
+                        st, x_raw[None], v_meas[None], mu_, sigma_
+                    )
+                    new_state = MonitorState(
+                        *(a[0] for a in new_state), *tuple(state)[n_state:]
+                    )
+                    outs = jax.tree_util.tree_map(lambda a: a[0], outs)
+                    return new_state, outs
+
+                def vstep_fn(params, bank, x_in, v_in, mu_, sigma_):
+                    new_bank, outs = exp.call(
+                        tuple(bank)[:n_state], x_in, v_in, mu_, sigma_
+                    )
+                    new_bank = MonitorState(
+                        *new_bank, *tuple(bank)[n_state:]
+                    )
+                    return new_bank, outs
+
+                # pre-jitted: the parent's observe_many only builds a
+                # vmapped _vstep when it is None (an exported call cannot
+                # be re-vmapped)
+                self._vstep = jax.jit(vstep_fn)
+            else:
+                def step_fn(params, state, x_raw, v_meas, mu_, sigma_):
+                    # older artifacts bake a prefix of today's state
+                    # fields: feed them the prefix, carry the rest through
+                    # unchanged (a pre-drift artifact keeps oob_count
+                    # frozen at zero)
+                    new_state, outs = exp.call(
+                        tuple(state)[:n_state], x_raw, v_meas, mu_, sigma_
+                    )
+                    new_state = MonitorState(
+                        *new_state, *tuple(state)[n_state:]
+                    )
+                    return new_state, outs
+
+                self._vstep = None
 
             self._step_fn = step_fn
             self._step = jax.jit(step_fn)
-            self._vstep = None
             self.mesh = None
             self._mesh_replicated = None
 
         def observe_many(self, x_bank, v_bank, streams) -> dict:
-            # an exported call is not vmappable — advance the fleet
-            # sequentially with identical semantics (streams never
+            if self._vstep is not None:
+                # fleet-step artifact: the parent's one-dispatch path
+                # (stacked host bank → single exp.call → unstack)
+                return OnlineMonitor.observe_many(
+                    self, x_bank, v_bank, streams
+                )
+            # a plain monitor-step artifact is not vmappable — advance the
+            # fleet sequentially with identical semantics (streams never
             # interact); validate EVERYTHING first so a bad bank cannot
             # leave some streams advanced (same contract as the parent)
             streams, x_bank, v_bank = check_fleet_bank(

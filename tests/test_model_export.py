@@ -426,6 +426,190 @@ class TestArtifactMonitor:
         assert am.stream_n_seen("a") == 0  # nothing advanced
 
 
+class TestFleetStepExport:
+    """export_monitor_fleet_step — observe_many's vmapped program baked
+    into one StableHLO blob, symbolic on BOTH the stream axis and the
+    block size, so artifact deployments keep the one-dispatch fleet."""
+
+    def _mon(self, scorer_setup, **kw):
+        from pinnfc_tpu.serving import OnlineMonitor
+
+        params, sx, sy, _ = scorer_setup
+        mu = np.zeros(5, np.float32)
+        sigma = np.array([0.05, 0.05, 2.0, 0.1, 0.2], np.float32)
+        return OnlineMonitor(params, sx, sy, mu, sigma, **kw), mu, sigma
+
+    def test_observe_many_parity_one_dispatch(self, scorer_setup):
+        """The fleet artifact's observe_many equals the checkpoint
+        monitor's, across rounds (carried bank) and at a DIFFERENT fleet
+        size on the same blob (symbolic s)."""
+        from pinnfc_tpu.serving import (
+            export_monitor_fleet_step,
+            monitor_from_artifact,
+        )
+
+        _, _, _, rs = scorer_setup
+        ref, mu, sigma = self._mon(scorer_setup)
+        src, _, _ = self._mon(scorer_setup)
+        am = monitor_from_artifact(
+            export_monitor_fleet_step(src, platforms=PLATFORMS), mu, sigma
+        )
+        assert am.fleet_baked and am._vstep is not None
+        for s_count in (3, 5):  # same blob, two fleet sizes
+            keys = [f"s{i}" for i in range(s_count)]
+            xb = (rs.randn(s_count, 6, 8) * 2).astype(np.float32)
+            vb = rs.randn(s_count, 6).astype(np.float32)
+            outs = am.observe_many(xb, vb, keys)
+            refs = ref.observe_many(xb, vb, keys)
+            for k in keys:
+                np.testing.assert_allclose(
+                    outs[k].rf_smooth, refs[k].rf_smooth,
+                    rtol=1e-5, atol=1e-6,
+                )
+                np.testing.assert_allclose(
+                    outs[k].layer_c, refs[k].layer_c, rtol=1e-5, atol=1e-6
+                )
+                np.testing.assert_array_equal(outs[k].warn, refs[k].warn)
+                np.testing.assert_array_equal(outs[k].oob, refs[k].oob)
+        assert am.stream_n_seen("s0") == 12 and am.stream_n_seen("s4") == 6
+
+    def test_single_observe_rides_s1(self, scorer_setup):
+        """A fleet artifact serves single-stream observe through the same
+        program at s=1 — parity with a plain monitor-step artifact."""
+        from pinnfc_tpu.serving import (
+            export_monitor_fleet_step,
+            export_monitor_step,
+            monitor_from_artifact,
+        )
+
+        _, _, _, rs = scorer_setup
+        src, mu, sigma = self._mon(scorer_setup)
+        fleet_am = monitor_from_artifact(
+            export_monitor_fleet_step(src, platforms=PLATFORMS), mu, sigma
+        )
+        plain_am = monitor_from_artifact(
+            export_monitor_step(src, platforms=PLATFORMS), mu, sigma
+        )
+        assert not plain_am.fleet_baked
+        for b in (4, 9):
+            x = rs.randn(b, 8).astype(np.float32)
+            v = rs.randn(b).astype(np.float32)
+            o1 = fleet_am.observe(x, v)
+            o2 = plain_am.observe(x, v)
+            np.testing.assert_allclose(
+                o1.rf_smooth, o2.rf_smooth, rtol=1e-5, atol=1e-6
+            )
+            np.testing.assert_array_equal(o1.glitch, o2.glitch)
+
+    def test_fleet_artifact_with_conformal_gamma_and_head(self, scorer_setup):
+        """The full tail rides the vmap: baked head posterior, conformal
+        p-values, and the per-stream ACI level all round-trip."""
+        from pinnfc_tpu.diagnosis.gmm import GMMParams
+        from pinnfc_tpu.serving import (
+            DiagnosisHead,
+            export_monitor_fleet_step,
+            monitor_from_artifact,
+        )
+
+        _, _, _, rs = scorer_setup
+        k, d = 3, 2
+        head = DiagnosisHead(
+            gmm=GMMParams(
+                weights=jnp.full(k, 1.0 / k),
+                means=jnp.asarray(rs.randn(k, d)),
+                covariances=jnp.asarray(np.stack([np.eye(d)] * k)),
+                converged=jnp.asarray(True),
+                n_iter=jnp.asarray(1),
+                lower_bound=jnp.asarray(0.0),
+            ),
+            feature_indices=(1, 2),
+            comp_fault_prob=jnp.asarray(
+                rs.dirichlet(np.ones(4), size=k).astype(np.float32)
+            ),
+            class_names=("a", "b", "c", "d"),
+        )
+        calib = np.abs(rs.randn(99)).astype(np.float32)
+        kw = dict(diagnosis=head, conformal_calib=calib,
+                  conformal_alpha=0.2, conformal_gamma=0.05)
+        ref, mu, sigma = self._mon(scorer_setup, **kw)
+        src, _, _ = self._mon(scorer_setup, **kw)
+        am = monitor_from_artifact(
+            export_monitor_fleet_step(src, platforms=PLATFORMS),
+            mu, sigma, class_names=head.class_names, conformal_alpha=0.2,
+        )
+        assert am.conformal_baked
+        keys = ["a", "b"]
+        xb = (rs.randn(2, 20, 8) * 3).astype(np.float32)
+        vb = (rs.randn(2, 20) + 8.0).astype(np.float32)
+        for _ in range(2):  # carried α_t crosses the boundary per stream
+            outs = am.observe_many(xb, vb, keys)
+            refs = ref.observe_many(xb, vb, keys)
+            for k_ in keys:
+                np.testing.assert_array_equal(
+                    outs[k_].conformal_p, refs[k_].conformal_p
+                )
+                np.testing.assert_array_equal(
+                    outs[k_].aci_alpha, refs[k_].aci_alpha
+                )
+                np.testing.assert_array_equal(
+                    outs[k_].fault_pred, refs[k_].fault_pred
+                )
+                assert am.stream_low_p(k_) == ref.stream_low_p(k_)
+        assert am.stream_aci_alpha("a") == ref.stream_aci_alpha("a")
+
+    def test_cli_fleet_step_export_and_sidecar(self, tmp_path, scorer_setup):
+        from pinnfc_tpu.cli import main
+        from pinnfc_tpu.serving import monitor_from_artifact
+        from pinnfc_tpu.utils import save_checkpoint
+
+        params, sx, sy, rs = scorer_setup
+        ckpt = str(tmp_path / "ck")
+        save_checkpoint(ckpt, params, sx, sy)
+        out = str(tmp_path / "fleet.shlo")
+        assert main(["export-model", "--ckpt", ckpt, "--out", out,
+                     "--monitor-step", "--fleet-step",
+                     "--platforms", "cpu,tpu"]) == 0
+        sidecar = json.load(open(out + ".meta.json"))
+        assert sidecar["fleet_step"] is True
+        assert "f32[s,b,8]" in sidecar["signature"]
+        am = monitor_from_artifact(
+            open(out, "rb").read(), np.zeros(5, np.float32),
+            np.ones(5, np.float32),
+        )
+        assert am.fleet_baked
+        outs = am.observe_many(
+            rs.randn(2, 3, 8).astype(np.float32),
+            rs.randn(2, 3).astype(np.float32), ["x", "y"],
+        )
+        assert set(outs) == {"x", "y"}
+
+    def test_cli_fleet_step_requires_monitor_step(self, capsys):
+        from pinnfc_tpu.cli import main
+
+        rc = main(["export-model", "--ckpt", "ck", "--out", "o.shlo",
+                   "--fleet-step"])
+        assert rc == 2
+        assert "--monitor-step" in capsys.readouterr().err
+
+    def test_fleet_validation_still_guards(self, scorer_setup):
+        """check_fleet_bank runs before the one-dispatch call too."""
+        from pinnfc_tpu.serving import (
+            export_monitor_fleet_step,
+            monitor_from_artifact,
+        )
+
+        _, _, _, rs = scorer_setup
+        src, mu, sigma = self._mon(scorer_setup)
+        am = monitor_from_artifact(
+            export_monitor_fleet_step(src, platforms=PLATFORMS), mu, sigma
+        )
+        x = rs.randn(2, 4, 8).astype(np.float32)
+        v = rs.randn(2, 4).astype(np.float32)
+        with pytest.raises(ValueError, match="unique"):
+            am.observe_many(x, v, ["a", "a"])
+        assert am.stream_n_seen("a") == 0
+
+
 class TestArtifactSchemaTolerance:
     """Append-only schema: a monitor-step artifact exported by an OLDER
     framework (7 state fields / 10 outputs — before the input-drift
