@@ -10,7 +10,11 @@ current backend (run on the TPU for the real answer):
 2. the streaming monitor block step — ``monitor_from_artifact.observe``
    vs ``OnlineMonitor.observe`` (both pay one device round trip per
    block through the relay);
-3. artifact sizes.
+3. the fleet: a ``--fleet-step`` artifact advancing S streams in ONE
+   dispatch vs a plain monitor-step artifact's documented sequential
+   fallback (S relay round trips) vs the checkpoint monitor's vmapped
+   path;
+4. artifact sizes.
 
 Prints one JSON line.  Methodology per CLAUDE.md: jit everything, vary
 the input between timed repeats (the relay memoizes identical
@@ -34,6 +38,7 @@ from pinnfc_tpu.models.pinn import init_pinn
 from pinnfc_tpu.serving import (
     OnlineMonitor,
     build_scorer_fn,
+    export_monitor_fleet_step,
     export_monitor_step,
     export_scorer,
     load_scorer,
@@ -90,6 +95,28 @@ def main():
     t_mon_ckpt = _time_calls(lambda b: ckpt_mon.observe(*b), blocks)
     t_mon_art = _time_calls(lambda b: art_mon.observe(*b), blocks)
 
+    # --- fleet: one-dispatch artifact vs sequential artifact vs ckpt -------
+    S, Bf = 16, 64
+    keys = [f"s{i}" for i in range(S)]
+    blob_f = export_monitor_fleet_step(ckpt_mon, platforms=("cpu", "tpu"))
+    fleet_art = monitor_from_artifact(blob_f, mu, sigma)
+    seq_art = monitor_from_artifact(blob_m, mu, sigma)
+    fleet_ckpt = OnlineMonitor(params, sx, sy, mu, sigma)
+    banks = [
+        (rs.randn(S, Bf, 8).astype(np.float32),
+         rs.randn(S, Bf).astype(np.float32))
+        for _ in range(reps)
+    ]
+    t_fleet_art = _time_calls(
+        lambda b: fleet_art.observe_many(b[0], b[1], keys), banks
+    )
+    t_fleet_seq = _time_calls(
+        lambda b: seq_art.observe_many(b[0], b[1], keys), banks
+    )
+    t_fleet_ckpt = _time_calls(
+        lambda b: fleet_ckpt.observe_many(b[0], b[1], keys), banks
+    )
+
     out = {
         "metric": "export_artifact_overhead",
         "platform": platform,
@@ -101,8 +128,15 @@ def main():
         "monitor_artifact_ms": round(1e3 * t_mon_art, 3),
         "monitor_checkpoint_ms": round(1e3 * t_mon_ckpt, 3),
         "monitor_overhead_pct": round(100 * (t_mon_art / t_mon_ckpt - 1), 1),
+        "fleet_streams": S,
+        "fleet_block": Bf,
+        "fleet_artifact_ms": round(1e3 * t_fleet_art, 3),
+        "fleet_sequential_artifact_ms": round(1e3 * t_fleet_seq, 3),
+        "fleet_checkpoint_ms": round(1e3 * t_fleet_ckpt, 3),
+        "fleet_speedup_vs_sequential": round(t_fleet_seq / t_fleet_art, 1),
         "scorer_bytes": len(blob_s),
         "monitor_bytes": len(blob_m),
+        "fleet_bytes": len(blob_f),
     }
     print(json.dumps(out))
 
