@@ -1382,6 +1382,39 @@ def cmd_ensemble(args) -> int:
         print(f"{e:7d} {float(losses[e, -1]):12.4e} {mae[e]:13.4f}")
     spread = preds_real.std(axis=0).mean()
     print(f"ensemble spread (mean member std): {spread:.4f} V")
+
+    if getattr(args, "uq", False):
+        from pinnfc_tpu.uq import ensemble_moments, mc_dropout_samples
+
+        de = jax.device_get(ensemble_moments(ens, ds.x_test))
+        member0 = jax.jit(
+            lambda t: jax.tree_util.tree_map(lambda a: a[0], t)
+        )(ens["mlp"])
+        mc = jax.device_get(
+            mc_dropout_samples(
+                member0,
+                ds.x_test,
+                jax.random.PRNGKey(args.seed + 2),
+                mc_times=args.uq_mc_times,
+            )
+        )
+        # de-normalize stds through the exporter's affine constants
+        # (pipeline/export.py:37-39, reference 01:1924-1932)
+        sc = float(np.asarray(ds.scaler_y.scale).reshape(-1)[0]) + 1e-12
+        print(f"\ndeep-ensemble UQ (E={args.members}) vs MC dropout "
+              f"(member 0, {args.uq_mc_times} samples):")
+        print(f"{'estimator':>14} {'mean ale [V]':>13} {'mean epi [V]':>13} "
+              f"{'max epi [V]':>12}")
+        for name, s in (("ensemble", de), ("mc-dropout", mc)):
+            print(
+                f"{name:>14} {np.mean(s.aleatoric_std) / sc:13.4f} "
+                f"{np.mean(s.epistemic_std) / sc:13.4f} "
+                f"{np.max(s.epistemic_std) / sc:12.4f}"
+            )
+        a, b = np.asarray(de.epistemic_std), np.asarray(mc.epistemic_std)
+        if np.std(a) > 0 and np.std(b) > 0:
+            corr = float(np.corrcoef(a, b)[0, 1])
+            print(f"epistemic profile correlation (ensemble vs MC): {corr:.3f}")
     return 0
 
 
@@ -2123,6 +2156,11 @@ def main(argv: Optional[list] = None) -> int:
                         "each member's batch rows over D devices")
     e.add_argument("--small", action="store_true")
     e.add_argument("--seed", type=int, default=42)
+    e.add_argument("--uq", action="store_true",
+                   help="deep-ensemble mixture-moment UQ on the test split, "
+                        "compared against member-0 MC dropout")
+    e.add_argument("--uq-mc-times", type=int, default=256,
+                   help="MC-dropout samples for the --uq comparison")
     e.set_defaults(fn=cmd_ensemble)
 
     m = sub.add_parser("monitor", help="streaming replay through OnlineMonitor")

@@ -29,6 +29,7 @@ from pinnfc_tpu.uq.saliency import (
     input_saliency,
 )
 from pinnfc_tpu.uq.mc_dropout import MCSamples, mc_dropout_samples, mc_dropout_samples_loop
+from pinnfc_tpu.uq.deep_ensemble import ensemble_moments, ensemble_moments_sharded
 
 __all__ = [
     "DEFAULT_ACTUATABLE",
@@ -49,6 +50,8 @@ __all__ = [
     "conformal_quantile",
     "conformal_report",
     "counterfactual_recovery",
+    "ensemble_moments",
+    "ensemble_moments_sharded",
     "gauss_newton_ci",
     "input_saliency",
     "lambda_identifiability",
