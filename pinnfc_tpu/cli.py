@@ -1245,6 +1245,31 @@ def cmd_compare(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    """Consolidated markdown run report (utils/report): every downstream
+    stage's findings — AUC, GMM, RF(t) advance table with layer drivers,
+    method comparison, conformal audit — plus checkpoint provenance and the
+    figure gallery, in ONE report.md next to the artifact."""
+    from pinnfc_tpu.data import load_comprehensive_results
+    from pinnfc_tpu.utils import write_report
+
+    results = load_comprehensive_results(args.mat)
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.abspath(args.mat)), "report.md"
+    )
+    sections = args.sections.split(",") if args.sections else None
+    path = write_report(
+        out,
+        results,
+        ckpt_path=getattr(args, "ckpt", None),
+        figures_dir=getattr(args, "plot_dir", None),
+        sections=sections,
+        mat_path=args.mat,
+    )
+    print(f"report → {path}")
+    return 0
+
+
 def cmd_run_all(args) -> int:
     os.makedirs(args.out_dir, exist_ok=True)
     mat_path = os.path.join(args.out_dir, "F01_output.mat")
@@ -1322,6 +1347,13 @@ def cmd_run_all(args) -> int:
     rc = cmd_conformal(argparse.Namespace(
         mat=mat_path, alpha=0.1, score="adaptive", calib_frac=0.5, seed=0,
         plot_dir=plot_dir,
+    ))
+    if rc:
+        return rc
+    # one-file deliverable: consolidate everything the stages just printed
+    rc = cmd_report(argparse.Namespace(
+        mat=mat_path, ckpt=ns.ckpt, plot_dir=plot_dir,
+        out=os.path.join(args.out_dir, "report.md"), sections=None,
     ))
     if rc:
         return rc
@@ -2129,6 +2161,23 @@ def main(argv: Optional[list] = None) -> int:
                      "starting point)",
             )
         s.set_defaults(fn=fn)
+
+    rp = sub.add_parser(
+        "report",
+        help="one-file markdown report: every downstream stage's findings "
+             "over an artifact, plus provenance and the figure gallery",
+    )
+    rp.add_argument("--mat", default="F01_output.mat")
+    rp.add_argument("--ckpt", default=None,
+                    help="checkpoint for the provenance section")
+    rp.add_argument("--plot-dir", default=None,
+                    help="existing figures directory to link as the gallery")
+    rp.add_argument("--out", default=None,
+                    help="output path (default: report.md next to --mat)")
+    rp.add_argument("--sections", default=None,
+                    help="comma subset of: provenance,overview,auc,gmm,"
+                         "risk,compare,conformal,figures")
+    rp.set_defaults(fn=cmd_report)
 
     r = sub.add_parser("run-all", help="full pipeline 01→02/03/04/05")
     # (--seed default None: the train stage falls back to 42; the

@@ -1,0 +1,293 @@
+"""One-file markdown run report over an exported artifact.
+
+The reference scripts print their findings to stdout and scatter figures
+over the working directory; nothing consolidates a run.  ``build_report``
+renders everything the downstream stages compute — checkpoint provenance,
+artifact overview, the script-02 AUC table (02:444-611), script-03 GMM
+accuracy (03:513-591), the script-04 risk/advance table with per-layer
+attribution (04:479-528), the script-05 method comparison (05:614-707),
+and the split-conformal audit — into ONE ``report.md`` next to the
+artifact, with the figure gallery linked.  Beyond reference.
+
+Each section is independently fault-tolerant: a stage that cannot run on
+a given artifact (too few rows, no faults, missing checkpoint) degrades
+to a note in the report instead of failing the run.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import traceback
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from pinnfc_tpu.data.contract import INDEX
+
+ALL_SECTIONS = (
+    "provenance",
+    "overview",
+    "auc",
+    "gmm",
+    "risk",
+    "compare",
+    "conformal",
+    "figures",
+)
+
+
+def _md_table(headers: Sequence[str], rows: Sequence[Sequence]) -> str:
+    out = ["| " + " | ".join(str(h) for h in headers) + " |",
+           "|" + "---|" * len(headers)]
+    for r in rows:
+        out.append("| " + " | ".join(str(c) for c in r) + " |")
+    return "\n".join(out)
+
+
+def _fmt(v, nd: int = 4) -> str:
+    if v is None:
+        return "—"
+    if isinstance(v, float):
+        return f"{v:.{nd}f}" if np.isfinite(v) else "—"
+    return str(v)
+
+
+def _section_provenance(arr, ckpt_path) -> str:
+    from pinnfc_tpu.utils.checkpoint import load_checkpoint_meta
+
+    if not ckpt_path:
+        return "_no checkpoint given (`--ckpt`) — provenance omitted_"
+    meta = load_checkpoint_meta(ckpt_path)
+    if not meta:
+        return f"`{ckpt_path}` has no provenance sidecar (pre-metadata checkpoint)"
+    rows = [(k, _fmt(meta[k]) if isinstance(meta[k], float) else meta[k])
+            for k in sorted(meta) if not isinstance(meta[k], (dict, list))]
+    body = _md_table(["field", "value"], rows)
+    cfg = meta.get("config")
+    if isinstance(cfg, dict):
+        body += "\n\nTraining config: `" + ", ".join(
+            f"{k}={v}" for k, v in sorted(cfg.items())) + "`"
+    return body
+
+
+def _section_overview(arr, ckpt_path) -> str:
+    labels = arr[:, INDEX["label"]].astype(int)
+    res = arr[:, INDEX["res"]]
+    finite = np.isfinite(res)
+    mae = float(np.abs(res[finite]).mean()) if finite.any() else float("nan")
+    rmse = float(np.sqrt((res[finite] ** 2).mean())) if finite.any() else float("nan")
+    lines = [
+        f"- rows: **{len(arr)}** "
+        f"(normal {int((labels == 0).sum())}, "
+        f"fault {int((labels != 0).sum())} over "
+        f"{len([l for l in np.unique(labels) if l != 0])} segments)",
+        f"- voltage MAE **{_fmt(mae)} V**, RMSE **{_fmt(rmse)} V** "
+        f"(columns {INDEX['y_true']}/{INDEX['y_pred']})",
+        f"- mean aleatoric σ {_fmt(float(np.nanmean(arr[:, INDEX['ale']])))} V, "
+        f"mean epistemic σ {_fmt(float(np.nanmean(arr[:, INDEX['epi']])))} V "
+        "(smoothed, de-normalized)",
+    ]
+    seg_rows = [(int(l), int((labels == l).sum())) for l in np.unique(labels)]
+    lines.append("")
+    lines.append(_md_table(["label", "rows"], seg_rows))
+    return "\n".join(lines)
+
+
+def _section_auc(arr, ckpt_path) -> str:
+    from pinnfc_tpu.diagnosis.auc import run_auc_pipeline
+
+    out = run_auc_pipeline(arr)
+    rows = [
+        (g.group_id, f"`{g.features}`", _fmt(g.auc), _fmt(g.accuracy))
+        for g in out.groups
+    ]
+    body = _md_table(["group", "features", "AUC", "accuracy"], rows)
+    if out.iso_auc is not None:
+        body += f"\n\nIsolationForest (unsupervised, group 1): AUC **{_fmt(out.iso_auc)}**"
+    return body
+
+
+def _section_gmm(arr, ckpt_path) -> str:
+    from pinnfc_tpu.diagnosis.gmm_pipeline import run_gmm_pipeline
+
+    out = run_gmm_pipeline(arr)
+    body = (
+        f"GMM ({out.model.means.shape[0]} components on `{out.features}`): "
+        f"test accuracy **{_fmt(out.accuracy)}**\n\n"
+    )
+    k = len(out.class_names)
+    body += _md_table(
+        ["true \\ pred"] + list(out.class_names),
+        [[out.class_names[i]] + [int(v) for v in out.confusion[i]] for i in range(k)],
+    )
+    return body
+
+
+def _section_risk(arr, ckpt_path) -> str:
+    from pinnfc_tpu.risk import run_risk_pipeline
+
+    advances = run_risk_pipeline(arr)
+    if not advances:
+        return "_no risk conditions present in this artifact_"
+    rows = []
+    for a in advances:
+        driver = (
+            f"{a.dominant_layer} {a.layer_shares[a.dominant_layer]:.0%}"
+            if a.layer_shares else "—"
+        )
+        rows.append((
+            f"{a.current_target:g} A", a.fault_name, a.n_samples,
+            _fmt(a.idx_rf_alarm), _fmt(a.idx_v_alarm), _fmt(a.advance), driver,
+        ))
+    body = _md_table(
+        ["current", "fault", "n", "RF alarm", "V alarm", "advance", "driver"], rows
+    )
+    both = [a.advance for a in advances if a.advance is not None]
+    if both:
+        body += (f"\n\nMean RF(t) lead over the voltage alarm: "
+                 f"**{np.mean(both):.0f} samples** "
+                 f"({len(both)}/{len(advances)} conditions with both alarms)")
+    return body
+
+
+def _section_compare(arr, ckpt_path) -> str:
+    from pinnfc_tpu.diagnosis.compare import run_compare_pipeline
+
+    out = run_compare_pipeline(arr)
+    metric_names = list(out.methods[0].metrics) if out.methods else []
+    rows = [
+        [m.name] + [_fmt(m.metrics.get(k)) for k in metric_names]
+        for m in out.methods
+    ]
+    return _md_table(["method"] + metric_names, rows)
+
+
+def _section_conformal(arr, ckpt_path) -> str:
+    from pinnfc_tpu.uq.conformal import conformal_report
+
+    rep = conformal_report(arr)
+    rows = [
+        ("normal" if c.label == 0 else f"fault {c.label}",
+         c.n, _fmt(c.coverage, 3), _fmt(c.mean_width, 3),
+         _fmt(c.median_p, 3), _fmt(c.frac_low_p, 3))
+        for c in rep.classes
+    ]
+    body = (
+        f"Split conformal at α={rep.alpha:g} "
+        f"(q̂={rep.q_hat:.4g} from {rep.n_calib} calibration normals):\n\n"
+        + _md_table(["class", "n", "coverage", "width [V]", "median p", "p≤α"], rows)
+    )
+    ne = rep.normal_eval
+    body += (f"\n\nHeld-out normal coverage **{_fmt(ne.coverage, 3)}** vs "
+             f"guaranteed ≥ {1 - rep.alpha:g}; detection AUC "
+             f"**{_fmt(rep.detection_auc)}**")
+    return body
+
+
+_SECTION_TITLES = {
+    "provenance": "Checkpoint provenance",
+    "overview": "Artifact overview",
+    "auc": "Supervised detection (script 02)",
+    "gmm": "Unsupervised GMM diagnosis (script 03)",
+    "risk": "RF(t) early warning (script 04)",
+    "compare": "Method comparison (script 05)",
+    "conformal": "Conformal calibration audit",
+    "figures": "Figures",
+}
+
+_SECTION_FNS = {
+    "provenance": _section_provenance,
+    "overview": _section_overview,
+    "auc": _section_auc,
+    "gmm": _section_gmm,
+    "risk": _section_risk,
+    "compare": _section_compare,
+    "conformal": _section_conformal,
+}
+
+
+def build_report(
+    results,
+    ckpt_path: Optional[str] = None,
+    figures_dir: Optional[str] = None,
+    report_dir: Optional[str] = None,
+    sections: Optional[Sequence[str]] = None,
+    mat_path: Optional[str] = None,
+) -> str:
+    """Render the consolidated markdown report; returns the document.
+
+    ``figures_dir`` is linked relative to ``report_dir`` (the directory the
+    report will be written to) so the gallery works wherever the report
+    lands.  ``sections`` subsets/reorders ``ALL_SECTIONS``.
+    """
+    arr = results.array if hasattr(results, "array") else np.asarray(results)
+    picked = list(sections) if sections is not None else list(ALL_SECTIONS)
+    unknown = [s for s in picked if s not in ALL_SECTIONS]
+    if unknown:
+        raise ValueError(f"unknown report sections {unknown}; "
+                         f"valid: {', '.join(ALL_SECTIONS)}")
+
+    doc = ["# pinnfc_tpu run report", ""]
+    doc.append(f"- generated: {time.strftime('%Y-%m-%d %H:%M:%S')}")
+    if mat_path:
+        doc.append(f"- artifact: `{mat_path}`")
+    if ckpt_path:
+        doc.append(f"- checkpoint: `{ckpt_path}`")
+    doc.append("")
+
+    for name in picked:
+        if name == "figures":
+            doc.append(f"## {_SECTION_TITLES[name]}")
+            doc.append("")
+            doc.append(_figures_gallery(figures_dir, report_dir))
+            doc.append("")
+            continue
+        doc.append(f"## {_SECTION_TITLES[name]}")
+        doc.append("")
+        try:
+            doc.append(_SECTION_FNS[name](arr, ckpt_path))
+        except Exception as e:  # degrade, never fail the run
+            doc.append(f"_section unavailable: {type(e).__name__}: {e}_")
+            doc.append("")
+            doc.append("```\n" + traceback.format_exc(limit=2).strip() + "\n```")
+        doc.append("")
+    return "\n".join(doc).rstrip() + "\n"
+
+
+def _figures_gallery(figures_dir: Optional[str], report_dir: Optional[str]) -> str:
+    if not figures_dir or not os.path.isdir(figures_dir):
+        return "_no figures directory_"
+    pngs = sorted(
+        f for f in os.listdir(figures_dir) if f.lower().endswith((".png", ".svg"))
+    )
+    if not pngs:
+        return "_figures directory is empty_"
+    base = os.path.relpath(figures_dir, report_dir) if report_dir else figures_dir
+    return "\n".join(
+        f"- [{os.path.splitext(f)[0]}]({os.path.join(base, f)})" for f in pngs
+    )
+
+
+def write_report(
+    path: str,
+    results,
+    ckpt_path: Optional[str] = None,
+    figures_dir: Optional[str] = None,
+    sections: Optional[Sequence[str]] = None,
+    mat_path: Optional[str] = None,
+) -> str:
+    """Build and atomically write the report; returns ``path``."""
+    doc = build_report(
+        results,
+        ckpt_path=ckpt_path,
+        figures_dir=figures_dir,
+        report_dir=os.path.dirname(os.path.abspath(path)),
+        sections=sections,
+        mat_path=mat_path,
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(doc)
+    os.replace(tmp, path)
+    return path

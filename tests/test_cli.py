@@ -185,6 +185,13 @@ class TestRunAllOrchestration:
             assert token in stdout, token
         # artifacts: exported matrix, checkpoint, figure inventory
         assert os.path.exists(os.path.join(out, "F01_output.mat"))
+        # consolidated one-file deliverable (utils/report)
+        report = os.path.join(out, "report.md")
+        assert os.path.exists(report)
+        with open(report) as f:
+            text = f.read()
+        assert "# pinnfc_tpu run report" in text
+        assert "Checkpoint provenance" in text
         assert os.path.isdir(os.path.join(out, "pinn_ckpt"))
         figs = set(os.listdir(os.path.join(out, "figures")))
         for f in ("roc.png", "gmm_confusion.png", "gmm_tsne.png",

@@ -1,0 +1,118 @@
+"""Consolidated markdown run report (utils/report.py).
+
+Beyond reference: the upstream scripts only print to stdout; the report
+renders every downstream stage's findings into one document.  These tests
+run all sections on a synthetic full-shape artifact and check the
+degradation contract (a failing section becomes a note, never a crash).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from pinnfc_tpu.data.contract import INDEX, save_comprehensive_results
+from pinnfc_tpu.utils.report import ALL_SECTIONS, build_report, write_report
+
+
+@pytest.fixture(scope="module")
+def artifact():
+    """22-col artifact exercising every section: 300 normal rows + 12 fault
+    segments with distinct residual signatures, risk-condition currents,
+    and positive uncertainty channels."""
+    rng = np.random.RandomState(0)
+    n_normal, n_fault = 300, 60
+    n = n_normal + 12 * n_fault
+    arr = np.zeros((n, 22))
+    arr[:, INDEX["y_true"]] = 4.0 + 0.01 * rng.randn(n)
+    arr[:, INDEX["y_pred"]] = arr[:, INDEX["y_true"]] + 0.02 * rng.randn(n)
+    arr[:, INDEX["ale"]] = 0.05 + 0.01 * rng.rand(n)
+    arr[:, INDEX["epi"]] = 0.02 + 0.01 * rng.rand(n)
+    for k in ("res", "pV", "pT", "pH", "pO"):
+        arr[:, INDEX[k]] = 0.05 * rng.randn(n)
+    arr[:n_normal, INDEX["x0"]] = rng.uniform(100, 400, n_normal)
+    pos, label = n_normal, 1
+    for fault in range(4):
+        for amps in (108.0, 270.0, 405.0):
+            seg = slice(pos, pos + n_fault)
+            arr[seg, INDEX["label"]] = label
+            arr[seg, INDEX["x0"]] = amps
+            # one dominant physics-layer signature per fault family plus a
+            # voltage drop so the risk stage sees alarms
+            arr[seg, INDEX[("pV", "pT", "pH", "pO")[fault]]] += rng.uniform(
+                0.8, 1.2, n_fault
+            )
+            ramp = np.linspace(0, 3.0, n_fault)
+            arr[seg, INDEX["res"]] += ramp * 0.5
+            arr[seg, INDEX["y_true"]] = 4.0 - np.linspace(0, 0.3, n_fault)
+            pos += n_fault
+            label += 1
+    return arr
+
+
+class TestBuildReport:
+    def test_all_sections_render(self, artifact):
+        doc = build_report(artifact, mat_path="F01.mat")
+        assert doc.startswith("# pinnfc_tpu run report")
+        for title in (
+            "Artifact overview", "Supervised detection", "Unsupervised GMM",
+            "RF(t) early warning", "Method comparison",
+            "Conformal calibration audit", "Figures",
+        ):
+            assert title in doc, title
+        # every analytic section must actually succeed on this artifact
+        assert "section unavailable" not in doc
+        assert "| group | features | AUC | accuracy |" in doc
+        assert "driver" in doc  # risk layer attribution column
+
+    def test_sections_subset_and_unknown(self, artifact):
+        doc = build_report(artifact, sections=["overview", "risk"])
+        assert "Artifact overview" in doc and "RF(t) early warning" in doc
+        assert "Method comparison" not in doc
+        with pytest.raises(ValueError, match="unknown report sections"):
+            build_report(artifact, sections=["overview", "nope"])
+
+    def test_broken_section_degrades_to_note(self, artifact):
+        """An artifact no stage can digest must still produce a report."""
+        broken = np.zeros((3, 22))
+        doc = build_report(broken)
+        assert doc.startswith("# pinnfc_tpu run report")
+        assert "section unavailable" in doc
+
+    def test_figures_gallery_relative_links(self, artifact, tmp_path):
+        figs = tmp_path / "figures"
+        figs.mkdir()
+        (figs / "roc.png").write_bytes(b"")
+        (figs / "notes.txt").write_text("not a figure")
+        out = write_report(
+            str(tmp_path / "report.md"), artifact,
+            figures_dir=str(figs), sections=["overview", "figures"],
+        )
+        text = open(out).read()
+        assert "[roc](figures/roc.png)" in text
+        assert "notes.txt" not in text
+
+    def test_provenance_without_ckpt(self, artifact):
+        doc = build_report(artifact, sections=["provenance"])
+        assert "provenance omitted" in doc
+
+    def test_section_registry_complete(self):
+        from pinnfc_tpu.utils.report import _SECTION_FNS, _SECTION_TITLES
+
+        assert set(ALL_SECTIONS) == set(_SECTION_TITLES)
+        assert set(ALL_SECTIONS) - {"figures"} == set(_SECTION_FNS)
+
+
+class TestReportCli:
+    def test_cmd_report(self, artifact, tmp_path, capsys):
+        from pinnfc_tpu.cli import main
+
+        mat = str(tmp_path / "F01_output.mat")
+        save_comprehensive_results(artifact, mat)
+        assert main(["report", "--mat", mat]) == 0
+        out_path = str(tmp_path / "report.md")
+        assert os.path.exists(out_path)
+        assert "report →" in capsys.readouterr().out
+        text = open(out_path).read()
+        assert "RF(t) early warning" in text
+        assert f"artifact: `{mat}`" in text
