@@ -1254,6 +1254,8 @@ def cmd_report(args) -> int:
     from pinnfc_tpu.utils import write_report
 
     results = load_comprehensive_results(args.mat)
+    baseline_path = getattr(args, "baseline", None)
+    baseline = load_comprehensive_results(baseline_path) if baseline_path else None
     out = args.out or os.path.join(
         os.path.dirname(os.path.abspath(args.mat)), "report.md"
     )
@@ -1265,6 +1267,8 @@ def cmd_report(args) -> int:
         figures_dir=getattr(args, "plot_dir", None),
         sections=sections,
         mat_path=args.mat,
+        baseline=baseline,
+        baseline_path=baseline_path,
     )
     print(f"report → {path}")
     return 0
@@ -2174,6 +2178,9 @@ def main(argv: Optional[list] = None) -> int:
                     help="existing figures directory to link as the gallery")
     rp.add_argument("--out", default=None,
                     help="output path (default: report.md next to --mat)")
+    rp.add_argument("--baseline", default=None,
+                    help="baseline artifact (.mat) for a direction-aware "
+                         "metric diff — the retrain/rescore regression check")
     rp.add_argument("--sections", default=None,
                     help="comma subset of: provenance,overview,auc,gmm,"
                          "risk,compare,conformal,figures")

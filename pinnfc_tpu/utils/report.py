@@ -33,8 +33,52 @@ ALL_SECTIONS = (
     "risk",
     "compare",
     "conformal",
+    "baseline",
     "figures",
 )
+
+
+def artifact_metrics(results) -> Dict[str, float]:
+    """Compact scalar summary of one artifact — the regression-tracking
+    vector the baseline section diffs.  Keys are stable across versions."""
+    arr = results.array if hasattr(results, "array") else np.asarray(results)
+    out: Dict[str, float] = {"rows": float(len(arr))}
+    res = arr[:, INDEX["res"]]
+    finite = np.isfinite(res)
+    out["voltage_mae"] = float(np.abs(res[finite]).mean()) if finite.any() else float("nan")
+    out["voltage_rmse"] = (
+        float(np.sqrt((res[finite] ** 2).mean())) if finite.any() else float("nan")
+    )
+    out["mean_aleatoric"] = float(np.nanmean(arr[:, INDEX["ale"]]))
+    out["mean_epistemic"] = float(np.nanmean(arr[:, INDEX["epi"]]))
+
+    from pinnfc_tpu.diagnosis.auc import run_auc_pipeline
+
+    auc_out = run_auc_pipeline(arr)
+    for g in auc_out.groups:
+        out[f"auc_group{g.group_id}"] = float(g.auc)
+        out[f"accuracy_group{g.group_id}"] = float(g.accuracy)
+    if auc_out.iso_auc is not None:
+        out["isoforest_auc"] = float(auc_out.iso_auc)
+
+    from pinnfc_tpu.diagnosis.gmm_pipeline import run_gmm_pipeline
+
+    out["gmm_accuracy"] = float(run_gmm_pipeline(arr).accuracy)
+
+    from pinnfc_tpu.risk import run_risk_pipeline
+
+    advances = run_risk_pipeline(arr)
+    leads = [a.advance for a in advances if a.advance is not None]
+    out["risk_conditions"] = float(len(advances))
+    out["risk_conditions_with_lead"] = float(len(leads))
+    out["mean_rf_advance"] = float(np.mean(leads)) if leads else float("nan")
+
+    from pinnfc_tpu.uq.conformal import conformal_report
+
+    rep = conformal_report(arr)
+    out["conformal_normal_coverage"] = float(rep.normal_eval.coverage)
+    out["conformal_detection_auc"] = float(rep.detection_auc)
+    return out
 
 
 def _md_table(headers: Sequence[str], rows: Sequence[Sequence]) -> str:
@@ -193,8 +237,52 @@ _SECTION_TITLES = {
     "risk": "RF(t) early warning (script 04)",
     "compare": "Method comparison (script 05)",
     "conformal": "Conformal calibration audit",
+    "baseline": "Regression vs baseline",
     "figures": "Figures",
 }
+
+# direction of improvement for the baseline diff; metrics not listed are
+# informational (no regression flag)
+_HIGHER_IS_BETTER = {
+    "auc_group1", "auc_group2", "auc_group3", "auc_group4",
+    "accuracy_group1", "accuracy_group2", "accuracy_group3", "accuracy_group4",
+    "isoforest_auc", "gmm_accuracy", "mean_rf_advance",
+    "risk_conditions_with_lead", "conformal_normal_coverage",
+    "conformal_detection_auc",
+}
+_LOWER_IS_BETTER = {"voltage_mae", "voltage_rmse"}
+
+
+def _section_baseline(arr, baseline, baseline_path) -> str:
+    if baseline is None:
+        return "_no baseline artifact given (`--baseline`) — comparison omitted_"
+    cur = artifact_metrics(arr)
+    base = artifact_metrics(baseline)
+    rows = []
+    regressions = 0
+    for k in cur:
+        if k not in base:
+            continue
+        c, b = cur[k], base[k]
+        delta = c - b if np.isfinite(c) and np.isfinite(b) else float("nan")
+        flag = ""
+        if np.isfinite(delta):
+            worse = (k in _HIGHER_IS_BETTER and delta < 0) or (
+                k in _LOWER_IS_BETTER and delta > 0
+            )
+            # flag only material moves: >1% relative (or absolute for
+            # near-zero baselines)
+            if worse and abs(delta) > max(0.01 * abs(b), 1e-6):
+                flag = "⚠ regressed"
+                regressions += 1
+        rows.append((k, _fmt(c), _fmt(b), _fmt(delta), flag))
+    head = f"Baseline: `{baseline_path or '(in-memory)'}`\n\n"
+    body = head + _md_table(["metric", "this run", "baseline", "Δ", ""], rows)
+    body += (
+        f"\n\n**{regressions} material regression(s)** vs baseline"
+        if regressions else "\n\nNo material regressions vs baseline."
+    )
+    return body
 
 _SECTION_FNS = {
     "provenance": _section_provenance,
@@ -214,15 +302,25 @@ def build_report(
     report_dir: Optional[str] = None,
     sections: Optional[Sequence[str]] = None,
     mat_path: Optional[str] = None,
+    baseline=None,
+    baseline_path: Optional[str] = None,
 ) -> str:
     """Render the consolidated markdown report; returns the document.
 
     ``figures_dir`` is linked relative to ``report_dir`` (the directory the
     report will be written to) so the gallery works wherever the report
-    lands.  ``sections`` subsets/reorders ``ALL_SECTIONS``.
+    lands.  ``sections`` subsets/reorders ``ALL_SECTIONS``.  ``baseline``
+    (another artifact) adds a direction-aware metric diff — the regression
+    check for retrain/rescore workflows.
     """
     arr = results.array if hasattr(results, "array") else np.asarray(results)
+    if baseline is not None:
+        baseline = (
+            baseline.array if hasattr(baseline, "array") else np.asarray(baseline)
+        )
     picked = list(sections) if sections is not None else list(ALL_SECTIONS)
+    if sections is None and baseline is None:
+        picked.remove("baseline")  # default report: no empty placeholder
     unknown = [s for s in picked if s not in ALL_SECTIONS]
     if unknown:
         raise ValueError(f"unknown report sections {unknown}; "
@@ -237,16 +335,15 @@ def build_report(
     doc.append("")
 
     for name in picked:
-        if name == "figures":
-            doc.append(f"## {_SECTION_TITLES[name]}")
-            doc.append("")
-            doc.append(_figures_gallery(figures_dir, report_dir))
-            doc.append("")
-            continue
         doc.append(f"## {_SECTION_TITLES[name]}")
         doc.append("")
         try:
-            doc.append(_SECTION_FNS[name](arr, ckpt_path))
+            if name == "figures":
+                doc.append(_figures_gallery(figures_dir, report_dir))
+            elif name == "baseline":
+                doc.append(_section_baseline(arr, baseline, baseline_path))
+            else:
+                doc.append(_SECTION_FNS[name](arr, ckpt_path))
         except Exception as e:  # degrade, never fail the run
             doc.append(f"_section unavailable: {type(e).__name__}: {e}_")
             doc.append("")
@@ -276,6 +373,8 @@ def write_report(
     figures_dir: Optional[str] = None,
     sections: Optional[Sequence[str]] = None,
     mat_path: Optional[str] = None,
+    baseline=None,
+    baseline_path: Optional[str] = None,
 ) -> str:
     """Build and atomically write the report; returns ``path``."""
     doc = build_report(
@@ -285,6 +384,8 @@ def write_report(
         report_dir=os.path.dirname(os.path.abspath(path)),
         sections=sections,
         mat_path=mat_path,
+        baseline=baseline,
+        baseline_path=baseline_path,
     )
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

@@ -100,7 +100,42 @@ class TestBuildReport:
         from pinnfc_tpu.utils.report import _SECTION_FNS, _SECTION_TITLES
 
         assert set(ALL_SECTIONS) == set(_SECTION_TITLES)
-        assert set(ALL_SECTIONS) - {"figures"} == set(_SECTION_FNS)
+        # figures and baseline are special-cased in the render loop
+        assert set(ALL_SECTIONS) - {"figures", "baseline"} == set(_SECTION_FNS)
+
+
+class TestBaselineDiff:
+    def test_identical_artifacts_no_regression(self, artifact):
+        doc = build_report(
+            artifact, sections=["baseline"], baseline=artifact,
+            baseline_path="base.mat",
+        )
+        assert "Regression vs baseline" in doc
+        assert "No material regressions" in doc
+        assert "`base.mat`" in doc
+
+    def test_degraded_artifact_flags_regression(self, artifact):
+        worse = artifact.copy()
+        worse[:, INDEX["res"]] *= 3.0  # triples the voltage error
+        doc = build_report(worse, sections=["baseline"], baseline=artifact)
+        assert "⚠ regressed" in doc
+        assert "material regression" in doc
+
+    def test_default_report_omits_empty_baseline(self, artifact):
+        doc = build_report(artifact, sections=["overview"])
+        assert "Regression vs baseline" not in doc
+        doc = build_report(artifact)
+        assert "Regression vs baseline" not in doc
+
+    def test_artifact_metrics_keys(self, artifact):
+        from pinnfc_tpu.utils.report import artifact_metrics
+
+        m = artifact_metrics(artifact)
+        for k in ("rows", "voltage_mae", "voltage_rmse", "gmm_accuracy",
+                  "auc_group1", "mean_rf_advance", "conformal_detection_auc"):
+            assert k in m, k
+        assert m["rows"] == len(artifact)
+        assert np.isfinite(m["voltage_mae"])
 
 
 class TestReportCli:
