@@ -1329,7 +1329,8 @@ def cmd_run_all(args) -> int:
         return rc
     # identifiability report over the artifact just produced: how well the
     # 17 physics parameters are pinned down (uq/identifiability)
-    rc = cmd_identify(argparse.Namespace(ckpt=ns.ckpt, mat=mat_path))
+    rc = cmd_identify(argparse.Namespace(ckpt=ns.ckpt, mat=mat_path,
+                                         plot_dir=plot_dir))
     if rc:
         return rc
     # model-level explainability: per-class input-channel saliency table

@@ -195,7 +195,8 @@ class TestRunAllOrchestration:
         assert os.path.isdir(os.path.join(out, "pinn_ckpt"))
         figs = set(os.listdir(os.path.join(out, "figures")))
         for f in ("roc.png", "gmm_confusion.png", "gmm_tsne.png",
-                  "method_metrics.png", "conformal_coverage.png"):
+                  "method_metrics.png", "conformal_coverage.png",
+                  "identifiability.png"):
             assert f in figs, f
 
 
