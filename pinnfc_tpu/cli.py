@@ -1254,6 +1254,24 @@ def cmd_report(args) -> int:
     from pinnfc_tpu.utils import write_report
 
     results = load_comprehensive_results(args.mat)
+    json_out = getattr(args, "json_out", None)
+    if getattr(args, "json", False) or json_out:
+        # machine-readable regression vector (same numbers the baseline
+        # section diffs) — strict JSON, NaN → null
+        import math
+
+        from pinnfc_tpu.utils.report import artifact_metrics
+
+        metrics = {k: (v if math.isfinite(v) else None)
+                   for k, v in artifact_metrics(results).items()}
+        doc = json.dumps(metrics, indent=2, allow_nan=False)
+        if json_out:
+            with open(json_out, "w") as f:
+                f.write(doc + "\n")
+            print(f"metrics → {json_out}")
+        if getattr(args, "json", False):
+            print(doc)
+            return 0
     baseline_path = getattr(args, "baseline", None)
     baseline = load_comprehensive_results(baseline_path) if baseline_path else None
     out = args.out or os.path.join(
@@ -1359,6 +1377,7 @@ def cmd_run_all(args) -> int:
     rc = cmd_report(argparse.Namespace(
         mat=mat_path, ckpt=ns.ckpt, plot_dir=plot_dir,
         out=os.path.join(args.out_dir, "report.md"), sections=None,
+        json_out=os.path.join(args.out_dir, "metrics.json"),
     ))
     if rc:
         return rc
@@ -2184,7 +2203,14 @@ def main(argv: Optional[list] = None) -> int:
                          "metric diff — the retrain/rescore regression check")
     rp.add_argument("--sections", default=None,
                     help="comma subset of: provenance,overview,auc,gmm,"
-                         "risk,compare,conformal,figures")
+                         "risk,compare,conformal,identifiability,saliency,"
+                         "figures")
+    rp.add_argument("--json", action="store_true",
+                    help="print the artifact metric vector as JSON instead "
+                         "of writing markdown (CI regression tracking)")
+    rp.add_argument("--json-out", default=None,
+                    help="also write the metric vector to this path "
+                         "(run-all drops metrics.json next to report.md)")
     rp.set_defaults(fn=cmd_report)
 
     r = sub.add_parser("run-all", help="full pipeline 01→02/03/04/05")

@@ -6,8 +6,10 @@ renders everything the downstream stages compute — checkpoint provenance,
 artifact overview, the script-02 AUC table (02:444-611), script-03 GMM
 accuracy (03:513-591), the script-04 risk/advance table with per-layer
 attribution (04:479-528), the script-05 method comparison (05:614-707),
-and the split-conformal audit — into ONE ``report.md`` next to the
-artifact, with the figure gallery linked.  Beyond reference.
+the split-conformal audit, and (when the checkpoint is given) the
+model-level explainability tables — λ identifiability CIs and per-class
+input-channel saliency — into ONE ``report.md`` next to the artifact,
+with the figure gallery linked.  Beyond reference.
 
 Each section is independently fault-tolerant: a stage that cannot run on
 a given artifact (too few rows, no faults, missing checkpoint) degrades
@@ -33,9 +35,27 @@ ALL_SECTIONS = (
     "risk",
     "compare",
     "conformal",
+    "identifiability",
+    "saliency",
     "baseline",
     "figures",
 )
+
+_NO_CKPT_NOTE = "_no checkpoint given (`--ckpt`) — model-level section omitted_"
+
+
+def _ckpt_with_scalers(ckpt_path):
+    """Load a checkpoint for the model-level sections; returns
+    ``(ckpt, None)`` on success or ``(None, degrade-note)``."""
+    if not ckpt_path:
+        return None, _NO_CKPT_NOTE
+    from pinnfc_tpu.utils.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(ckpt_path)
+    if "scaler_x" not in ckpt or "scaler_y" not in ckpt:
+        return None, (f"_`{ckpt_path}` has no stored scalers — cannot "
+                      "normalize the artifact rows_")
+    return ckpt, None
 
 
 def artifact_metrics(results) -> Dict[str, float]:
@@ -229,6 +249,86 @@ def _section_conformal(arr, ckpt_path) -> str:
     return body
 
 
+def _section_identifiability(arr, ckpt_path) -> str:
+    """Gauss-Newton 95% CIs of the 17 physics λ's (uq/identifiability) —
+    the 'how well are the physics parameters pinned down' audit that
+    `cli identify` prints, rendered per stage group."""
+    ckpt, note = _ckpt_with_scalers(ckpt_path)
+    if note:
+        return note
+    from pinnfc_tpu.uq.identifiability import lambda_identifiability
+
+    x_raw = arr[:, [INDEX[f"x{i}"] for i in range(8)]]
+    x_norm = np.asarray(
+        ckpt["scaler_x"].transform(x_raw.astype(np.float32)), np.float32
+    )
+    report = lambda_identifiability(
+        ckpt["params"], x_norm, ckpt["scaler_x"], ckpt["scaler_y"]
+    )
+    blocks = []
+    for g, gi in report.items():
+        rows = []
+        for i, name in enumerate(gi.names):
+            if not gi.identifiable[i]:
+                ci, flag = "—", "UNIDENTIFIABLE"
+            else:
+                ci = f"± {1.959964 * gi.stderr[i]:.4g}"
+                flag = "at-bound" if gi.at_bound[i] else ""
+            rows.append((f"{g}[{i}]", name, f"{gi.values[i]:.6g}", ci,
+                         f"{gi.sensitivity[i]:.3g}", flag))
+        block = (
+            f"**{g}** (N={gi.n_residuals}, σ̂²={gi.sigma2:.4g})\n\n"
+            + _md_table(
+                ["param", "physical meaning", "value", "95% CI",
+                 "sensitivity", ""], rows)
+        )
+        coupled = [
+            f"`{g}[{i}]` ↔ `{g}[{j}]` (corr {gi.corr[i, j]:+.3f})"
+            for i in range(len(gi.names))
+            for j in range(i + 1, len(gi.names))
+            if np.isfinite(gi.corr[i, j]) and abs(gi.corr[i, j]) > 0.95
+        ]
+        if coupled:
+            block += ("\n\nOnly jointly identified (sloppy directions): "
+                      + "; ".join(coupled))
+        blocks.append(block)
+    return "\n\n".join(blocks)
+
+
+def _section_saliency(arr, ckpt_path) -> str:
+    """Per-class input-channel saliency (uq/saliency): which of the 8
+    measured inputs each class's voltage prediction leans on, in volts
+    per full training-range swing — `cli explain`'s table."""
+    ckpt, note = _ckpt_with_scalers(ckpt_path)
+    if note:
+        return note
+    from pinnfc_tpu.data.contract import INPUT_CHANNELS
+    from pinnfc_tpu.uq.saliency import coarse_class_saliency, input_saliency
+
+    labels = arr[:, INDEX["label"]].astype(int)
+    x_raw = arr[:, [INDEX[f"x{i}"] for i in range(8)]]
+    rep = input_saliency(
+        ckpt["params"], x_raw, ckpt["scaler_x"], ckpt["scaler_y"],
+        labels=labels,
+    )
+    body = ["Mean |∂v̂/∂x| per class, volts per full training-range swing "
+            "(driver = the channel the prediction leans on most):", ""]
+    for field, label in (("jac_range", "voltage head"),
+                         ("sigma_jac_range", "aleatoric-σ head")):
+        table = coarse_class_saliency(rep, field)
+        rows = [
+            [name] + [f"{v:.3g}" for v in vals]
+            + [INPUT_CHANNELS[int(np.argmax(vals))]]
+            for name, vals in table.items()
+        ]
+        body.append(f"**{label}**")
+        body.append("")
+        body.append(_md_table(
+            ["class"] + list(INPUT_CHANNELS) + ["driver"], rows))
+        body.append("")
+    return "\n".join(body).rstrip()
+
+
 _SECTION_TITLES = {
     "provenance": "Checkpoint provenance",
     "overview": "Artifact overview",
@@ -237,6 +337,8 @@ _SECTION_TITLES = {
     "risk": "RF(t) early warning (script 04)",
     "compare": "Method comparison (script 05)",
     "conformal": "Conformal calibration audit",
+    "identifiability": "Physics-parameter identifiability",
+    "saliency": "Input-channel saliency",
     "baseline": "Regression vs baseline",
     "figures": "Figures",
 }
@@ -292,6 +394,8 @@ _SECTION_FNS = {
     "risk": _section_risk,
     "compare": _section_compare,
     "conformal": _section_conformal,
+    "identifiability": _section_identifiability,
+    "saliency": _section_saliency,
 }
 
 

@@ -198,6 +198,12 @@ class TestRunAllOrchestration:
                   "method_metrics.png", "conformal_coverage.png",
                   "identifiability.png"):
             assert f in figs, f
+        # machine-readable metric vector next to the markdown report
+        import json
+
+        with open(os.path.join(out, "metrics.json")) as f:
+            metrics = json.load(f)
+        assert metrics["rows"] > 0
 
 
 class TestEnsembleCli:

@@ -104,6 +104,41 @@ class TestBuildReport:
         assert set(ALL_SECTIONS) - {"figures", "baseline"} == set(_SECTION_FNS)
 
 
+class TestModelLevelSections:
+    """The identifiability/saliency sections need the checkpoint (params +
+    scalers); with one they render the cli identify/explain tables, without
+    one they degrade to a note (never a traceback)."""
+
+    def test_render_with_checkpoint(self, artifact, tiny_dataset, tmp_path):
+        import jax
+
+        from pinnfc_tpu.models.pinn import init_pinn
+        from pinnfc_tpu.utils import save_checkpoint
+
+        d = tiny_dataset
+        params = init_pinn(jax.random.PRNGKey(0), (8, 16, 1))
+        ckpt = str(tmp_path / "ck")
+        save_checkpoint(ckpt, params, d.scaler_x, d.scaler_y)
+        doc = build_report(
+            artifact, ckpt_path=ckpt,
+            sections=["identifiability", "saliency"],
+        )
+        assert "section unavailable" not in doc
+        assert "Physics-parameter identifiability" in doc
+        assert "**lam_v**" in doc and "sensitivity" in doc
+        assert "Input-channel saliency" in doc
+        assert "voltage head" in doc and "aleatoric-σ head" in doc
+        # every coarse class present in the artifact gets a saliency row
+        assert "| normal |" in doc
+
+    def test_degrade_without_checkpoint(self, artifact):
+        doc = build_report(
+            artifact, sections=["identifiability", "saliency"]
+        )
+        assert doc.count("model-level section omitted") == 2
+        assert "section unavailable" not in doc
+
+
 class TestBaselineDiff:
     def test_identical_artifacts_no_regression(self, artifact):
         doc = build_report(
@@ -151,3 +186,36 @@ class TestReportCli:
         text = open(out_path).read()
         assert "RF(t) early warning" in text
         assert f"artifact: `{mat}`" in text
+
+    def test_cmd_report_json(self, artifact, tmp_path, capsys):
+        """--json prints the strict-JSON regression vector (NaN → null)."""
+        import json
+
+        from pinnfc_tpu.cli import main
+
+        mat = str(tmp_path / "F01_output.mat")
+        save_comprehensive_results(artifact, mat)
+        assert main(["report", "--mat", mat, "--json"]) == 0
+        metrics = json.loads(capsys.readouterr().out)
+        assert metrics["rows"] == len(artifact)
+        assert 0.0 <= metrics["gmm_accuracy"] <= 1.0
+        # no report written in json mode
+        assert not os.path.exists(str(tmp_path / "report.md"))
+
+    def test_cmd_report_json_out(self, artifact, tmp_path, capsys):
+        """--json-out writes the vector to a file alongside the markdown
+        report (run-all's metrics.json)."""
+        import json
+
+        from pinnfc_tpu.cli import main
+
+        mat = str(tmp_path / "F01_output.mat")
+        save_comprehensive_results(artifact, mat)
+        jpath = str(tmp_path / "metrics.json")
+        assert main(["report", "--mat", mat, "--json-out", jpath,
+                     "--sections", "overview"]) == 0
+        with open(jpath) as f:
+            metrics = json.load(f)
+        assert metrics["rows"] == len(artifact)
+        # markdown report still written
+        assert os.path.exists(str(tmp_path / "report.md"))
