@@ -344,6 +344,31 @@ def cmd_score(args) -> int:
     return 0
 
 
+def cmd_synth(args) -> int:
+    """Write a synthetic measurement campaign to disk in the reference's
+    13-file .mat layout (data/synthetic + data.write_campaign_mats):
+    Polar-1.mat normal channel variables (01:126-140) plus the 12 fault
+    segment_double files (01:168-176) in the load order
+    水淹/氧饥饿/膜干/氢饥饿 × 108/270/405 A (01:2097-2110).  The public
+    Zenodo campaign is not redistributable, so this generates a physically
+    plausible stand-in — a runnable demo of the campaign-ingestion path
+    (`cli train --normal-mat/--fault-dir`) without the real data."""
+    from pinnfc_tpu.data import synthesize_stack_data, write_campaign_mats
+
+    normal, faults = synthesize_stack_data(
+        n_normal=args.n_normal, n_fault=args.n_fault, seed=args.seed
+    )
+    cfg = write_campaign_mats(
+        args.out_dir, normal, faults, ascii_names=not args.zh_names
+    )
+    print(f"campaign → {args.out_dir} "
+          f"({os.path.basename(cfg.normal_path)} with {len(normal[0])} rows "
+          f"+ {len(faults)} fault segments × {args.n_fault} rows)")
+    print("train on it: python -m pinnfc_tpu.cli train "
+          f"--normal-mat {cfg.normal_path} --fault-dir {args.out_dir}")
+    return 0
+
+
 def cmd_identify(args) -> int:
     """Identifiability analysis of the 17 physics λ's (uq/identifiability):
     Gauss-Newton 95% CIs from each training stage's own residual Jacobian
@@ -1995,6 +2020,24 @@ def main(argv: Optional[list] = None) -> int:
     sc.add_argument("--data-parallel", action="store_true",
                     help="shard the MC export's rows over all visible devices")
     sc.set_defaults(fn=cmd_score)
+
+    sy = sub.add_parser(
+        "synth",
+        help="write a synthetic campaign in the reference's 13-file .mat "
+             "layout — a runnable stand-in for the (non-redistributable) "
+             "Zenodo measurement data",
+    )
+    sy.add_argument("--out-dir", required=True)
+    sy.add_argument("--n-normal", type=int, default=6000,
+                    help="normal-operation rows (before the loader's "
+                         "50<I<800 filter)")
+    sy.add_argument("--n-fault", type=int, default=800,
+                    help="rows per fault segment")
+    sy.add_argument("--seed", type=int, default=0)
+    sy.add_argument("--zh-names", action="store_true",
+                    help="use the Chinese fault-file stems the reference "
+                         "ships (default: ASCII aliases)")
+    sy.set_defaults(fn=cmd_synth)
 
     ins = sub.add_parser(
         "inspect",

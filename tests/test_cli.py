@@ -117,6 +117,27 @@ class TestCliSubcommands:
         assert sum(f.startswith("confusion_") for f in files) == 6
 
 
+class TestSynthCli:
+    def test_synth_writes_loadable_campaign(self, tmp_path, capsys):
+        """cli synth emits the 13-file reference layout; the campaign
+        loaders must ingest it round-trip (12 segments, right row counts)."""
+        out = str(tmp_path / "camp")
+        assert main(["synth", "--out-dir", out, "--n-normal", "400",
+                     "--n-fault", "40", "--seed", "3"]) == 0
+        assert "campaign →" in capsys.readouterr().out
+        import os
+
+        from pinnfc_tpu.data.campaign import CampaignConfig, load_campaign
+
+        files = sorted(os.listdir(out))
+        assert "Polar-1.mat" in files and len(files) == 13
+        cfg = CampaignConfig.from_dir(os.path.join(out, "Polar-1.mat"), out)
+        normal, faults = load_campaign(cfg)
+        assert len(faults) == 12
+        assert all(x.shape[0] == 40 and x.shape[1] == 8 for x, _, _ in faults)
+        assert normal[0].shape[1] == 8
+
+
 class TestDataParallelCli:
     def test_dp_run_matches_single_device(self, tmp_path):
         """`cli train --data-parallel` on an 8-device mesh must produce the
