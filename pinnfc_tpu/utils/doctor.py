@@ -174,6 +174,11 @@ def _bounded_python(code: str, timeout: float, env: Optional[dict] = None) -> Di
 
 _PROBE_CODE = f"""
 import json, time
+# Persistent-cache the probe op: without this every doctor run pays a
+# full remote compile on the relay (observed >2 min cold) even when the
+# cache would make it seconds.  The probe still times true backend init.
+from pinnfc_tpu.utils.compilation_cache import enable_compilation_cache
+enable_compilation_cache()
 t0 = time.time()
 import jax
 devs = jax.devices()
