@@ -17,7 +17,7 @@ from pinnfc_tpu.cli._common import (  # noqa: F401
     _streaming_conformal_calib,
     _train_config,
 )
-from pinnfc_tpu.cli.admin import cmd_bench, cmd_doctor  # noqa: F401
+from pinnfc_tpu.cli.admin import cmd_bench, cmd_doctor, cmd_warmup  # noqa: F401
 from pinnfc_tpu.cli.diagnose import (  # noqa: F401
     cmd_auc,
     cmd_compare,

@@ -1,11 +1,76 @@
-"""Operational subcommands: `doctor` (deployment self-check) and
-`bench` (the headline benchmark)."""
+"""Operational subcommands: `doctor` (deployment self-check), `warmup`
+(persistent-cache pre-compilation) and `bench` (the headline benchmark)."""
 
 from __future__ import annotations
 
 import json
 import os
 import sys
+import time
+
+
+def cmd_warmup(args) -> int:
+    """Pre-compile the production program set into the persistent cache
+    (utils/warmup.py): every staged-schedule program at the configured
+    lengths/shapes, the MC exporter, the metrics program and (with
+    --ckpt) the serving monitor step — AOT, nothing executed.  A cold
+    box otherwise pays 15+ minutes of remote compiles at first `cli
+    train` (BENCH_r04 compile_s=1112); after warmup the same run
+    compiles in seconds.  Resumable: already-cached programs are
+    near-instant, so an interrupted warmup continues where it stopped."""
+    from pinnfc_tpu.cli._common import _campaign_from_args, _train_config
+    from pinnfc_tpu.utils.warmup import (
+        _dataset_for,
+        production_lowerings,
+        resolve_cache_dir,
+        warm_cache,
+    )
+
+    cache_dir = resolve_cache_dir()
+    if cache_dir is None:
+        print("persistent cache disabled (PINNFC_COMPILATION_CACHE_DIR='') "
+              "— warmup would compile into thin air", file=sys.stderr)
+        return 2
+    cfg = _train_config(args)
+    n_normal = getattr(args, "n_normal", None) or (1500 if args.small else 6000)
+    n_fault = getattr(args, "n_fault", None) or (200 if args.small else 800)
+    try:
+        campaign = _campaign_from_args(args)
+    except ValueError as e:
+        print(e, file=sys.stderr)
+        return 2
+
+    import jax
+
+    print(f"warming {jax.default_backend()} programs into {cache_dir} "
+          f"(schedule: {len(cfg.schedule)} stages, mc_times={cfg.mc_times})")
+    t0 = time.perf_counter()
+    dataset = _dataset_for(cfg, n_normal, n_fault, campaign=campaign)
+    print(f"  dataset built in {time.perf_counter() - t0:.1f}s "
+          f"(x_train {tuple(dataset.x_train.shape)}, "
+          f"x_test {tuple(dataset.x_test.shape)}; data programs warmed as "
+          "a side effect)")
+    progs = production_lowerings(
+        cfg, dataset, ckpt_path=getattr(args, "ckpt", None),
+        block=getattr(args, "block", 64),
+    )
+    records = warm_cache(progs, verbose=not args.json)
+    from pinnfc_tpu.utils.warmup import warm_eager_ops
+
+    n_eager = warm_eager_ops(cfg)
+    if not args.json:
+        print(f"  + {n_eager} eager micro-ops (per-stage fold_in / loss "
+              "readbacks) dispatched")
+    total = sum(r["compile_s"] for r in records)
+    hits = sum(1 for r in records if r["was_cached"])
+    if args.json:
+        print(json.dumps({"programs": records,
+                          "total_compile_s": round(total, 1),
+                          "already_cached": hits}))
+    else:
+        print(f"warmed {len(records)} programs in {total:.1f}s "
+              f"({hits} were already cached)")
+    return 0
 
 
 def cmd_doctor(args) -> int:

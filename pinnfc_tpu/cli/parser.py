@@ -16,7 +16,7 @@ from __future__ import annotations
 import argparse
 from typing import Optional
 
-from pinnfc_tpu.cli.admin import cmd_bench, cmd_doctor
+from pinnfc_tpu.cli.admin import cmd_bench, cmd_doctor, cmd_warmup
 from pinnfc_tpu.cli.diagnose import (
     cmd_auc,
     cmd_compare,
@@ -504,6 +504,37 @@ def main(argv: Optional[list] = None) -> int:
     dr.add_argument("--json", action="store_true",
                     help="emit the check list as one JSON array")
     dr.set_defaults(fn=cmd_doctor)
+
+    wu = sub.add_parser(
+        "warmup",
+        help="pre-compile the production program set into the persistent "
+             "cache (AOT, nothing executed) — a cold box otherwise pays "
+             "15+ min of remote compiles at first use",
+    )
+    wu.add_argument("--small", action="store_true",
+                    help="warm the --small schedule/data-size programs")
+    wu.add_argument("--seed", type=int, default=42,
+                    help="data seed (shapes are data-dependent; match the "
+                         "training run you are warming for)")
+    wu.add_argument("--steps-scale", type=float, default=None,
+                    help="multiply every stage's step count (must match "
+                         "the training flags — scan lengths are static)")
+    wu.add_argument("--n-normal", type=int, default=None)
+    wu.add_argument("--n-fault", type=int, default=None)
+    wu.add_argument("--normal-mat", default=None,
+                    help="real campaign: warm for ITS row counts")
+    wu.add_argument("--fault-dir", default=None)
+    wu.add_argument("--precision", choices=("highest", "default"),
+                    default=None)
+    wu.add_argument("--skip-nonfinite", action="store_true")
+    wu.add_argument("--ckpt", default=None,
+                    help="also warm the serving monitor step for this "
+                         "checkpoint (its scalers are baked into the "
+                         "program, so the real checkpoint is required)")
+    wu.add_argument("--block", type=int, default=64,
+                    help="monitor block size to warm (with --ckpt)")
+    wu.add_argument("--json", action="store_true")
+    wu.set_defaults(fn=cmd_warmup)
 
     b = sub.add_parser("bench", help="headline benchmark (one JSON line)")
     b.set_defaults(fn=cmd_bench)

@@ -132,6 +132,19 @@ def check_compilation_cache() -> Dict:
     }
 
 
+def check_warmup_coverage() -> Dict:
+    """Which warmed production programs are (still) persistent-cache hits
+    (utils/warmup.py manifest) — pure filesystem check, no backend init.
+    `ok` is False only when previously-warmed programs were evicted or
+    the cache was cleared; an absent manifest is informational (run
+    `cli warmup` once on a fresh box)."""
+    from pinnfc_tpu.utils.warmup import warmup_coverage
+
+    res = warmup_coverage()
+    res["name"] = "warmup_coverage"
+    return res
+
+
 def _bounded_python(code: str, timeout: float, env: Optional[dict] = None) -> Dict:
     """Run ``code`` in a fresh interpreter with the repo importable; parse
     the last ``_MARKER`` line as JSON.  Timeouts/failures come back as
@@ -176,10 +189,12 @@ _PROBE_CODE = f"""
 import json, time
 # Persistent-cache the probe op: without this every doctor run pays a
 # full remote compile on the relay (observed >2 min cold) even when the
-# cache would make it seconds.  The probe still times true backend init.
+# cache would make it seconds.  t0 starts BEFORE the cache module import
+# (which itself imports jax), so init_s keeps its historical
+# import-inclusive meaning: `import jax` wall time + device handshake.
+t0 = time.time()
 from pinnfc_tpu.utils.compilation_cache import enable_compilation_cache
 enable_compilation_cache()
-t0 = time.time()
 import jax
 devs = jax.devices()
 init_s = time.time() - t0
@@ -355,7 +370,12 @@ def run_doctor(
     artifact: Optional[str] = None,
 ) -> List[Dict]:
     """Run all requested checks in dependency-light → heavy order."""
-    checks = [check_versions(), check_environment(), check_compilation_cache()]
+    checks = [
+        check_versions(),
+        check_environment(),
+        check_compilation_cache(),
+        check_warmup_coverage(),
+    ]
     if ckpt:
         checks.append(check_checkpoint(ckpt))
     if artifact:

@@ -117,7 +117,10 @@ class TestCli:
         out = capsys.readouterr().out
         checks = json.loads(out)
         names = [c["name"] for c in checks]
-        assert names == ["versions", "environment", "compilation_cache"]
+        assert names == [
+            "versions", "environment", "compilation_cache",
+            "warmup_coverage",
+        ]
         assert rc == 0
 
     def test_cli_doctor_fail_exit_code(self, capsys, tmp_path):
@@ -134,4 +137,5 @@ class TestCli:
         checks = doctor.run_doctor(skip_probe=True)
         assert [c["name"] for c in checks] == [
             "versions", "environment", "compilation_cache",
+            "warmup_coverage",
         ]

@@ -1,0 +1,151 @@
+"""`cli warmup` / utils.warmup: the persistent-cache pre-compilation
+surface (VERDICT r4 item 2).
+
+The contract under test: warmup AOT-compiles the EXACT program set the
+training/export path later runs — so after a warmup, a real training run
+adds no new cache entries — and the manifest lets `cli doctor` report
+coverage without initializing a backend."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import pytest
+
+from pinnfc_tpu.config import StageConfig, TrainConfig
+from pinnfc_tpu.utils.warmup import (
+    MANIFEST_NAME,
+    _dataset_for,
+    production_lowerings,
+    warm_cache,
+    warmup_coverage,
+)
+
+TINY = TrainConfig(
+    schedule=(
+        StageConfig("dnn", 5, lr=0.01),
+        StageConfig("lambda_v", 4, lr=1e-3, dnn_para=False),
+        StageConfig("lambda_v", 4, lr=1e-3, dnn_para=True),
+        StageConfig("thermal", 3, lr=1.0),
+        StageConfig("hydrogen", 3, lr=0.1),
+        StageConfig("oxygen", 3, lr=0.01),
+    ),
+    mc_times=8,
+)
+
+
+@pytest.fixture
+def cache_dir(tmp_path, monkeypatch):
+    """A private enabled persistent cache (conftest disables the shared
+    one under the CPU sim); jax config restored afterwards."""
+    d = str(tmp_path / "cache")
+    monkeypatch.setenv("PINNFC_COMPILATION_CACHE_DIR", d)
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # the module-level cache object stays bound to the first dir it
+    # initialized with; re-point it at this test's dir (and detach after)
+    from jax._src import compilation_cache as cc
+
+    cc.reset_cache()
+    yield d
+    cc.reset_cache()
+    jax.config.update("jax_compilation_cache_dir", prev_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
+
+
+@pytest.fixture
+def dataset():
+    return _dataset_for(TINY, 150, 30)
+
+
+def test_program_list_covers_the_schedule(dataset):
+    names = [n for n, _ in production_lowerings(TINY, dataset)]
+    assert any(n.startswith("dnn[5]") for n in names)
+    assert any("lambda_v[4]@norm" in n for n in names)
+    assert any("lambda_v[4]@res" in n for n in names)
+    for grp in ("thermal[3]", "hydrogen[3]", "oxygen[3]"):
+        assert any(n.startswith(grp) for n in names)
+    assert "eval_forward" in names
+    assert any(n.startswith("mc_") for n in names)
+    assert "device_columns" in names and "printed_stats" in names
+    # identical stages dedupe into one program
+    twice = TrainConfig(
+        schedule=(StageConfig("dnn", 5, lr=0.01),) * 2, mc_times=8
+    )
+    assert (
+        len([n for n, _ in production_lowerings(twice, dataset)])
+        == len(set(n for n, _ in production_lowerings(twice, dataset)))
+    )
+
+
+def test_warmup_writes_manifest_and_rewarm_hits(cache_dir, dataset):
+    progs = production_lowerings(TINY, dataset)
+    records = warm_cache(progs, verbose=False)
+    assert len(records) == len(progs)
+    assert all(r["key"] for r in records), "cache keys must be captured"
+    for r in records:
+        assert os.path.exists(os.path.join(cache_dir, r["key"] + "-cache"))
+    manifest = json.load(open(os.path.join(cache_dir, MANIFEST_NAME)))
+    assert len(manifest["programs"]) == len(progs)
+
+    again = warm_cache(production_lowerings(TINY, dataset), verbose=False)
+    assert all(r["was_cached"] for r in again), again
+
+
+def test_doctor_coverage_reports_and_flags_eviction(cache_dir, dataset):
+    cov = warmup_coverage()
+    assert cov["ok"] and "no warmup manifest" in cov["detail"]
+
+    records = warm_cache(production_lowerings(TINY, dataset), verbose=False)
+    cov = warmup_coverage()
+    assert cov["ok"] and not cov["missing"]
+    assert f"{len(records)}/{len(records)}" in cov["detail"]
+
+    # evict one entry: coverage must flag exactly that program
+    victim = records[0]
+    os.remove(os.path.join(cache_dir, victim["key"] + "-cache"))
+    cov = warmup_coverage()
+    assert not cov["ok"]
+    assert any(victim["program"] in m for m in cov["missing"])
+
+
+def test_training_after_warmup_adds_no_entries(cache_dir, dataset):
+    """The done-criterion from VERDICT r4: warmup's programs ARE the
+    training path's programs — a real (tiny) schedule run afterwards
+    compiles nothing new."""
+    from pinnfc_tpu.models.pinn import init_pinn
+    from pinnfc_tpu.training.stages import run_schedule
+    from pinnfc_tpu.utils.warmup import warm_eager_ops
+
+    warm_cache(production_lowerings(TINY, dataset), verbose=False)
+    warm_eager_ops(TINY)
+    before = set(os.listdir(cache_dir))
+
+    params = init_pinn(jax.random.PRNGKey(TINY.seed), TINY.model.layers)
+    rng = jax.random.key(TINY.seed + 1, impl=TINY.model.rng_impl)
+    train_key, _ = jax.random.split(rng)
+    run_schedule(
+        params, dataset.x_train, dataset.y_train,
+        dataset.scaler_x, dataset.scaler_y,
+        schedule=TINY.schedule, rng=train_key,
+        dropout_p=TINY.model.dropout_p,
+    )
+    new = set(os.listdir(cache_dir)) - before
+    assert not new, f"training compiled programs warmup missed: {new}"
+
+
+def test_cli_warmup_json(cache_dir, tmp_path, capsys):
+    from pinnfc_tpu.cli import main
+
+    rc = main([
+        "warmup", "--small", "--steps-scale", "0.01",
+        "--n-normal", "150", "--n-fault", "30", "--json",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["programs"] and all(r["key"] for r in out["programs"])
