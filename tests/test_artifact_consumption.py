@@ -287,9 +287,18 @@ class TestReferenceConsumesOurArtifact:
         discriminator on this artifact's heavily-overlapping miniature-
         schedule features: sklearn's own LinearSVC vs SVC differ by 0.12
         accuracy (50% prediction agreement) on the same split here, and
-        the artifact's geometry shifts with the training platform — so
-        the SVM band is 0.15: the measured within-sklearn formulation
-        spread (0.12) plus margin for the platform-dependent artifact.
+        the artifact's geometry shifts with the training platform.  So
+        the SVM assertion is FORMULATION-AWARE (VERDICT r4 item 4)
+        instead of a flat band: sklearn's two linear formulations — the
+        dual-hinge SVC the reference actually runs (05:329-331) and the
+        primal squared-hinge LinearSVC — are both fit on THIS artifact,
+        and our device fit (an OvO squared-hinge primal, conceptually
+        between them) must (a) land inside their measured accuracy
+        bracket ± a small platform margin and (b) agree with the
+        reference's SVC at the prediction level at least as well as
+        sklearn's own alternative formulation does.  A genuine SVM
+        regression now fails even when a wide flat band would have hidden
+        it, while true formulation/platform spread stays admissible.
         Decision-level SVM parity on separable data is pinned in
         test_reference_golden_downstream.py."""
         from sklearn.model_selection import train_test_split
@@ -331,8 +340,38 @@ class TestReferenceConsumesOurArtifact:
         assert by_name["Supervised_LR"].metrics["accuracy"] == pytest.approx(
             m_ref_lr["accuracy"], abs=0.02
         )
-        assert by_name["Supervised_SVM"].metrics["accuracy"] == pytest.approx(
-            m_ref_svm["accuracy"], abs=0.15
+        from sklearn.svm import LinearSVC
+
+        lin = LinearSVC(
+            C=0.05, class_weight="balanced",
+            random_state=ref05.RANDOM_STATE, max_iter=20000,
+        )
+        lin.fit(x_tr, y_tr)
+        pred_lin = lin.predict(x_te)
+        lin_acc = ref05.compute_macro_metrics(y_te, pred_lin)["accuracy"]
+        svc_acc = m_ref_svm["accuracy"]
+
+        # row alignment: stratified_split is train_test_split-parity, so
+        # prediction-level comparison against the ref's split is valid
+        assert np.array_equal(ours.y_true, y_te)
+
+        margin = 0.04  # platform noise (f32 device fit vs f64 sklearn)
+        our_acc = by_name["Supervised_SVM"].metrics["accuracy"]
+        lo = min(svc_acc, lin_acc) - margin
+        hi = max(svc_acc, lin_acc) + margin
+        assert lo <= our_acc <= hi, (
+            f"device SVM accuracy {our_acc:.3f} outside the sklearn "
+            f"formulation bracket [SVC {svc_acc:.3f}, LinearSVC "
+            f"{lin_acc:.3f}] ± {margin}"
+        )
+        agree_sklearn = float(np.mean(pred_svm == pred_lin))
+        agree_ours = float(
+            np.mean(by_name["Supervised_SVM"].y_pred == pred_svm)
+        )
+        assert agree_ours >= agree_sklearn - 0.05, (
+            f"device SVM agrees with the reference SVC on only "
+            f"{agree_ours:.0%} of test rows; sklearn's own LinearSVC "
+            f"manages {agree_sklearn:.0%}"
         )
 
         # unsupervised consumption: each runs end-to-end on our artifact
