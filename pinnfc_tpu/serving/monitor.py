@@ -304,6 +304,165 @@ class MonitorOutput:
     aci_anomaly: np.ndarray | None = None
 
 
+def _excitation_block(r, mu, sigma, cfg: RiskConfig, w_feat, key_to_idx,
+                      layer_w):
+    """Per-layer weighted p-norm excitations of the standardized truncated
+    residuals (04:244-259) → (s_tot (B,), layer_scores (B, L)).
+
+    ``layer_scores`` is the attribution of the RAW S_tot across physics
+    layers — which layer (voltage / gas / temp) is driving the risk.  It
+    is computed BEFORE the first-sample/glitch gating so a voltage-
+    channel-outage glitch (finite features) still shows its excitation;
+    NaN-feature rows yield NaN columns."""
+    a_trunc = jnp.maximum(
+        0.0, jnp.abs((r - mu[None, :]) / sigma[None, :]) - cfg.z_safe
+    )
+    s_tot = jnp.zeros(r.shape[0], jnp.float32)
+    layer_contribs = []
+    for lname, keys in cfg.layer_config:
+        idxs = [key_to_idx[k] for k in keys if k in key_to_idx]
+        if not idxs:
+            continue
+        a_l = a_trunc[:, jnp.asarray(idxs)]
+        w_l = w_feat[jnp.asarray(idxs)][None, :]
+        contrib = layer_w.get(lname, 1.0) * jnp.power(
+            jnp.sum(w_l * jnp.power(a_l, cfg.p_layer), axis=1),
+            1.0 / cfg.p_layer,
+        )
+        s_tot = s_tot + contrib
+        layer_contribs.append(contrib)
+    layer_scores = (
+        jnp.stack(layer_contribs, axis=1) if layer_contribs
+        else jnp.zeros((r.shape[0], 0), jnp.float32)
+    )
+    return s_tot, layer_scores
+
+
+def _gate_block(s_tot, v_meas, state: MonitorState):
+    """Sensor-glitch + first-sample gating → (glitch, gate, gated s_tot).
+
+    A non-finite row would poison the carried C[t]/EMA state FOREVER (the
+    recurrence never forgets a NaN): such samples contribute zero risk to
+    the integral and surface per-sample via ``glitch``; their own
+    rf/v_pred outputs still reflect the bad input.  A dead voltage
+    channel (NaN v_meas) is folded in explicitly — under a layer config
+    that drops the 'res' feature it would never reach s_tot, yet it still
+    silently disables v_alarm for those rows.  The first-ever sample
+    contributes no risk either (C[0]=0 semantics, 04:262)."""
+    glitch = ~(jnp.isfinite(s_tot) & jnp.isfinite(v_meas))
+    gate = glitch | (
+        (state.n_seen == 0) & (jnp.arange(s_tot.shape[0]) == 0)
+    )
+    return glitch, gate, jnp.where(gate, 0.0, s_tot)
+
+
+def _layer_c_block(layer_scores, gate, state: MonitorState, cfg: RiskConfig):
+    """Per-layer risk-integral continuation: the SAME leaky recurrence
+    applied to each layer's gated term, so Σ_l C_l ≡ C at every sample —
+    live attribution of the risk level, carried across blocks like C."""
+    layer_gated = jnp.where(gate[:, None], 0.0, layer_scores)
+    lam_vec = jnp.full(layer_gated.shape[0], cfg.lambda_decay)
+    if layer_gated.shape[1]:
+        return jax.vmap(
+            lambda col, init: linear_recurrence_scan(lam_vec, col, init),
+            in_axes=(1, 0), out_axes=1,
+        )(layer_gated, state.layer_c)
+    return layer_gated
+
+
+def _glitch_run_block(glitch, state: MonitorState, glitch_alarm_n: int):
+    """Consecutive-glitch run length: run[i] = glitch[i]·(run[i-1]+1), the
+    same first-order recurrence as C[t] → same associative scan."""
+    gf = glitch.astype(jnp.float32)
+    glitch_series = linear_recurrence_scan(gf, gf, state.glitch_run)
+    return glitch_series, glitch_series >= glitch_alarm_n
+
+
+def _voltage_alarm_block(v_meas, state: MonitorState, cfg: RiskConfig):
+    """Dynamic-threshold baseline + alarm → (v_first, v_first_set, v_alarm).
+
+    The baseline is captured from the FIRST FINITE voltage sample ever
+    seen (a glitched first sample must not permanently zero the alarm
+    baseline — it defers capture).  NaN comparisons are False, so
+    pre-baseline (non-finite) samples in the capturing block never alarm;
+    the flag guards the no-baseline-yet stream entirely."""
+    finite_v = jnp.isfinite(v_meas)
+    has_finite = jnp.any(finite_v)
+    cand = v_meas[jnp.argmax(finite_v)]
+    v_first = jnp.where(
+        state.v_first_set,
+        state.v_first,
+        jnp.where(has_finite, cand, 0.0),
+    )
+    v_first_set = state.v_first_set | has_finite
+    v_alarm = v_first_set & (v_meas <= (v_first - cfg.voltage_drop))
+    return v_first, v_first_set, v_alarm
+
+
+def _drift_block(x_raw, box_lo, box_hi):
+    """Input-range drift: which channels left the training box this block.
+    A glitched sensor is an outage, not drift (counted by the glitch run)
+    — NaN compares False on both sides already, but ±inf would satisfy
+    the box comparison, so non-finite readings are excluded explicitly."""
+    oob_ch = jnp.isfinite(x_raw) & (
+        (x_raw < box_lo[None, :]) | (x_raw > box_hi[None, :])
+    )
+    return oob_ch, jnp.any(oob_ch, axis=1)
+
+
+def _conformal_aci_block(res, calib, state: MonitorState, gamma: float,
+                         alpha_star: float):
+    """Conformal anomaly p-values + the adaptive (ACI) alarm level.
+
+    p = (1 + #{calib ≥ |res|}) / (n+1) by ONE searchsorted against the
+    sorted baked calibration vector — exact integer rank counts, ties
+    conservative ('left' side matches the host backend bit for bit on the
+    ranks; only the final f32 division differs from f64 in low bits).
+    NaN rows (glitches) get NaN p, like fault_pred.
+
+    The adaptive conformal level (MonitorState.aci_alpha docs) is a
+    sequential scalar recurrence — err_t depends on α_t through the
+    comparison, so unlike C(t) it is NOT a linear recurrence; a lax.scan
+    over the block (B scalar ops) is negligible next to the forward pass.
+    Glitched samples (NaN p) neither flag nor move the level."""
+    s_conf = jnp.abs(res)
+    ge = calib.shape[0] - jnp.searchsorted(calib, s_conf, side="left")
+    p_conf = (1.0 + ge.astype(jnp.float32)) / (calib.shape[0] + 1.0)
+    conformal_p = jnp.where(jnp.isfinite(s_conf), p_conf, jnp.nan)
+
+    def aci_step(alpha_t, p_t):
+        fin = jnp.isfinite(p_t)
+        err = fin & (p_t <= alpha_t)
+        # unclipped on purpose — see MonitorState.aci_alpha
+        nxt = alpha_t + gamma * (alpha_star - err.astype(jnp.float32))
+        nxt = jnp.where(fin, nxt, alpha_t)
+        return nxt, (alpha_t, err)
+
+    aci_last, (aci_alpha, aci_anomaly) = jax.lax.scan(
+        aci_step, state.aci_alpha, conformal_p
+    )
+    return conformal_p, aci_alpha, aci_anomaly, aci_last
+
+
+def _diagnosis_block(head: DiagnosisHead, r, glitch):
+    """Script-03 posterior mapping (03:417-425), fully on device.
+
+    Glitched rows have NaN features → NaN posterior; argmax of an all-NaN
+    row silently returns 0, which downstream would count as a confident
+    class-0 vote — mark them -1."""
+    from pinnfc_tpu.diagnosis.gmm import gmm_predict_proba
+
+    feats = r[:, jnp.asarray(head.feature_indices)]
+    resp = gmm_predict_proba(head.gmm, feats)
+    probs = jnp.clip(
+        jnp.matmul(resp, head.comp_fault_prob, precision="highest"),
+        1e-12, 1.0,
+    )
+    probs = probs / jnp.sum(probs, axis=1, keepdims=True)
+    pred = jnp.where(glitch, -1, jnp.argmax(probs, axis=1))
+    return probs, pred
+
+
 def _rf_block(s_tot, state: MonitorState, cfg: RiskConfig):
     """Continue the RF recurrences over one block given carry ``state``."""
     lam = cfg.lambda_decay
@@ -472,153 +631,45 @@ class OnlineMonitor:
         )
 
         def step(params, state: MonitorState, x_raw, v_meas, mu, sigma):
+            """One block through every monitor concern — each concern is a
+            module-level ``_*_block`` helper (numerics documented there),
+            this closure only binds the baked constants and composes."""
+            # forward + residual stack (col 12 semantics for ``res``)
             x_norm = self.scaler_x.transform(x_raw)
             u_norm, _ = mlp_forward(params["mlp"], x_norm, train=False)
             v_pred = self.scaler_y.inverse(u_norm)[:, 0]
             bundle = all_residuals(
                 params, x_norm, u_norm, self.scaler_x, self.scaler_y
             )
-            res = v_meas - v_pred  # prediction residual (col 12 semantics)
+            res = v_meas - v_pred
             r = jnp.stack(
                 [res, bundle.f_v[:, 0], bundle.f_t[:, 0],
                  bundle.f_h[:, 0], bundle.f_o[:, 0]], axis=1
             )
 
-            a_trunc = jnp.maximum(
-                0.0, jnp.abs((r - mu[None, :]) / sigma[None, :]) - cfg.z_safe
+            s_tot, layer_scores = _excitation_block(
+                r, mu, sigma, cfg, w_feat, key_to_idx, layer_w
             )
-            s_tot = jnp.zeros(r.shape[0], jnp.float32)
-            layer_contribs = []  # per-layer attribution (explainability)
-            for lname, keys in cfg.layer_config:
-                idxs = [key_to_idx[k] for k in keys if k in key_to_idx]
-                if not idxs:
-                    continue
-                a_l = a_trunc[:, jnp.asarray(idxs)]
-                w_l = w_feat[jnp.asarray(idxs)][None, :]
-                contrib = layer_w.get(lname, 1.0) * jnp.power(
-                    jnp.sum(w_l * jnp.power(a_l, cfg.p_layer), axis=1),
-                    1.0 / cfg.p_layer,
-                )
-                s_tot = s_tot + contrib
-                layer_contribs.append(contrib)
-            # (B, L) attribution of the RAW S_tot across physics layers
-            # (04:244-259): which layer — voltage / gas / temp — is driving
-            # the risk.  Stacked BEFORE the first-sample/glitch gating below
-            # so a voltage-channel-outage glitch (finite features) still
-            # shows its excitation; NaN-feature rows yield NaN columns.
-            layer_scores = (
-                jnp.stack(layer_contribs, axis=1) if layer_contribs
-                else jnp.zeros((r.shape[0], 0), jnp.float32)
-            )
-            # sensor-glitch guard: a non-finite row would poison the carried
-            # C[t]/EMA state FOREVER (the recurrence never forgets a NaN).
-            # Treat such samples as contributing zero risk for the integral
-            # and surface them per-sample via the ``glitch`` flag; their own
-            # rf/v_pred outputs still reflect the bad input.  A dead voltage
-            # channel (NaN v_meas) is folded in explicitly — under a layer
-            # config that drops the 'res' feature it would never reach s_tot,
-            # yet it still silently disables v_alarm for those rows.
-            glitch = ~(jnp.isfinite(s_tot) & jnp.isfinite(v_meas))
-            # first-ever sample contributes no risk (C[0]=0 semantics, 04:262)
-            gate = glitch | (
-                (state.n_seen == 0) & (jnp.arange(s_tot.shape[0]) == 0)
-            )
-            s_tot = jnp.where(gate, 0.0, s_tot)
-
+            glitch, gate, s_tot = _gate_block(s_tot, v_meas, state)
             rf_inst, rf_smooth, c_series = _rf_block(s_tot, state, cfg)
-
-            # per-layer risk-integral continuation: the SAME leaky
-            # recurrence applied to each layer's gated term, so
-            # Σ_l C_l ≡ C at every sample — live attribution of the risk
-            # level, carried across blocks like C itself
-            layer_gated = jnp.where(gate[:, None], 0.0, layer_scores)
-            lam_vec = jnp.full(layer_gated.shape[0], cfg.lambda_decay)
-            if layer_gated.shape[1]:
-                lc_series = jax.vmap(
-                    lambda col, init: linear_recurrence_scan(lam_vec, col, init),
-                    in_axes=(1, 0), out_axes=1,
-                )(layer_gated, state.layer_c)
-            else:
-                lc_series = layer_gated
-
-            # consecutive-glitch run length: run[i] = glitch[i]·(run[i-1]+1),
-            # the same first-order recurrence as C[t] → same associative scan
-            gf = glitch.astype(jnp.float32)
-            glitch_series = linear_recurrence_scan(gf, gf, state.glitch_run)
-            sensor_alarm = glitch_series >= self.glitch_alarm_n
-
-            # dynamic-threshold baseline: captured from the FIRST FINITE
-            # voltage sample ever seen (a glitched first sample must not
-            # permanently zero the alarm baseline — it defers capture)
-            finite_v = jnp.isfinite(v_meas)
-            has_finite = jnp.any(finite_v)
-            cand = v_meas[jnp.argmax(finite_v)]
-            v_first = jnp.where(
-                state.v_first_set,
-                state.v_first,
-                jnp.where(has_finite, cand, 0.0),
+            lc_series = _layer_c_block(layer_scores, gate, state, cfg)
+            glitch_series, sensor_alarm = _glitch_run_block(
+                glitch, state, self.glitch_alarm_n
             )
-            v_first_set = state.v_first_set | has_finite
-
-            # input-range drift: which channels left the training box this
-            # block.  A glitched sensor is an outage, not drift (counted by
-            # glitch_run above) — NaN compares False on both sides already,
-            # but ±inf would satisfy the box comparison, so non-finite
-            # readings are excluded explicitly.
-            oob_ch = jnp.isfinite(x_raw) & (
-                (x_raw < box_lo[None, :]) | (x_raw > box_hi[None, :])
+            v_first, v_first_set, v_alarm = _voltage_alarm_block(
+                v_meas, state, cfg
             )
-            oob = jnp.any(oob_ch, axis=1)
-
-            # NaN comparisons are False, so pre-baseline (non-finite) samples
-            # in the capturing block never alarm; the flag guards the
-            # no-baseline-yet stream entirely
-            v_alarm = v_first_set & (v_meas <= (v_first - cfg.voltage_drop))
+            oob_ch, oob = _drift_block(x_raw, box_lo, box_hi)
 
             if calib is not None:
-                # conformal anomaly p-value (uq.conformal_pvalues, on
-                # device): p = (1 + #{calib ≥ |res|}) / (n+1) by ONE
-                # searchsorted against the sorted baked calibration vector
-                # — exact integer rank counts, ties conservative ('left'
-                # side matches the host backend bit for bit on the ranks;
-                # only the final f32 division differs from f64 in low
-                # bits).  NaN rows (glitches) get NaN p, like fault_pred.
-                s_conf = jnp.abs(res)
-                ge = calib.shape[0] - jnp.searchsorted(
-                    calib, s_conf, side="left"
-                )
-                p_conf = (1.0 + ge.astype(jnp.float32)) / (
-                    calib.shape[0] + 1.0
-                )
-                conformal_p = jnp.where(
-                    jnp.isfinite(s_conf), p_conf, jnp.nan
-                )
-                # adaptive conformal level (MonitorState.aci_alpha docs):
-                # a sequential scalar recurrence — err_t depends on α_t
-                # through the comparison, so unlike C(t) it is NOT a
-                # linear recurrence; a lax.scan over the block (B scalar
-                # ops) is negligible next to the forward pass.  Glitched
-                # samples (NaN p) neither flag nor move the level.
-                gamma = self.conformal_gamma
-                alpha_star = self.conformal_alpha
-
-                def aci_step(alpha_t, p_t):
-                    fin = jnp.isfinite(p_t)
-                    err = fin & (p_t <= alpha_t)
-                    # unclipped on purpose — see MonitorState.aci_alpha
-                    nxt = alpha_t + gamma * (
-                        alpha_star - err.astype(jnp.float32)
+                conformal_p, aci_alpha, aci_anomaly, aci_last = (
+                    _conformal_aci_block(
+                        res, calib, state,
+                        self.conformal_gamma, self.conformal_alpha,
                     )
-                    nxt = jnp.where(fin, nxt, alpha_t)
-                    return nxt, (alpha_t, err)
-
-                aci_last, (aci_alpha, aci_anomaly) = jax.lax.scan(
-                    aci_step, state.aci_alpha, conformal_p
                 )
             else:
-                conformal_p = None
-                aci_alpha = None
-                aci_anomaly = None
+                conformal_p = aci_alpha = aci_anomaly = None
                 aci_last = state.aci_alpha
 
             new_state = MonitorState(
@@ -634,24 +685,10 @@ class OnlineMonitor:
                 aci_alpha=aci_last,
             )
 
-            if head is not None:
-                # script-03 posterior mapping (03:417-425), fully on device
-                from pinnfc_tpu.diagnosis.gmm import gmm_predict_proba
-
-                feats = r[:, jnp.asarray(head.feature_indices)]
-                resp = gmm_predict_proba(head.gmm, feats)
-                probs = jnp.clip(
-                    jnp.matmul(resp, head.comp_fault_prob, precision="highest"),
-                    1e-12, 1.0,
-                )
-                probs = probs / jnp.sum(probs, axis=1, keepdims=True)
-                # glitched rows have NaN features -> NaN posterior; argmax
-                # of an all-NaN row silently returns 0, which downstream
-                # would count as a confident class-0 vote — mark them -1
-                pred = jnp.where(glitch, -1, jnp.argmax(probs, axis=1))
-                fault = (probs, pred)
-            else:
-                fault = (None, None)
+            fault = (
+                _diagnosis_block(head, r, glitch)
+                if head is not None else (None, None)
+            )
             return new_state, (
                 rf_inst, rf_smooth, r, v_pred, v_alarm, glitch, sensor_alarm,
                 fault, layer_scores, lc_series, oob, conformal_p,
