@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -61,11 +62,40 @@ def compute_rf_time_series(
     """
     if backend == "numpy":
         return _compute_rf_numpy(residuals, mu, sigma, config)
-    r = jnp.asarray(residuals, jnp.float32)
-    mu = jnp.asarray(mu, jnp.float32)
-    sigma = jnp.asarray(sigma, jnp.float32)
-    n, d_ = r.shape
+    r = np.asarray(residuals, np.float32)
+    n = r.shape[0]
+    # Bucket-pad the row count to a power of two (min 512) so the whole
+    # campaign's 12 condition lengths compile into a handful of programs
+    # that live in the PERSISTENT cache.  The previous eager op chain cost
+    # ~10-17 s of remote compile per op per distinct length on a
+    # relay-attached TPU, and eager compiles never persist — measured
+    # 137 s for the 12-condition table even "warm"
+    # (benchmarks/run_all_bench.py round 5).  Every step is causal
+    # (z-score/p-norms are rowwise; the leaky integral and EMA run
+    # forward in time), so zero-padding trailing rows leaves rows [0, n)
+    # bit-identical — sliced off after ONE device fetch.
+    n_pad = max(512, 1 << (n - 1).bit_length())
+    r_pad = np.zeros((n_pad, r.shape[1]), np.float32)
+    r_pad[:n] = r
+    out = _rf_series_device(
+        jnp.asarray(r_pad), jnp.asarray(mu, jnp.float32),
+        jnp.asarray(sigma, jnp.float32), config,
+    )
+    host = jax.device_get(out)
+    return {
+        "rf_inst": host["rf_inst"][:n],
+        "rf_smooth": host["rf_smooth"][:n],
+        "c": host["c"][:n],
+        "s_tot": host["s_tot"][:n],
+        "s_layers": {k: v[:n] for k, v in host["s_layers"].items()},
+    }
 
+
+@partial(jax.jit, static_argnames=("config",))
+def _rf_series_device(r, mu, sigma, config: RiskConfig):
+    """The whole RF chain (04:234-279) as ONE compiled program.
+    ``config`` is a frozen dataclass of tuples/floats → hashable static."""
+    n = r.shape[0]
     w_feat = jnp.asarray(config.feature_weights, jnp.float32)
     key_to_idx = {k: i for i, k in enumerate(config.res_keys)}
     layer_w = dict(config.layer_weights)
