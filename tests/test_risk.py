@@ -280,3 +280,31 @@ class TestNumpyBackend:
             assert a.advance == b.advance
         # the scenario actually exercises alarms (not all-None trivially)
         assert sum(a.idx_rf_alarm is not None for a in out_jax) == 12
+
+
+class TestBucketPadding:
+    """The jitted RF path bucket-pads row counts to powers of two (round
+    5): trailing zero-pad must leave rows [0, n) bit-identical for EVERY
+    length, including ones straddling bucket boundaries."""
+
+    def test_lengths_across_bucket_boundaries(self, rng):
+        cfg = RiskConfig()
+        base = rng.normal(0.0, 3.0, (1100, 5))
+        mu = np.zeros(5)
+        sigma = np.ones(5)
+        # full-length series once; every prefix must reproduce it exactly
+        # (causality): 511/512/513 cross the min bucket, 1024/1025 the next
+        full = compute_rf_time_series(base, mu, sigma, cfg)
+        for n in (1, 2, 511, 512, 513, 1024, 1025, 1100):
+            part = compute_rf_time_series(base[:n], mu, sigma, cfg)
+            np.testing.assert_array_equal(
+                np.asarray(part["rf_smooth"]),
+                np.asarray(full["rf_smooth"])[:n],
+            )
+            np.testing.assert_array_equal(
+                np.asarray(part["s_tot"]), np.asarray(full["s_tot"])[:n]
+            )
+            for k, v in part["s_layers"].items():
+                np.testing.assert_array_equal(
+                    np.asarray(v), np.asarray(full["s_layers"][k])[:n]
+                )
