@@ -153,7 +153,10 @@ def main() -> int:
         mean = dot_i8(h, q["mean"])
         v = jnp.tanh(dot_i8(h, q["var"][0]))
         v = jnp.tanh(dot_i8(v, q["var"][1]))
-        return mean, dot_i8(v, q["var"][2])
+        v = dot_i8(v, q["var"][2])
+        # same logvar head postprocessing as mlp_forward — without it the
+        # second output is not comparable to the other variants
+        return mean, jnp.log(jax.nn.softplus(v) + 1e-6)
 
     variants = {
         "f32_highest": scorer_highest,

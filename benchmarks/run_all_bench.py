@@ -14,7 +14,7 @@ line tracked round-over-round, plus one line per phase.
 (42,007 / 6.5 s — generous to the reference: its downstream scripts and
 export are excluded from the denominator).
 
-Usage: python benchmarks/run_all_bench.py [--small] [--repeat-scoring]
+Usage: python benchmarks/run_all_bench.py [--small]
 """
 
 from __future__ import annotations

@@ -108,14 +108,9 @@ def save_comprehensive_results(results, path: str) -> None:
 
 def load_comprehensive_results(path: str) -> ComprehensiveResults:
     """Load + schema-check (mirrors 02:105-114 / 03:90-99 / 04:168-177)."""
-    try:
-        data = scipy.io.loadmat(path)
-    except (OSError, ValueError, TypeError, NotImplementedError) as e:
-        # truncated/non-MAT artifacts otherwise surface as byte-level
-        # parse errors with no file context
-        raise ValueError(
-            f"{path}: not a readable MATLAB .mat file ({e})"
-        ) from e
+    from pinnfc_tpu.data.loaders import loadmat_checked
+
+    data = loadmat_checked(path)
     if "comprehensive_results" not in data:
         raise KeyError(
             f"{path}: MAT file has no variable 'comprehensive_results'"

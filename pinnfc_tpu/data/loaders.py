@@ -29,18 +29,30 @@ def _as_col(a: np.ndarray) -> np.ndarray:
     return np.asarray(a).reshape(-1, 1)
 
 
-def _loadmat(path: str) -> dict:
+def loadmat_checked(path: str) -> dict:
     """scipy.io.loadmat with the file path attached to the failure — a
     truncated or non-MAT file otherwise surfaces as a bare byte-level
     parse error with no hint which campaign file is at fault (the
     defensive-ingestion counterpart of the reference's format checks,
-    01:204-221)."""
+    01:204-221).  Shared by the campaign loaders and
+    ``data.contract.load_comprehensive_results``.
+
+    The catch list is empirical: scipy raises MatReadError on empty or
+    header-truncated files, IndexError on short mid-header truncations,
+    ValueError/TypeError/NotImplementedError on byte-level garbage and
+    unsupported (v7.3/HDF5) formats, OSError on filesystem failures."""
+    from scipy.io.matlab import MatReadError
+
     try:
         return scipy.io.loadmat(path)
-    except (OSError, ValueError, TypeError, NotImplementedError) as e:
+    except (OSError, ValueError, TypeError, NotImplementedError,
+            MatReadError, IndexError) as e:
         raise ValueError(
             f"{path}: not a readable MATLAB .mat file ({e})"
         ) from e
+
+
+_loadmat = loadmat_checked  # internal alias used below
 
 
 def load_normal_mat(path: str) -> Tuple[np.ndarray, np.ndarray]:

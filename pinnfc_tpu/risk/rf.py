@@ -336,9 +336,9 @@ def compute_rf_advance_for_condition(
     # operator WHICH physics layer drove the warning.
     layer_w = dict(config.layer_weights)
     t_anchor = idx_rf if idx_rf is not None else len(idx_all) - 1
-    # ONE batched fetch: per-layer np.asarray would cost a relay round
-    # trip each on remote-attached TPUs (~23 ms apiece, 12 conditions)
-    s_layers_host = jax.device_get(rf["s_layers"])
+    # compute_rf_time_series returns host numpy for both backends (the
+    # jax path fetches everything in its one device_get)
+    s_layers_host = rf["s_layers"]
     layer_c = {
         name: _leaky_integral_f64(
             layer_w.get(name, 1.0) * np.asarray(s, float),

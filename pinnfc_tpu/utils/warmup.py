@@ -269,7 +269,10 @@ def warm_cache(progs, verbose: bool = True) -> List[Dict]:
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", prev_min
         )
-    _write_manifest(records)
+        # a mid-run failure (the relay outage this tool exists to
+        # mitigate) must still record every program that DID compile —
+        # otherwise doctor reports "no warmup manifest" on a half-warm box
+        _write_manifest(records)
     return records
 
 
@@ -398,11 +401,17 @@ def warmup_coverage() -> Dict:
         f"{manifest.get('jax', '?')})"
     )
     if missing:
-        detail += "; missing: " + ", ".join(missing[:6]) + (
-            "…" if len(missing) > 6 else ""
-        )
+        detail += ("; STALE — re-run `cli warmup` (evicted/cleared or a "
+                   "jax upgrade changed keys): "
+                   + ", ".join(missing[:6])
+                   + ("…" if len(missing) > 6 else ""))
+    # stale coverage is a performance condition, not a health failure:
+    # ok stays True so orchestration gating on doctor's exit code does
+    # not fail a functional box (e.g. after every jax upgrade, when ALL
+    # keys change); the `stale` field carries the actionable signal
     return {
-        "ok": not missing,
+        "ok": True,
+        "stale": bool(missing),
         "detail": detail,
         "present": present,
         "missing": missing,

@@ -49,6 +49,18 @@ class TestTruncatedFiles:
         with pytest.raises(ValueError, match="trunc.mat"):
             load_normal_mat(trunc)
 
+    def test_empty_and_header_truncations(self, tmp_path):
+        """scipy raises MatReadError on 0-byte/header-truncated files and
+        IndexError on short mid-header cuts — every one must come back as
+        a ValueError naming the file (review finding, round 5)."""
+        full = _write_normal(str(tmp_path / "src.mat"))
+        blob = open(full, "rb").read()
+        for n in (0, 8, 64, 100):
+            p = str(tmp_path / f"cut{n}.mat")
+            open(p, "wb").write(blob[:n])
+            with pytest.raises(ValueError, match=f"cut{n}.mat"):
+                load_normal_mat(p)
+
     def test_garbage_bytes_fault(self, tmp_path):
         p = str(tmp_path / "garbage.mat")
         open(p, "wb").write(b"\x00\x01not a mat file" * 10)

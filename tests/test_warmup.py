@@ -106,11 +106,14 @@ def test_doctor_coverage_reports_and_flags_eviction(cache_dir, dataset):
     assert cov["ok"] and not cov["missing"]
     assert f"{len(records)}/{len(records)}" in cov["detail"]
 
-    # evict one entry: coverage must flag exactly that program
+    # evict one entry: coverage must flag exactly that program as stale
+    # (but stay ok — stale cache is a performance condition, not a health
+    # failure, so doctor's exit code cannot fail a functional box)
     victim = records[0]
     os.remove(os.path.join(cache_dir, victim["key"] + "-cache"))
     cov = warmup_coverage()
-    assert not cov["ok"]
+    assert cov["ok"] and cov["stale"]
+    assert "STALE" in cov["detail"]
     assert any(victim["program"] in m for m in cov["missing"])
 
 
