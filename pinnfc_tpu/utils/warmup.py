@@ -52,6 +52,17 @@ from typing import Dict, List, Optional
 
 MANIFEST_NAME = "pinnfc_warmup_manifest.json"
 
+# The Pallas MC kernel's Mosaic payload (the serialized MLIR inside its
+# tpu_custom_call backend_config) embeds lowering-order-dependent bytes,
+# so its cache key differs on EVERY lowering — measured on the v5e: two
+# back-to-back lowerings of the identical call diverge only inside that
+# opaque payload.  The program can therefore never hit the persistent
+# cache; it recompiles per process (~1.5 s on a healthy relay — the
+# kernel is tiny).  Such programs are still warmed/reported by
+# `cli warmup` but excluded from the manifest, otherwise `cli doctor`
+# would report the cache permanently stale on TPU hosts.
+NONPERSISTABLE_PREFIXES = ("mc_pallas",)
+
 
 def resolve_cache_dir() -> Optional[str]:
     """The persistent cache directory enable_compilation_cache would use
@@ -347,7 +358,9 @@ def _write_manifest(records: List[Dict]) -> Optional[str]:
             programs = {}
         platform = jax.default_backend()
         for rec in records:
-            if rec["key"]:
+            if rec["key"] and not rec["program"].startswith(
+                NONPERSISTABLE_PREFIXES
+            ):
                 programs[f"{platform}:{rec['program']}"] = rec["key"]
         manifest = {
             "programs": programs,

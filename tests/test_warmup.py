@@ -91,10 +91,24 @@ def test_warmup_writes_manifest_and_rewarm_hits(cache_dir, dataset):
     for r in records:
         assert os.path.exists(os.path.join(cache_dir, r["key"] + "-cache"))
     manifest = json.load(open(os.path.join(cache_dir, MANIFEST_NAME)))
-    assert len(manifest["programs"]) == len(progs)
+    from pinnfc_tpu.utils.warmup import NONPERSISTABLE_PREFIXES as _NP
+
+    n_persistable = len(
+        [r for r in records if not r["program"].startswith(_NP)]
+    )
+    assert len(manifest["programs"]) == n_persistable
 
     again = warm_cache(production_lowerings(TINY, dataset), verbose=False)
-    assert all(r["was_cached"] for r in again), again
+    # the Pallas MC program's Mosaic payload makes its key lowering-
+    # nondeterministic (warmup.NONPERSISTABLE_PREFIXES) — it legitimately
+    # recompiles; every other program must hit
+    from pinnfc_tpu.utils.warmup import NONPERSISTABLE_PREFIXES
+
+    persistable = [
+        r for r in again
+        if not r["program"].startswith(NONPERSISTABLE_PREFIXES)
+    ]
+    assert persistable and all(r["was_cached"] for r in persistable), again
 
 
 def test_doctor_coverage_reports_and_flags_eviction(cache_dir, dataset):
@@ -104,12 +118,17 @@ def test_doctor_coverage_reports_and_flags_eviction(cache_dir, dataset):
     records = warm_cache(production_lowerings(TINY, dataset), verbose=False)
     cov = warmup_coverage()
     assert cov["ok"] and not cov["missing"]
-    assert f"{len(records)}/{len(records)}" in cov["detail"]
+    from pinnfc_tpu.utils.warmup import NONPERSISTABLE_PREFIXES as _NP
+
+    n_man = len([r for r in records if not r["program"].startswith(_NP)])
+    assert f"{n_man}/{n_man}" in cov["detail"]
 
     # evict one entry: coverage must flag exactly that program as stale
     # (but stay ok — stale cache is a performance condition, not a health
     # failure, so doctor's exit code cannot fail a functional box)
-    victim = records[0]
+    victim = next(
+        r for r in records if not r["program"].startswith(_NP)
+    )
     os.remove(os.path.join(cache_dir, victim["key"] + "-cache"))
     cov = warmup_coverage()
     assert cov["ok"] and cov["stale"]
