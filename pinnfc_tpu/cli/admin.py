@@ -55,21 +55,32 @@ def cmd_warmup(args) -> int:
         block=getattr(args, "block", 64),
     )
     records = warm_cache(progs, verbose=not args.json)
+    if getattr(args, "mat", None):
+        # downstream-diagnosis programs for a concrete artifact: running
+        # the four cheap pipelines once IS the warmup (utils/warmup.py)
+        from pinnfc_tpu.data import load_comprehensive_results
+        from pinnfc_tpu.utils.warmup import warm_downstream
+
+        records += warm_downstream(
+            load_comprehensive_results(args.mat), verbose=not args.json
+        )
     from pinnfc_tpu.utils.warmup import warm_eager_ops
 
     n_eager = warm_eager_ops(cfg)
     if not args.json:
         print(f"  + {n_eager} eager micro-ops (per-stage fold_in / loss "
               "readbacks) dispatched")
-    total = sum(r["compile_s"] for r in records)
+    total = sum(r["compile_s"] or 0 for r in records)
     hits = sum(1 for r in records if r["was_cached"])
     if args.json:
         print(json.dumps({"programs": records,
                           "total_compile_s": round(total, 1),
                           "already_cached": hits}))
     else:
-        print(f"warmed {len(records)} programs in {total:.1f}s "
-              f"({hits} were already cached)")
+        n_down = sum(r["program"].startswith("downstream:") for r in records)
+        tail = (f" + {n_down} downstream programs" if n_down else "")
+        print(f"warmed {len(records) - n_down} programs in {total:.1f}s "
+              f"({hits} were already cached){tail}")
     return 0
 
 

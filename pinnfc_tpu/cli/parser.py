@@ -531,6 +531,10 @@ def main(argv: Optional[list] = None) -> int:
                     help="also warm the serving monitor step for this "
                          "checkpoint (its scalers are baked into the "
                          "program, so the real checkpoint is required)")
+    wu.add_argument("--mat", default=None,
+                    help="also warm the downstream-diagnosis programs "
+                         "(AUC/GMM/risk/compare) for this artifact by "
+                         "running the four cheap pipelines once")
     wu.add_argument("--block", type=int, default=64,
                     help="monitor block size to warm (with --ckpt)")
     wu.add_argument("--json", action="store_true")

@@ -306,6 +306,85 @@ def _record(records, name, captured, dt, verbose):
         print(f"  {name:<42} {state:>10}  {dt:7.1f}s")
 
 
+def warm_downstream(results, verbose: bool = True) -> List[Dict]:
+    """Warm the downstream-diagnosis program set (AUC, GMM, risk table,
+    six-method comparison) for a given artifact by EXECUTING the four
+    pipelines once with the persistence threshold dropped.
+
+    Unlike the 42k-step training schedule, the downstream pipelines cost
+    seconds to run (1.8 s warm in-process, PERFORMANCE.md), so running
+    them IS the cheapest correct warmup — and it can never drift from the
+    real program set the way an AOT enumeration could.  Cache keys are
+    captured per stage for the manifest (named ``downstream:<stage>:<i>``
+    — the per-jit names are not visible at the key layer)."""
+    import jax
+    from jax._src import compilation_cache as cc
+
+    from pinnfc_tpu.diagnosis import (
+        run_auc_pipeline,
+        run_compare_pipeline,
+        run_gmm_pipeline,
+    )
+    from pinnfc_tpu.risk import run_risk_pipeline
+
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.clear_caches()
+
+    cache_dir = resolve_cache_dir()
+    records: List[Dict] = []
+    orig = cc.get_cache_key
+    captured: List = []
+
+    def recording(*a, **k):
+        key = orig(*a, **k)
+        pre = (
+            os.path.exists(os.path.join(cache_dir, key + "-cache"))
+            if cache_dir else None
+        )
+        captured.append((key, pre))
+        return key
+
+    stages = (
+        ("auc", run_auc_pipeline),
+        ("gmm", run_gmm_pipeline),
+        ("risk", run_risk_pipeline),
+        ("compare", run_compare_pipeline),
+    )
+    try:
+        for stage, fn in stages:
+            captured.clear()
+            t0 = time.perf_counter()
+            cc.get_cache_key = recording
+            try:
+                fn(results)
+            finally:
+                cc.get_cache_key = orig
+            dt = time.perf_counter() - t0
+            seen = set()
+            n_hit = 0
+            for i, (key, pre) in enumerate(captured):
+                if key in seen:
+                    continue
+                seen.add(key)
+                n_hit += bool(pre)
+                records.append({
+                    "program": f"downstream:{stage}:{len(seen) - 1}",
+                    "key": key,
+                    "compile_s": None,
+                    "was_cached": bool(pre),
+                })
+            if verbose:
+                print(f"  downstream:{stage:<35} {len(seen):3d} programs "
+                      f"({n_hit} cached)  {dt:7.1f}s")
+    finally:
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", prev_min
+        )
+        _write_manifest(records)
+    return records
+
+
 def warm_eager_ops(config) -> int:
     """Execute the handful of EAGER micro-ops the schedule driver and
     exporter dispatch outside the big jitted programs: the per-stage

@@ -171,3 +171,47 @@ def test_cli_warmup_json(cache_dir, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["programs"] and all(r["key"] for r in out["programs"])
+
+
+def test_downstream_warmup_covers_the_pipelines(cache_dir):
+    """`cli warmup --mat`: after warm_downstream, re-running the four
+    downstream pipelines adds ZERO cache entries — executing the real
+    pipelines as the warmup makes drift impossible by construction."""
+    import numpy as np
+
+    from pinnfc_tpu.data.contract import INDEX, ComprehensiveResults
+    from pinnfc_tpu.diagnosis import (
+        run_auc_pipeline,
+        run_compare_pipeline,
+        run_gmm_pipeline,
+    )
+    from pinnfc_tpu.risk import run_risk_pipeline
+    from pinnfc_tpu.utils.warmup import warm_downstream, warmup_coverage
+
+    # small synthetic artifact: normal rows + the 12 (current, fault)
+    # conditions so every pipeline (incl. the risk table) has work
+    rng = np.random.RandomState(0)
+    rows = []
+    for label, current in [(0, 108)] * 4 + [
+        (f, c) for c in (108, 270, 405) for f in (1, 2, 3, 4)
+    ]:
+        n = 60
+        seg = rng.normal(0, 1, (n, 22))
+        seg[:, INDEX["label"]] = label
+        seg[:, INDEX["x0"]] = current + rng.uniform(-0.2, 0.2, n)
+        seg[:, INDEX["y_true"]] = 90 + rng.normal(0, 0.5, n)
+        rows.append(seg)
+    arr = ComprehensiveResults(np.vstack(rows))
+
+    records = warm_downstream(arr, verbose=False)
+    assert records and all(r["key"] for r in records)
+    cov = warmup_coverage()
+    assert any(p.endswith("risk:0") or ":risk:" in p for p in cov["present"])
+
+    before = set(os.listdir(cache_dir))
+    run_auc_pipeline(arr)
+    run_gmm_pipeline(arr)
+    run_risk_pipeline(arr)
+    run_compare_pipeline(arr)
+    new = set(os.listdir(cache_dir)) - before
+    assert not new, f"downstream pipelines compiled programs warmup missed: {new}"
